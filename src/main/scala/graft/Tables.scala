@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Reference data model: KMR's typed KVS + n-tuple relational rows
+  * (kmr.h:355-376, ex/tpch.c:241-348) map to parquet-backed DataFrames;
+  * Catalyst handles projection/predicate pushdown into the scan that the
+  * reference does by hand (ex/tpch.c:2199-2246).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
+
+/** One engine query: a Spark implementation plus (where SQL-expressible)
+  * an equivalent DuckDB oracle for the driver's correctness gate.
+  * Column names/types must match the oracle exactly; every query ends in
+  * a deterministic ORDER BY so row-order comparisons are stable.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

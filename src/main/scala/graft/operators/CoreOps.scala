@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Spark realizations of KMR's core + derived operator inventory
+  * (SURVEY.md §2.1/§2.2), each exposed as a driver-checkable query.
+  *
+  * - wordcount        — kmr_map/shuffle/reduce canonical pipeline
+  *                      (ex/wordcount.c:14-94)
+  * - ranking          — kmr_ranking global contiguous index
+  *                      (src/kmrmoreops.c:742-805)
+  * - scan_prefix      — kmr_scan_on_values non-inclusive prefix scan
+  *                      (src/kmrmoreops.c:931-972), two-phase scalable
+  * - count_keys       — kmr_count_keys (src/kmrmoreops.c:1008-1024)
+  * - minmax           — kmr_minmax2_fn-style aggregate (src/kmrmoreops.c:357-378)
+  * - match_join       — kmr_match equi-join kernel (src/kmrmoreops.c:695-728)
+  * - choose_first     — kmr_choose_first_part order-preserving limit
+  *                      (src/kmrmoreops.c:1144-1163)
+  * - sample_stride    — kmr_map_skipping / kmr_sample_kv stride sampling
+  *                      (src/kmrbase.c:1191-1330, src/kmrmoreops.c:309-327)
+  * - distribute_count — kmr_distribute re-balance + count conservation
+  *                      (src/kmrmoreops.c:807-865)
+  * - replicate_bcast  — kmr_replicate as a broadcast dim join
+  *                      (src/kmrbase.c:2239-2350)
+  * - sort_global      — kmr_sort sampling sort ≈ range-partitioned orderBy
+  *                      (src/kmrmoreops.c:468-536)
+  * - histogram_ranks  — kmr_histogram_count_by_ranks partition stats
+  *                      (src/kmrmoreops.c:1568-1629; no SQL oracle —
+  *                      partitioning is not visible to DuckDB)
+  */
+object CoreOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("wordcount", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("word"))
+    }, Some(
+      "SELECT word, count(*) AS cnt FROM (" +
+      "SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word FROM documents) t " +
+      "WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word")),
+
+    QueryDef("ranking", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // Global 0-based contiguous rank in (n_chars desc, doc_id) order.
+      // KMR defines rank over the rank-order concatenation (SURVEY §1.1);
+      // here the total order is explicit. row_number over an un-partitioned
+      // window is single-task; at scale use KVS.ranking (zipWithIndex) —
+      // this SQL-comparable form is kept for the oracle gate.
+      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("rank", (row_number().over(w) - 1).cast("long"))
+        .orderBy("rank")
+    }, Some(
+      "SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank " +
+      "FROM documents ORDER BY rank")),
+
+    QueryDef("scan_prefix", (s, d) => {
+      // Non-inclusive prefix sum of event value (in exact integer cents)
+      // in event_id order — kmr_scan_on_values semantics. Implemented
+      // scalably: range-partition + per-partition partial sums + O(P)
+      // driver-side carry (exactly KMR's rank-carry on rank0,
+      // kmr_scan_across_ranks_sequentially src/kmrmoreops.c:871-929).
+      val e = Tables.load(s, d, "events")
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      prefixSumLong(s, e, "event_id", "cents", "prefix_cents")
+        .select("event_id", "prefix_cents")
+    }, Some(
+      "SELECT event_id, CAST(coalesce(SUM(CAST(round(value*100,0) AS BIGINT)) OVER (" +
+      "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS prefix_cents FROM events ORDER BY event_id")),
+
+    QueryDef("count_keys", (s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QueryDef("minmax", (s, d) => {
+      Tables.load(s, d, "lineitem").agg(
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    }, Some(
+      "SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+      "round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt FROM lineitem")),
+
+    QueryDef("match_join", (s, d) => {
+      // kmr_match: per matching key, the cross product of value lists —
+      // exactly inner-join multiplicity.
+      Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey", "c_name")
+    }, Some(
+      "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "ORDER BY o_orderkey, c_name")),
+
+    QueryDef("choose_first", (s, d) => {
+      Tables.load(s, d, "events")
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .limit(50)
+    }, Some(
+      "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50")),
+
+    QueryDef("sample_stride", (s, d) => {
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }, Some(
+      "SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id")),
+
+    QueryDef("distribute_count", (s, d) => {
+      // kmr_distribute: even re-balance; observable effect = count
+      // conservation (the balance itself is asserted in CoreOpsSpec).
+      Tables.load(s, d, "events").repartition(32)
+        .agg(count(lit(1)).as("cnt"))
+    }, Some("SELECT count(*) AS cnt FROM events")),
+
+    QueryDef("replicate_bcast", (s, d) => {
+      Tables.load(s, d, "supplier")
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    }, Some(
+      "SELECT s_suppkey, s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+      "ORDER BY s_suppkey")),
+
+    QueryDef("sort_global", (s, d) => {
+      // kmr_sort_large sampling sort ≡ Spark RangePartitioner orderBy.
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(1000)
+    }, Some(
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000")),
+
+    QueryDef("histogram_ranks", (s, d) => {
+      // Partition-count statistics (mean/min/max over per-partition
+      // element counts). Not SQL-expressible — driver records rows>0.
+      Tables.load(s, d, "events").repartition(32)
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          count(lit(1)).as("n_partitions"),
+          min("cnt").as("min_cnt"),
+          max("cnt").as("max_cnt"),
+          round(avg("cnt"), 2).as("avg_cnt"))
+    }, None)
+  )
+
+  /** Two-phase distributed non-inclusive prefix sum over a unique total
+    * order. Phase 1 range-partitions and sorts, computes per-partition
+    * sums (collected to the driver — O(numPartitions), like KMR's rank0
+    * carry pass). Phase 2 re-walks each partition with its carry-in.
+    * The sorted frame is persisted so both phases see identical
+    * partitioning. */
+  def prefixSumLong(spark: SparkSession, df: DataFrame, orderCol: String,
+      valCol: String, outCol: String): DataFrame = {
+    val parts = spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val sorted = df
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .select(col(orderCol).cast("long"), col(valCol).cast("long"))
+      .persist()
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var acc = 0L
+        it.foreach(r => acc += r.getLong(1))
+        Iterator((i, acc))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = carry-in of partition i
+    val offB = spark.sparkContext.broadcast(offsets)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offB.value(i)
+      it.map { r =>
+        val pre = acc
+        acc += r.getLong(1)
+        Row(r.getLong(0), pre)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField(orderCol, LongType, nullable = false),
+      StructField(outCol, LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+}

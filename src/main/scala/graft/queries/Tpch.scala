@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped relational queries over the driver testdata (reduced TPC-H
+  * schema — no partsupp/comment columns, dates stored as timestamps).
+  *
+  * The shapes mirror the reference's hand-compiled plans (ex/tpch.c,
+  * queries 7/9/10/13/21 — see SURVEY.md §2.5): scan with fused
+  * filter+projection, broadcast of tiny dimensions (kmr_replicate,
+  * ex/tpch.c:2188-2195), shuffle equi-joins (JOINP, ex/tpch.c:1736-1811),
+  * left-outer join + count (q13_join_c_o, ex/tpch.c:3017-3053), semi/anti
+  * self-join with an inequality (q21_join_lnos_l2/_l3,
+  * ex/tpch.c:3417-3502), group-by aggregation, multi-key descending sort
+  * and top-K (kmr_choose_first_part, src/kmrmoreops.c:1144-1163).
+  *
+  * Scale notes: dimension tables (region/nation/supplier) are broadcast;
+  * fact-fact joins shuffle on their join keys and rely on AQE for skew;
+  * all filters/projections are declarative so Catalyst pushes them into
+  * the parquet scan.
+  */
+object Tpch {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+  /** revenue = l_extendedprice * (1 - l_discount), the reference's "volume"
+    * (q7_select_by_date, ex/tpch.c:2051-2096). */
+  private val rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Q1-shape: single-table scan + grouped aggregation (map-side
+    // partial agg is Catalyst-automatic; reference always reduces
+    // post-shuffle, SURVEY §4.1).
+    QueryDef("q1_pricing", (s, d) => {
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(rev), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
+      "round(sum(l_extendedprice),2) AS sum_base_price, " +
+      "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, " +
+      "round(avg(l_quantity),4) AS avg_qty, count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // ---- Q3-shape: 3-way join, group, top-K by revenue desc.
+    QueryDef("q3_topk", (s, d) => {
+      val c = Tables.load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, d, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = Tables.load(s, d, "lineitem").filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(rev), 2).as("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }, Some(
+      "SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, o_orderdate " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+      "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+      "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+
+    // ---- Q5-shape: 6-way star join with two broadcast dims and a
+    // customer-nation = supplier-nation co-location predicate.
+    QueryDef("q5_local", (s, d) => {
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.load(s, d, "nation")
+      val su = Tables.load(s, d, "supplier")
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val l = Tables.load(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }, Some(
+      "SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name")),
+
+    // ---- Q7-shape: supplier-nation x customer-nation volume by year
+    // (reference plan ex/tpch.c:1815-1891; broadcast nation pair replaces
+    // kmr_replicate).
+    QueryDef("q7_volume", (s, d) => {
+      val n1 = Tables.load(s, d, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, d, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val su = Tables.load(s, d, "supplier")
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+      val l = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate").between(ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }, Some(
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate) AS l_year, " +
+      "round(sum(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE n1.n_name < n2.n_name AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND TIMESTAMP '1997-12-31 00:00:00' " +
+      "GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year")),
+
+    // ---- Q9-shape: 5-table chain through part/supplier/orders
+    // (reference ex/tpch.c:2307-2327; no partsupp in testdata, so profit
+    // omits ps_supplycost).
+    QueryDef("q9_profit", (s, d) => {
+      val p = Tables.load(s, d, "part").filter(col("p_name").like("%gear%"))
+      val su = Tables.load(s, d, "supplier")
+      val n = Tables.load(s, d, "nation")
+      val o = Tables.load(s, d, "orders")
+      val l = Tables.load(s, d, "lineitem")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(rev), 2).as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    }, Some(
+      "SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+      "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_profit " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%gear%' " +
+      "GROUP BY nation, o_year ORDER BY nation, o_year DESC")),
+
+    // ---- Q10-shape: returned-item revenue, top 20 customers
+    // (reference ex/tpch.c:2736-2933: flag filter, date window, 4-way
+    // join, sum, desc top-K).
+    QueryDef("q10_returns", (s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      val l = Tables.load(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(rev), 2).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }, Some(
+      "SELECT c_custkey, c_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, " +
+      "round(c_acctbal,2) AS c_acctbal, n_name " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20")),
+
+    // ---- Q13-shape: left-outer join with an extra join-side predicate,
+    // count-including-zero, then a count distribution (reference
+    // q13_join_c_o / q13_join_co, ex/tpch.c:3017-3087 — empty groups
+    // encode count=0).
+    QueryDef("q13_custdist", (s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+        .filter(not(col("o_orderpriority").like("%URGENT%")))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }, Some(
+      "SELECT c_count, count(*) AS custdist FROM (" +
+      "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+      "LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%' " +
+      "GROUP BY c_custkey) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC")),
+
+    // ---- Q21-shape (exists): lineitems of 'F' orders whose order has
+    // ANOTHER supplier — left-semi self-join with an inequality
+    // (q21_join_lnos_l2, ex/tpch.c:3417-3457).
+    QueryDef("q21_exists", (s, d) => q21(s, d, "left_semi"), Some(
+      "SELECT s_name, count(*) AS numwait FROM supplier " +
+      "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+      "JOIN orders ON o_orderkey = l1.l_orderkey " +
+      "WHERE o_orderstatus = 'F' AND EXISTS (" +
+      "SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+      "AND l2.l_suppkey <> l1.l_suppkey) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100")),
+
+    // ---- Q21-shape (not exists): sole-supplier lineitems of 'F' orders —
+    // left-anti self-join (q21_join_lnos_l3, ex/tpch.c:3459-3502).
+    QueryDef("q21_sole", (s, d) => q21(s, d, "left_anti"), Some(
+      "SELECT s_name, count(*) AS numwait FROM supplier " +
+      "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+      "JOIN orders ON o_orderkey = l1.l_orderkey " +
+      "WHERE o_orderstatus = 'F' AND NOT EXISTS (" +
+      "SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+      "AND l2.l_suppkey <> l1.l_suppkey) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"))
+  )
+
+  /** Shared Q21 body: self semi/anti join on (same order, different
+    * supplier), then restrict to finished orders, count per supplier.
+    * The self-join shuffles both sides on l_orderkey; supplier is
+    * broadcast. */
+  private def q21(s: SparkSession, d: String, joinType: String): DataFrame = {
+    val l1 = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey").as("l1")
+    val l2 = Tables.load(s, d, "lineitem").select(
+      col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val o = Tables.load(s, d, "orders").filter(col("o_orderstatus") === "F")
+    val su = Tables.load(s, d, "supplier")
+    l1.join(l2,
+        col("l_orderkey") === col("l2_orderkey") && col("l_suppkey") =!= col("l2_suppkey"),
+        joinType)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(100)
+  }
+}
