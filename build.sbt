@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 needs this to read it
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pass forked-run stdout through unprefixed so Bench's JSON line stays parseable
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -14,8 +14,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    // nanos are surfaced as long. Set here (runtime-settable SQLConf) so
+    // every entry point — including a driver-built session — reads safely.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events with `ts` (nanos-since-epoch long under nanosAsLong) also
+    * exposed as a proper timestamp column `ts_t` (microsecond precision —
+    * Spark's native timestamp resolution). */
+  def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, sfDir, "events")
+      .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
 }
 
 /** One engine query: a Spark implementation plus (where SQL-expressible)

@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Spark realizations of KMR's core + derived operator inventory
   * (SURVEY.md §2.1/§2.2), each exposed as a driver-checkable query.
@@ -48,16 +48,14 @@ object CoreOps {
       "WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word")),
 
     QueryDef("ranking", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // Global 0-based contiguous rank in (n_chars desc, doc_id) order.
-      // KMR defines rank over the rank-order concatenation (SURVEY §1.1);
-      // here the total order is explicit. row_number over an un-partitioned
-      // window is single-task; at scale use KVS.ranking (zipWithIndex) —
-      // this SQL-comparable form is kept for the oracle gate.
-      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("rank", (row_number().over(w) - 1).cast("long"))
+      // Global 0-based contiguous rank in (n_chars desc, doc_id) order —
+      // two-phase, no single-task stage: range-partition on the sort key,
+      // sort within partitions, then zipWithIndex (per-partition counts →
+      // driver offsets → per-partition index), exactly KMR's exclusive
+      // prefix-counts-across-ranks design (src/kmrmoreops.c:742-805).
+      rankByOrder(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(desc("n_chars"), col("doc_id")), "rank")
         .orderBy("rank")
     }, Some(
       "SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank " +
@@ -87,14 +85,19 @@ object CoreOps {
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type")),
 
     QueryDef("minmax", (s, d) => {
+      // sum computed in exact decimal so it is summation-order-independent
+      // (distributed sums have no fixed order, unlike the reference's
+      // single-threaded reduce).
       Tables.load(s, d, "lineitem").agg(
         min("l_quantity").as("min_qty"),
         max("l_quantity").as("max_qty"),
-        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_quantity").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("sum_qty"),
         count(lit(1)).as("cnt"))
     }, Some(
       "SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
-      "round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt FROM lineitem")),
+      "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))),2) AS DOUBLE) AS sum_qty, " +
+      "count(*) AS cnt FROM lineitem")),
 
     QueryDef("match_join", (s, d) => {
       // kmr_match: per matching key, the cross product of value lists —
@@ -169,35 +172,58 @@ object CoreOps {
     * sums (collected to the driver — O(numPartitions), like KMR's rank0
     * carry pass). Phase 2 re-walks each partition with its carry-in.
     * The sorted frame is persisted so both phases see identical
-    * partitioning. */
+    * partitioning, and unpersisted once the result is materialized. */
   def prefixSumLong(spark: SparkSession, df: DataFrame, orderCol: String,
       valCol: String, outCol: String): DataFrame = {
     val parts = spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     val sorted = df
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .select(col(orderCol).cast("long"), col(valCol).cast("long"))
+      .select(col(orderCol).cast("long"),
+        coalesce(col(valCol), lit(0L)).cast("long"))
       .persist()
-    val partSums = sorted.rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var acc = 0L
-        it.foreach(r => acc += r.getLong(1))
-        Iterator((i, acc))
+    try {
+      val partSums = sorted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var acc = 0L
+          it.foreach(r => acc += r.getLong(1))
+          Iterator((i, acc))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = carry-in of partition i
+      val offB = spark.sparkContext.broadcast(offsets)
+      val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = offB.value(i)
+        it.map { r =>
+          val pre = acc
+          acc += r.getLong(1)
+          Row(r.getLong(0), pre)
+        }
       }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = carry-in of partition i
-    val offB = spark.sparkContext.broadcast(offsets)
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offB.value(i)
-      it.map { r =>
-        val pre = acc
-        acc += r.getLong(1)
-        Row(r.getLong(0), pre)
-      }
-    }
-    val schema = StructType(Seq(
-      StructField(orderCol, LongType, nullable = false),
-      StructField(outCol, LongType, nullable = false)))
+      val schema = StructType(Seq(
+        StructField(orderCol, LongType, nullable = false),
+        StructField(outCol, LongType, nullable = false)))
+      // Materialize before unpersist so phase 2 never recomputes unsorted.
+      val out = spark.createDataFrame(rows, schema)
+        .orderBy(orderCol) // deterministic row order for the oracle gate
+        .localCheckpoint(true)
+      out
+    } finally sorted.unpersist(false)
+  }
+
+  /** Global 0-based contiguous index in the given sort order — KMR's
+    * kmr_ranking (src/kmrmoreops.c:742-805) done the scalable way:
+    * range-repartition on the sort key (sampling — same as Spark orderBy),
+    * sort within partitions, then RDD zipWithIndex, whose implementation
+    * is exactly the two-phase count-then-offset design. No single-task
+    * stage at any point. */
+  def rankByOrder(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     spark.createDataFrame(rows, schema)
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** TPC-H-shaped relational queries over the driver testdata (reduced TPC-H
   * schema — no partsupp/comment columns, dates stored as timestamps).
@@ -28,6 +29,21 @@ object Tpch {
     * (q7_select_by_date, ex/tpch.c:2051-2096). */
   private val rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Order-independent money sum: each double term is cast to an exact
+    * DECIMAL(18,6) before summing, so the aggregate no longer inherits
+    * floating summation-order nondeterminism (the reference computes money
+    * in double, ex/tpch.c:1103-1115, but its single-threaded reduce has a
+    * fixed order — a distributed sum does not). Result rounded to cents
+    * and returned as double. Mirrored exactly by [[dsumSql]]. */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 6))), 2).cast("double")
+
+  /** DuckDB-side mirror of [[dsum]]. */
+  private def dsumSql(expr: String): String =
+    s"CAST(round(sum(CAST($expr AS DECIMAL(18,6))),2) AS DOUBLE)"
+
+  private val revSql = "l_extendedprice*(1-l_discount)"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Q1-shape: single-table scan + grouped aggregation (map-side
@@ -38,16 +54,16 @@ object Tpch {
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(rev), 2).as("sum_disc_price"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(rev).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }, Some(
-      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
-      "round(sum(l_extendedprice),2) AS sum_base_price, " +
-      "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, " +
+      s"SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty, " +
+      s"${dsumSql("l_extendedprice")} AS sum_base_price, " +
+      s"${dsumSql(revSql)} AS sum_disc_price, " +
       "round(avg(l_quantity),4) AS avg_qty, count(*) AS count_order " +
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
@@ -60,12 +76,12 @@ object Tpch {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(rev), 2).as("revenue"))
+        .agg(dsum(rev).as("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(10)
     }, Some(
-      "SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, o_orderdate " +
+      s"SELECT o_orderkey, ${dsumSql(revSql)} AS revenue, o_orderdate " +
       "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
       "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
@@ -82,17 +98,19 @@ object Tpch {
         .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
                 col("o_orderdate") < ts("1997-01-01 00:00:00"))
       val l = Tables.load(s, d, "lineitem")
+      // supplier is SF-proportional: no forced broadcast — AQE/threshold
+      // decides at runtime. Only the O(1) dims (nation, region) are hinted.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su),
+        .join(su,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(rev), 2).as("revenue"))
+        .agg(dsum(rev).as("revenue"))
         .orderBy(desc("revenue"), col("n_name"))
     }, Some(
-      "SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      s"SELECT n_name, ${dsumSql(revSql)} AS revenue " +
       "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
       "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
@@ -113,19 +131,20 @@ object Tpch {
       val o = Tables.load(s, d, "orders")
       val l = Tables.load(s, d, "lineitem")
         .filter(col("l_shipdate").between(ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")))
+      // supplier is SF-proportional — joined, not force-broadcast.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
         .filter(col("supp_nation") < col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(rev), 2).as("revenue"))
+        .agg(dsum(rev).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }, Some(
       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate) AS l_year, " +
-      "round(sum(l_extendedprice*(1-l_discount)),2) AS revenue " +
+      s"${dsumSql(revSql)} AS revenue " +
       "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
       "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey " +
       "JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
@@ -142,21 +161,25 @@ object Tpch {
       val n = Tables.load(s, d, "nation")
       val o = Tables.load(s, d, "orders")
       val l = Tables.load(s, d, "lineitem")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      // part/supplier are SF-proportional — shuffle joins; AQE may still
+      // broadcast them at small SF, but the plan no longer forces it.
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(rev), 2).as("sum_profit"))
+        .agg(dsum(rev).as("sum_profit"))
         .orderBy(col("nation"), desc("o_year"))
     }, Some(
+      // GROUP/ORDER BY the underlying exprs — the alias `nation` collides
+      // with the joined table name in DuckDB's binder.
       "SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
-      "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_profit " +
+      s"${dsumSql(revSql)} AS sum_profit " +
       "FROM part JOIN lineitem ON p_partkey = l_partkey " +
       "JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey " +
       "JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%gear%' " +
-      "GROUP BY nation, o_year ORDER BY nation, o_year DESC")),
+      "GROUP BY n_name, year(o_orderdate) ORDER BY 1, 2 DESC")),
 
     // ---- Q10-shape: returned-item revenue, top 20 customers
     // (reference ex/tpch.c:2736-2933: flag filter, date window, 4-way
@@ -172,13 +195,13 @@ object Tpch {
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(round(sum(rev), 2).as("revenue"))
+        .agg(dsum(rev).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"),
           round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
     }, Some(
-      "SELECT c_custkey, c_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, " +
+      s"SELECT c_custkey, c_name, ${dsumSql(revSql)} AS revenue, " +
       "round(c_acctbal,2) AS c_acctbal, n_name " +
       "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
       "JOIN nation ON c_nationkey = n_nationkey " +
