@@ -1,0 +1,114 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * - ann_cosine_topk — brute-force exact top-k: the query set is tiny and
+  *   broadcast; the big side is scanned once, scored with codegen'd
+  *   higher-order array expressions (no UDF), and reduced per query by a
+  *   per-query window (parallel across queries). At 100 TB of vectors
+  *   this is the one-full-scan baseline every ANN variant is measured
+  *   against.
+  * - ann_ivf_topk — the scale path: an IVF-style coarse quantizer
+  *   assigns every vector to its nearest centroid ONCE (O(nK) scan,
+  *   shuffle on centroid id); queries probe only their nprobe nearest
+  *   buckets, so the per-query work drops from O(n) to O(n·nprobe/K).
+  *   Centroid "training" is stubbed deterministically (first K vectors)
+  *   — the plumbing (assignment, bucket join, re-rank) is the real
+  *   thing; AnnSpec asserts recall vs the exact baseline.
+  */
+object AnnOps {
+
+  private val K = 16 // IVF centroids
+  private val NPROBE = 4
+  private val TOPK = 5
+  private val NQUERY = 10
+
+  /** (vec_id, e: array<double>, nrm) with deterministic double math. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", expr("sqrt(aggregate(e, CAST(0 AS DOUBLE), (a, x) -> a + x*x))"))
+
+  private val cosExpr =
+    "aggregate(zip_with(qe, e, (x, y) -> x*y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (qnrm * nrm)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("ann_cosine_topk", (s, d) => bruteForceTopk(s, d), Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < $NQUERY),
+          scored AS (
+            SELECT qid, vec_id,
+              list_dot_product(qe, e) /
+                (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cos
+            FROM q, v WHERE qid <> vec_id),
+          ranked AS (
+            SELECT qid, vec_id, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+            FROM scored)
+          SELECT qid, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+          FROM ranked WHERE rk <= $TOPK ORDER BY qid, rk""")),
+
+    QueryDef("ann_ivf_topk", (s, d) => ivfTopk(s, d), None)
+  )
+
+  /** Exact brute-force cosine top-k for the NQUERY probe vectors. */
+  def bruteForceTopk(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val q = v.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TOPK)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** IVF: coarse-quantize all vectors to K buckets, probe NPROBE buckets
+    * per query, exact re-rank inside the probed buckets only. */
+  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    // Deterministic centroid stub: the first K vectors. A production
+    // build would k-means on a sample; the dataflow below is unchanged.
+    val cents = v.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    // One O(nK) assignment pass → every vector gets its nearest bucket.
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(
+        "aggregate(zip_with(ce, e, (x, y) -> x*y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (cnrm * nrm)"))
+      .withColumn(
+        "ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+    // Each query probes its NPROBE nearest centroids.
+    val q = v.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy("qid").orderBy(desc("pcos"), col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pcos", expr(
+        "aggregate(zip_with(ce, qe, (x, y) -> x*y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (cnrm * qnrm)"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= NPROBE)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
+    // Candidates = vectors in probed buckets (equality join on cid —
+    // bucket-shuffled, never all-pairs), exact cosine re-rank.
+    val wRank = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    assigned.join(probes, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= TOPK)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_sim"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: corpus stats,
+  * language identification, quality scoring, token counting, document
+  * fingerprinting. All single-pass, shuffle only on the group keys, no
+  * UDFs — every expression is a codegen'd built-in, and every query has
+  * a DuckDB oracle mirroring the identical logic.
+  */
+object TextOps {
+
+  private val toks = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+  private val normSql = "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+
+  /** Marker lexicons for the n-gram/stopword language-ID heuristic
+    * (tiny public stopword lists; ties broken in fixed lang order). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Corpus distribution per (lang, source): the basic profiling
+    // pass over a crawl.
+    QueryDef("text_stats", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("lang"), col("source"), col("n_chars"), size(toks).as("n_toks"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          sum(col("n_toks").cast("long")).as("total_tokens"))
+        .orderBy("lang", "source")
+    }, Some(
+      s"SELECT lang, source, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars, " +
+      s"CAST(sum(len($normSql)) AS BIGINT) AS total_tokens " +
+      "FROM documents GROUP BY lang, source ORDER BY lang, source")),
+
+    // ---- Language ID: count marker-stopword hits per language, take the
+    // argmax with a fixed tie-break order. (The synthetic corpus shares
+    // one vocabulary, so predictions are uniform — the gate checks the
+    // deterministic pipeline, not model accuracy.)
+    QueryDef("lang_id", (s, d) => {
+      var df = Tables.load(s, d, "documents").select(col("doc_id"), col("lang"), toks.as("w"))
+      for ((l, ws) <- markers) {
+        val set = ws.map(x => s"'$x'").mkString(",")
+        df = df.withColumn(s"c_$l", expr(s"size(filter(w, t -> t IN ($set)))"))
+      }
+      val pred = markers.map(_._1).dropRight(1).foldRight(lit(markers.last._1)) {
+        case (l, rest) =>
+          val later = markers.map(_._1).dropWhile(_ != l).drop(1)
+          when(later.foldLeft(lit(true)) { (c, o) => c && col(s"c_$l") >= col(s"c_$o") }, l)
+            .otherwise(rest)
+      }
+      df.withColumn("pred_lang", pred)
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .select("doc_id", "pred_lang", "is_match")
+        .orderBy("doc_id")
+    }, Some {
+      val counts = markers.map { case (l, ws) =>
+        s"len(list_filter($normSql, t -> t IN (${ws.map(x => s"'$x'").mkString(",")}))) AS c_$l"
+      }.mkString(", ")
+      val langs = markers.map(_._1)
+      val caseExpr = langs.dropRight(1).foldRight(s"'${langs.last}'") { case (l, rest) =>
+        val later = langs.dropWhile(_ != l).drop(1)
+        val cond = later.map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"CASE WHEN $cond THEN '$l' ELSE $rest END"
+      }
+      s"WITH scored AS (SELECT doc_id, lang, $counts FROM documents) " +
+      s"SELECT doc_id, $caseExpr AS pred_lang, ($caseExpr = lang) AS is_match " +
+      "FROM scored ORDER BY doc_id"
+    }),
+
+    // ---- Quality scoring: length/lexical-diversity heuristics per doc.
+    QueryDef("text_quality", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 4).as("ttr"),
+          round(expr("aggregate(w, 0L, (a, t) -> a + length(t))").cast("double") / size(col("w")), 4)
+            .as("avg_word_len"))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_tokens") / 50.0) * col("ttr"), 4))
+        .orderBy("doc_id")
+    }, Some(
+      s"WITH t AS (SELECT doc_id, $normSql AS w FROM documents) " +
+      "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      "round(CAST(len(list_distinct(w)) AS DOUBLE)/len(w), 4) AS ttr, " +
+      "round(CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)/len(w), 4) AS avg_word_len, " +
+      "round(least(1.0, CAST(len(w) AS DOUBLE)/50.0) * round(CAST(len(list_distinct(w)) AS DOUBLE)/len(w), 4), 4) AS quality " +
+      "FROM t ORDER BY doc_id")),
+
+    // ---- Token counting: whitespace tokens + a BPE-ish regex token
+    // count (letter runs / digit runs / single punctuation), aggregated
+    // per source.
+    QueryDef("token_count", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("source"), size(toks).cast("long").as("ws_toks"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("re_toks"))
+        .groupBy("source")
+        .agg(sum("ws_toks").as("ws_tokens"), sum("re_toks").as("re_tokens"))
+        .orderBy("source")
+    }, Some(
+      s"SELECT source, CAST(sum(len($normSql)) AS BIGINT) AS ws_tokens, " +
+      "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS re_tokens " +
+      "FROM documents GROUP BY source ORDER BY source")),
+
+    // ---- Document fingerprint: minimum sha256 over word 5-gram
+    // shingles — a 1-permutation MinHash with a cryptographic hash, so
+    // both engines agree exactly. Scale shape: per-row shingling +
+    // min-aggregate, shuffle only (doc_id → fingerprint).
+    QueryDef("doc_fingerprint", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-5), i -> " +
+          "concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]))")).as("gram"))
+        .groupBy("doc_id")
+        .agg(min(sha2(col("gram"), 256)).as("fingerprint"))
+        .orderBy("doc_id")
+    }, Some(
+      s"WITH toks AS (SELECT doc_id, $normSql AS w FROM documents), " +
+      "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-3), " +
+      "i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gram " +
+      "FROM toks WHERE len(w) >= 5) " +
+      "SELECT doc_id, min(sha256(gram)) AS fingerprint FROM grams " +
+      "GROUP BY doc_id ORDER BY doc_id"))
+  )
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Operators over the `events` table: JSON property extraction, tumbling
+  * time windows, and a skewed-key aggregation (the kmr_shuffle_leveling
+  * scenario — src/kmrmoreops.c:1047-1122 — handled by partial
+  * aggregation + AQE instead of a hand-rolled leveling shuffle).
+  *
+  * `ts` arrives as nanos-since-epoch (long) under nanosAsLong; window
+  * bucketing is integer arithmetic on it, mirrored via epoch_ns() in the
+  * oracle.
+  */
+object EventOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- JSON property extraction (semi-structured payload column).
+    QueryDef("props_extract", (s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(col("k")).as("n_with_k"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, CAST(sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+      "count(CAST(json_extract(props,'$.k') AS BIGINT)) AS n_with_k " +
+      "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // ---- Tumbling 1-hour window per event type — the batch shape of a
+    // Structured Streaming windowed aggregation (value in exact cents).
+    QueryDef("events_window", (s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"),
+          floor(col("ts") / lit(3600000000000L)).as("hour_bucket"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("event_type", "hour_bucket")
+    }, Some(
+      "SELECT event_type, CAST(floor(epoch_ns(ts)/3600000000000) AS BIGINT) AS hour_bucket, " +
+      "count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
+
+    // ---- Hot-key aggregation: groupBy on user_id. Map-side partial
+    // aggregation collapses each hot key to one row per task before the
+    // shuffle, so a skewed key costs O(tasks), not O(rows) — this plus
+    // AQE skew-join is Spark's answer to kmr_shuffle_leveling.
+    QueryDef("skew_level", (s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+        .orderBy(desc("n_events"), col("user_id"))
+    }, Some(
+      "SELECT user_id, count(*) AS n_events, " +
+      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM events GROUP BY user_id ORDER BY n_events DESC, user_id"))
+  )
+}

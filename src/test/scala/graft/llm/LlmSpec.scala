@@ -1,0 +1,66 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Quality properties of the approximate (non-oracled) operators:
+  * MinHash-LSH and SimHash recall vs exact Jaccard; IVF recall vs the
+  * brute-force cosine baseline. Thresholds are fixed-seed deterministic
+  * for the synthetic corpus. */
+class LlmSpec extends SparkSuite {
+
+  test("minhash-LSH finds every pair with exact Jaccard >= 0.8 (recall)") {
+    val exact = Dedup.defs.find(_.name == "dedup_jaccard").get
+      .fn(spark, sfDir).filter(col("jaccard") >= 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashPairs(spark, sfDir, est = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus has no high-jaccard pairs — threshold too high")
+    val missed = exact -- found
+    assert(missed.isEmpty, s"minhash missed high-similarity pairs: $missed")
+  }
+
+  test("minhash estimated Jaccard tracks exact Jaccard within 0.25") {
+    val exact = Dedup.defs.find(_.name == "dedup_jaccard").get.fn(spark, sfDir)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val est = Dedup.minhashPairs(spark, sfDir, est = 0.5)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+    val both = exact.join(est, Seq("id1", "id2")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (j, e) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(j - e) <= 0.25, s"pair (${r.getLong(0)},${r.getLong(1)}): exact $j est $e")
+    }
+  }
+
+  test("simhash candidates are symmetric-free and verified by hamming") {
+    val pairs = Dedup.defs.find(_.name == "dedup_simhash").get.fn(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonicalized id1 < id2")
+      assert(r.getLong(2) <= 3, s"hamming ${r.getLong(2)} above threshold")
+    }
+  }
+
+  test("IVF top-k achieves >= 0.4 recall@5 vs brute force and never beats it") {
+    val exact = AnnOps.bruteForceTopk(spark, sfDir)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = AnnOps.ivfTopk(spark, sfDir)
+      .select("qid", "vec_id", "cos_sim").collect()
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivfSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+    // IVF cosine values must be genuine (≤ the exact top-1 per query)
+    val bestExact = AnnOps.bruteForceTopk(spark, sfDir)
+      .filter(col("rk") === 1).select("qid", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { r =>
+      assert(r.getDouble(2) <= bestExact(r.getLong(0)) + 1e-9)
+    }
+  }
+
+  test("exact dedup groups sum to the corpus size") {
+    val df = Dedup.defs.find(_.name == "dedup_exact").get.fn(spark, sfDir)
+    val total = df.agg(sum("n_dups")).collect()(0).getLong(0)
+    assert(total == graft.Tables.load(spark, sfDir, "documents").count())
+  }
+}
