@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Raw-data ingest layer (SURVEY §2.3/§2.4): line-oriented text reads
+  * (kmr_map_getline, src/kmrfiles.c:1552-1640), pipe-delimited `.tbl`
+  * scans with explicit schema (ex/tpch.c:1057-1182), and external-process
+  * pipe mapping (kmr_map_ms_commands, src/kmrmapms.c:2421-2486 — the
+  * reference's "UDF in an external process" surface, realized as
+  * RDD.pipe).
+  *
+  * The ingest gate queries round-trip driver testdata through the raw
+  * format and back, so the oracle is the parquet original: a correct
+  * ingest produces byte-identical analytics.
+  */
+object Ingest {
+
+  /** kmr_map_getline parity: one record per line with its global line
+    * number (two-phase zipWithIndex — no single-task stage). */
+  def readTextLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd.zipWithIndex
+      .map { case (l, i) => (i, l) }.toDF("line_no", "line")
+  }
+
+  /** TPC-H `.tbl` scan: pipe-delimited CSV with an explicit schema —
+    * Catalyst pushes filters/pruning into this scan exactly as with
+    * parquet (minus column statistics). */
+  def readTbl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("sep", "|").schema(schema).csv(path)
+
+  /** kmr_map_ms_commands parity: stream a partition's records through an
+    * external command's stdin/stdout. Spark schedules one process per
+    * partition with dynamic load balancing — the master/worker RPC the
+    * reference implements by hand. */
+  def pipeLines(ds: Dataset[String], command: Seq[String]): Dataset[String] = {
+    import ds.sparkSession.implicits._
+    ds.sparkSession.createDataset(ds.rdd.pipe(command))
+  }
+
+  private def tmpDir(s: SparkSession, tag: String, sfDir: String): String = {
+    // repo-relative scratch (never outside the workspace); one dir per
+    // (tag, sf) so concurrent gates don't collide.
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"target/graft-tmp/${tag}_$sf"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- .tbl round-trip: project lineitem → write pipe-delimited text
+    // → re-scan with explicit schema → aggregate. Oracle reads the
+    // parquet original, so any parse/typing drift fails the hash.
+    QueryDef("ingest_tbl", (s, d) => {
+      val dir = tmpDir(s, "tbl", d)
+      val proj = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"))
+      proj.write.mode("overwrite").option("sep", "|").csv(dir)
+      val schema = StructType.fromDDL(
+        "l_orderkey BIGINT, l_returnflag STRING, qty_cents BIGINT")
+      readTbl(s, dir, schema)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("qty_cents").as("sum_qty_cents"))
+        .orderBy("l_returnflag")
+    }, Some(
+      "SELECT l_returnflag, count(*) AS n, " +
+      "CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // ---- Text-file wordcount (ex/wordcount.c:15-48 reads FILES, not
+    // tables): write documents.text as plain .txt, read back line-wise,
+    // tokenize, count. Same oracle as the parquet wordcount.
+    QueryDef("ingest_text", (s, d) => {
+      val dir = tmpDir(s, "txt", d)
+      Tables.load(s, d, "documents").select(col("text"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(explode(split(lower(col("value")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("word"))
+    }, Some(
+      "SELECT word, count(*) AS cnt FROM (" +
+      "SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word FROM documents) t " +
+      "WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word")),
+
+    // ---- External-process map: "doc_id <tokens…>" lines piped through
+    // awk, which emits "doc_id token_count"; parsed back and verified
+    // against DuckDB's own tokenization. Exercises the full subprocess
+    // stdin/stdout round-trip per partition.
+    QueryDef("pipe_tokens", (s, d) => {
+      import s.implicits._
+      val lines = Tables.load(s, d, "documents")
+        .select(concat_ws(" ", col("doc_id"), col("text")).as("line"))
+        .as[String]
+      pipeLines(lines, Seq("awk", "{print $1, NF-1}"))
+        .map { out =>
+          val Array(id, n) = out.split(" ", 2)
+          (id.toLong, n.trim.toLong)
+        }
+        .toDF("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }, Some(
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents ORDER BY doc_id"))
+  )
+}

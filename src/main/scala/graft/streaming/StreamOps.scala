@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (beyond-reference: KMR has no streaming
+  * semantics — its push-off KVS is shuffle pipelining only, SURVEY §2.8).
+  * These transforms are source-agnostic: they accept any streaming OR
+  * batch DataFrame/Dataset with the right columns, so the same logic is
+  * testable with MemoryStream and deployable on readStream sources.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregation — the streaming shape of the
+    * `events_window` gate query (1-hour windows, exact integer cents).
+    * With OutputMode.Append, a window emits once the watermark passes its
+    * end: exactly-once totals per (window, event_type). */
+  def windowedCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
+  case class Ev(user_id: Long, ts_us: Long)
+  case class Session(var start: Long, var last: Long, var n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): events for a user whose gaps exceed
+    * `gapUs` split into sessions; a closed session is emitted as soon as
+    * the gap is observed, the open tail stays in state. Custom state is
+    * the Spark idiom KMR users would reach for where the reference would
+    * fork a stateful worker process. */
+  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Session]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var cur = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            if (cur == null) cur = Session(e.ts_us, e.ts_us, 1L)
+            else if (e.ts_us - cur.last > gapUs) {
+              closed += SessionOut(uid, cur.start, cur.last, cur.n)
+              cur = Session(e.ts_us, e.ts_us, 1L)
+            } else {
+              cur.last = e.ts_us; cur.n += 1
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.result().iterator
+      }
+  }
+}

@@ -150,6 +150,25 @@ class KVSSpec extends SparkSuite {
     assert(picked == (2L until 100L by 10L).toSeq)
   }
 
+  test("shuffleLeveling evens out a zipf-skewed key distribution") {
+    import spark.implicits._
+    // freq(rank k) ∝ 1/k over 100 keys — hash partitioning collides hot
+    // keys; leveling (range partition by weighted sampling) balances
+    // counts while keeping equal keys co-located
+    // (kmr_shuffle_leveling_pair_count parity).
+    val rows = for (k <- 1 to 100; _ <- 1 to (1000 / k)) yield (k.toLong, 0L)
+    val leveled = KVS.generate(spark, rows, 4).shuffleLeveling(8)
+    val sizes = leveled.histogramByPartition().map(_._2).filter(_ > 0)
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.sum == rows.size)
+    assert(sizes.max <= mean * 2.0, s"still skewed: ${sizes.mkString(",")}")
+    // co-location preserved
+    val perPart = leveled.ds.rdd
+      .mapPartitionsWithIndex((i, it) => it.map(kv => (kv._1, i)))
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(perPart.values.forall(_ == 1))
+  }
+
   test("binary keys sort with memcmp semantics (GraySort requirement)") {
     import spark.implicits._
     // kmr_compare_lexicographically (src/kmrbase.c:1703-1725): unsigned

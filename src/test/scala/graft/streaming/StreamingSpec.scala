@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Drives the streaming transforms with MemoryStream: windows finalize
+  * under an advancing watermark; sessionization splits on gaps and keeps
+  * the open tail in state. */
+class StreamingSpec extends SparkSuite {
+
+  private val HourUs = 3600L * 1000000L
+
+  test("watermarked tumbling windows finalize and match the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)] // (ts_us, event_type, cents)
+    val events = in.toDF().toDF("ts_us", "event_type", "cents")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val q = StreamOps.windowedCounts(events).writeStream
+      .format("memory").queryName("win_test").outputMode("append").start()
+    try {
+      // hours 0..2, deterministic counts: hour h gets h+1 events of 100 cents
+      val batch1 = for (h <- 0 to 2; i <- 0 to h)
+        yield (h * HourUs + i * 1000L, "click", 100L)
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      // advance the watermark far past hour 2 so all three windows close
+      in.addData((100 * HourUs, "click", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select(col("win_start").cast("long").as("start_s"), col("n"), col("sum_cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.toSeq == (0 to 2).map(h =>
+        (h * 3600L, (h + 1).toLong, (h + 1) * 100L)))
+    } finally q.stop()
+  }
+
+  test("sessionization splits on gap, emits closed sessions, holds the tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionize(in.toDS(), gapUs = 1000L).writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two bursts separated by a big gap → first burst closes;
+      // user 2: one burst → stays open, nothing emitted
+      in.addData(
+        StreamOps.Ev(1L, 0L), StreamOps.Ev(1L, 500L), StreamOps.Ev(1L, 900L),
+        StreamOps.Ev(1L, 10000L), StreamOps.Ev(1L, 10500L),
+        StreamOps.Ev(2L, 0L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test").as[StreamOps.SessionOut].collect()
+      assert(rows.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 900L, 3L)))
+      // a later event for user 2 past the gap closes its first session
+      in.addData(StreamOps.Ev(2L, 50000L))
+      q.processAllAvailable()
+      val rows2 = spark.table("sess_test").as[StreamOps.SessionOut].collect().sortBy(_.user_id)
+      assert(rows2.toSeq == Seq(
+        StreamOps.SessionOut(1L, 0L, 900L, 3L),
+        StreamOps.SessionOut(2L, 0L, 0L, 1L)))
+    } finally q.stop()
+  }
+}
