@@ -99,13 +99,19 @@ object Dedup {
     // tokens; candidates via 4 bands of 16 bits (hamming ≤ 3 guarantees
     // one exact band match by pigeonhole); verified by bit_count(xor).
     QueryDef("dedup_simhash", (s, d) => {
+      // token hashes computed once, then one fold accumulating all 64
+      // bit-votes per step; final fold packs the sign vector into a long.
       val sig = Tables.load(s, d, "documents")
         .select(col("doc_id"), toks.as("w"))
+        .withColumn("votes", expr(
+          """aggregate(
+               transform(w, t -> xxhash64(t)),
+               array_repeat(0L, 64),
+               (acc, h) -> transform(acc, (a, k) ->
+                 a + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END))"""))
         .withColumn("sim", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, k) ->
-               acc + shiftleft(CASE WHEN aggregate(w, 0L, (a, t) ->
-                 a + CASE WHEN (shiftright(xxhash64(t), k) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-               THEN 1L ELSE 0L END, k))"""))
+          """aggregate(zip_with(votes, sequence(0, 63),
+               (v, k) -> IF(v >= 0, shiftleft(1L, k), 0L)), 0L, (a, x) -> a + x)"""))
         .select("doc_id", "sim")
       val bands = sig.select(col("doc_id"), col("sim"),
           explode(expr("transform(sequence(0, 3), b -> " +
@@ -131,14 +137,22 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))")).as("grams"))
-    // 64-wide signature per row — no shuffle, pure codegen.
+    // 64-wide signature per row — no shuffle, pure codegen. Each shingle
+    // is hashed ONCE (two independent hashes); the 64 permutations are
+    // the universal family h_j = (h1 + j*h2) mod (2^31-1) — the Mersenne-
+    // prime modulus decorrelates the permutations, and the 31-bit
+    // operands keep ANSI-mode arithmetic far from overflow (63·2^31).
     val sig = grams.select(col("doc_id"), expr(
-      """transform(sequence(0, 63), j ->
-           aggregate(grams, CAST(9223372036854775807 AS BIGINT),
-                     (acc, g) -> least(acc, xxhash64(concat(g, '#', j)))))""").as("sig"))
+      """aggregate(
+           transform(grams, g -> struct(
+             (xxhash64(g) & CAST(2147483647 AS BIGINT)) AS h1,
+             ((xxhash64(concat(g, '!')) & CAST(2147483645 AS BIGINT)) + 1) AS h2)),
+           array_repeat(CAST(9223372036854775807 AS BIGINT), 64),
+           (acc, x) -> transform(acc, (a, j) ->
+             least(a, pmod(x.h1 + CAST(j AS BIGINT) * x.h2, CAST(2147483647 AS BIGINT)))))""").as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 15), b -> " +
-          "struct(b AS band, xxhash64(concat_ws(',', slice(sig, b*4+1, 4))) AS bh))")).as("bb"))
+          "struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
     bands.as("a")
       .join(bands.as("b"),
