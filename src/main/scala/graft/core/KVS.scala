@@ -196,6 +196,52 @@ final class KVS[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     * per-partition element counts. */
   def histogramByPartition(): Array[(Int, Long)] =
     ds.rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong))).collect()
+
+  /** kmr_map_rank_by_rank (src/kmrbase.c:1396-1418): per-partition map
+    * with the partition id visible — the reference's debug-ordering
+    * traversal. */
+  def mapByPartition[K2, V2](f: (Int, Iterator[(K, V)]) => Iterator[(K2, V2)])(
+      implicit e: Encoder[(K2, V2)]): KVS[K2, V2] =
+    new KVS(spark.createDataset(ds.rdd.mapPartitionsWithIndex(f))(e))
+
+  /** kmr_map_for_some / kmr_reduce_for_some (src/kmrmoreops.c:1169-1189):
+    * map that stops once any output exists — limit(1) lets Spark cancel
+    * the remaining work. */
+  def mapForSome[K2, V2](f: ((K, V)) => IterableOnce[(K2, V2)])(
+      implicit e: Encoder[(K2, V2)]): KVS[K2, V2] =
+    new KVS(ds.flatMap(f).limit(1))
+
+  /** kmr_shuffle with the key_as_rank option (src/kmr.h:646,663;
+    * src/kmrbase.c:2164-2168): the application chooses the destination
+    * partition per key — an explicit RDD Partitioner, the one placement
+    * Catalyst cannot express. */
+  def placeByKey(numPartitions: Int)(place: K => Int)(
+      implicit e: Encoder[(K, V)], ctK: ClassTag[K], ctV: ClassTag[V]): KVS[K, V] = {
+    val n = numPartitions
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int =
+        math.floorMod(key.asInstanceOf[Int], n)
+    }
+    val placed = ds.rdd
+      .map(kv => (place(kv._1), kv))
+      .partitionBy(part)
+      .map(_._2)
+    new KVS(spark.createDataset(placed)(e))
+  }
+
+  /** kmr_save_kvs (src/kmrbase.c:1026-1126): durable marshalling — the
+    * Spark-native form is a parquet snapshot, one file per partition
+    * (≈ per-rank image). */
+  def save(path: String): Unit =
+    ds.write.mode("overwrite").parquet(path)
+
+  /** §2.7 incremental-aggregate wrapper: Spark's Aggregator[IN,BUF,OUT]
+    * is the typed counterpart of a KMR reduce-fn that folds instead of
+    * buffering the whole group (map-side partial aggregation included). */
+  def aggregateByKey[B, O](agg: org.apache.spark.sql.expressions.Aggregator[(K, V), B, O])(
+      implicit ek: Encoder[K]): KVS[K, O] =
+    new KVS(ds.groupByKey(_._1).agg(agg.toColumn))
 }
 
 object KVS {
@@ -214,4 +260,10 @@ object KVS {
   def fromColumns[K, V](ds: Dataset[_], key: Column, value: Column)(
       implicit e: Encoder[(K, V)]): KVS[K, V] =
     new KVS(ds.select(key, value).as[(K, V)](e))
+
+  /** kmr_restore_kvs (src/kmrbase.c:1026-1126): read back a [[KVS.save]]
+    * snapshot. */
+  def restore[K, V](spark: SparkSession, path: String)(
+      implicit e: Encoder[(K, V)]): KVS[K, V] =
+    new KVS(spark.read.parquet(path).as[(K, V)](e))
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan audits: the properties that decide whether a query
+  * survives a 100× scale-up — filters pushed into the parquet scan,
+  * columns pruned, dimensions broadcast, candidate generation via
+  * equality joins (never CartesianProduct/BroadcastNestedLoop except the
+  * deliberate broadcast-the-query-set scans in ANN), no single-task
+  * funnels. */
+class PlanSpec extends SparkSuite {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // let AQE finalize; toString then renders the final plan
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q1_pricing: shipdate filter is pushed into the parquet scan; columns pruned") {
+    val scan = q("q1_pricing").queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(scan.contains("LessThanOrEqual(l_shipdate"), s"shipdate not pushed: $scan")
+    // projection pruning: the scan must not read unused money columns
+    val read = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_suppkey"), s"unpruned scan: $read")
+  }
+
+  test("sample_stride: modulo filter evaluated on a 2-column scan only") {
+    val scan = q("sample_stride").queryExecution.executedPlan.toString()
+    val read = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("n_chars") && !read.contains("text"),
+      s"scan reads more than the projection: $read")
+  }
+
+  test("q5_local: nation/region broadcast; supplier NOT force-broadcast at plan time") {
+    val logical = q("q5_local").queryExecution.optimizedPlan.toString()
+    // the only explicit broadcast hints left are the O(1) dims
+    val hinted = "(?s)ResolvedHint".r.findAllIn(logical).length
+    assert(hinted <= 2, s"too many forced broadcasts:\n$logical")
+  }
+
+  test("dedup_minhash and ann_ivf_topk build candidates by equality join (no cartesian)") {
+    Seq("dedup_minhash", "ann_ivf_topk").foreach { name =>
+      val p = planString(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("dedup_jaccard: inverted-index self-join is a shuffled equality join") {
+    val p = planString(q("dedup_jaccard"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"jaccard join degenerated:\n$p")
+  }
+
+  // (ranking's multi-partition property is asserted in CoreOpsSpec on a
+  // dataset big enough that AQE doesn't legitimately coalesce it to 1.)
+
+  test("q3_topk compiles to TakeOrderedAndProject (no full global sort)") {
+    val p = planString(q("q3_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
+  }
+}

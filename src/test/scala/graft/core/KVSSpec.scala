@@ -150,6 +150,57 @@ class KVSSpec extends SparkSuite {
     assert(picked == (2L until 100L by 10L).toSeq)
   }
 
+  test("mapForSome yields exactly one output and stops") {
+    import spark.implicits._
+    val out = sample.mapForSome { case (k, v) => if (v > 1) Seq((k, v)) else Nil }
+      .ds.collect()
+    assert(out.length == 1 && out.head._2 > 1)
+  }
+
+  test("mapByPartition sees the partition id (rank-by-rank parity)") {
+    import spark.implicits._
+    val tagged = sample.mapByPartition((pid, it) => it.map(kv => (kv._1, pid.toLong)))
+      .ds.collect()
+    assert(tagged.length == 7)
+    assert(tagged.map(_._2).forall(p => p >= 0 && p < 3))
+  }
+
+  test("placeByKey puts every pair on the partition the app chose (key_as_rank)") {
+    import spark.implicits._
+    val n = 5
+    val src = KVS.generate(spark, (0L until 50L).map(i => (i, i * 10)), 3)
+    val placed = src.placeByKey(n)(k => (k % n).toInt)
+    val got = placed.ds.rdd
+      .mapPartitionsWithIndex((pid, it) => it.map(kv => (kv._1, pid)))
+      .collect()
+    assert(got.length == 50)
+    got.foreach { case (k, pid) => assert(pid == (k % n).toInt, s"key $k on partition $pid") }
+  }
+
+  test("save/restore round-trips the KVS through parquet") {
+    import spark.implicits._
+    val path = "target/graft-tmp/kvs_save_test"
+    sample.save(path)
+    val back = KVS.restore[String, Long](spark, path)
+    assert(back.ds.collect().sorted.toSeq == sample.ds.collect().sorted.toSeq)
+  }
+
+  test("aggregateByKey folds incrementally via Aggregator (sum == group fold)") {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import spark.implicits._
+    val sumAgg = new Aggregator[(String, Long), Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: (String, Long)): Long = b + a._2
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    assert(sample.aggregateByKey(sumAgg).ds.collect().toMap ==
+      Map("apple" -> 11L, "banana" -> 7L, "cherry" -> 3L, "date" -> 7L))
+  }
+
   test("shuffleLeveling evens out a zipf-skewed key distribution") {
     import spark.implicits._
     // freq(rank k) ∝ 1/k over 100 keys — hash partitioning collides hot
