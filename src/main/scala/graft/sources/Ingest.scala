@@ -41,6 +41,46 @@ object Ingest {
     ds.sparkSession.createDataset(ds.rdd.pipe(command))
   }
 
+  /** kmr_file_enumerate (src/kmrfiles.c:1152-1356): expand a path into
+    * its regular files, recursing into directories, as a distributable
+    * Dataset of file paths. */
+  def enumerateFiles(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap(s => walk(s.getPath))
+      else Seq(p.toString)
+    }
+    spark.createDataset(walk(root))
+  }
+
+  /** kmr_map_file_names (src/kmrfiles.c:1357-1404): enumerate file names,
+    * distribute them across partitions, and map each name to its content
+    * (name, bytes) — per-file processing with Spark's scheduler doing the
+    * shuffle of names the reference does by hand. */
+  def mapFileNames(spark: SparkSession, path: String, numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val names = enumerateFiles(spark, path)
+    val dist = if (numPartitions > 0) names.repartition(numPartitions) else names
+    dist.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { name =>
+        val p = new org.apache.hadoop.fs.Path(name)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          (name, buf)
+        } finally in.close()
+      }
+    }.toDF("path", "content")
+  }
+
   private def tmpDir(s: SparkSession, tag: String, sfDir: String): String = {
     // repo-relative scratch (never outside the workspace); one dir per
     // (tag, sf) so concurrent gates don't collide.

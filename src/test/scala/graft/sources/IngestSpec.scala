@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSuite
+import java.nio.file.{Files, Paths}
+
+class IngestSpec extends SparkSuite {
+
+  test("enumerateFiles walks directories recursively, files only") {
+    val base = Paths.get("target/graft-tmp/enum_test")
+    Files.createDirectories(base.resolve("sub"))
+    Files.writeString(base.resolve("a.txt"), "alpha")
+    Files.writeString(base.resolve("b.txt"), "beta")
+    Files.writeString(base.resolve("sub/c.txt"), "gamma")
+    val found = Ingest.enumerateFiles(spark, base.toString).collect()
+    assert(found.length == 3)
+    assert(found.forall(_.endsWith(".txt")))
+    assert(found.exists(_.endsWith("sub/c.txt")))
+  }
+
+  test("mapFileNames reads every enumerated file's bytes") {
+    val base = "target/graft-tmp/enum_test"
+    val rows = Ingest.mapFileNames(spark, base, numPartitions = 2).collect()
+    val byName = rows.map(r => (r.getString(0).split('/').last,
+      new String(r.getAs[Array[Byte]](1), "UTF-8"))).toMap
+    assert(byName == Map("a.txt" -> "alpha", "b.txt" -> "beta", "c.txt" -> "gamma"))
+  }
+
+  test("readTextLines numbers lines globally and contiguously") {
+    val p = Paths.get("target/graft-tmp/lines_test.txt")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, (1 to 100).map(i => s"line$i").mkString("\n"))
+    val rows = Ingest.readTextLines(spark, p.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 100L))
+    assert(rows.head._2 == "line1" && rows.last._2 == "line100")
+  }
+
+  test("pipeLines round-trips records through an external process") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq("a b c", "d e", "f"))
+    val out = Ingest.pipeLines(ds, Seq("awk", "{print NF}")).collect().map(_.toInt).sorted
+    assert(out.toSeq == Seq(1, 2, 3))
+  }
+}
