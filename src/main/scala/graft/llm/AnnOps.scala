@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,15 +28,25 @@ object AnnOps {
   private val NPROBE = 4
   private val TOPK = 5
   private val NQUERY = 10
+  private val DIM = 64 // embedding dimensionality of the testdata
+
+  /** Left-associated unrolled dot product of two array<double> columns —
+    * same evaluation order as a sequential fold (so it bit-matches
+    * DuckDB's list_dot_product), but fully whole-stage-codegen'd where a
+    * higher-order `aggregate` would be interpreted. */
+  private def dot(a: Column, b: Column): Column =
+    (0 until DIM).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
 
   /** (vec_id, e: array<double>, nrm) with deterministic double math. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    val e = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     Tables.load(s, d, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nrm", expr("sqrt(aggregate(e, CAST(0 AS DOUBLE), (a, x) -> a + x*x))"))
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+  }
 
-  private val cosExpr =
-    "aggregate(zip_with(qe, e, (x, y) -> x*y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (qnrm * nrm)"
+  private def cosCol(q: String, v: String, qn: String, vn: String): Column =
+    dot(col(q), col(v)) / (col(qn) * col(vn))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -66,7 +76,7 @@ object AnnOps {
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
     v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos", cosCol("qe", "e", "qnrm", "nrm"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TOPK)
       .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_sim"), col("rk"))
@@ -84,8 +94,7 @@ object AnnOps {
     // One O(nK) assignment pass → every vector gets its nearest bucket.
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
     val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr(
-        "aggregate(zip_with(ce, e, (x, y) -> x*y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (cnrm * nrm)"))
+      .withColumn("ccos", cosCol("ce", "e", "cnrm", "nrm"))
       .withColumn(
         "ark", row_number().over(wAssign))
       .filter(col("ark") === 1)
@@ -95,8 +104,7 @@ object AnnOps {
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val wProbe = Window.partitionBy("qid").orderBy(desc("pcos"), col("cid"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("pcos", expr(
-        "aggregate(zip_with(ce, qe, (x, y) -> x*y), CAST(0 AS DOUBLE), (a, x) -> a + x) / (cnrm * qnrm)"))
+      .withColumn("pcos", cosCol("ce", "qe", "cnrm", "qnrm"))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= NPROBE)
       .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
@@ -105,7 +113,7 @@ object AnnOps {
     val wRank = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
     assigned.join(probes, "cid")
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(cosExpr))
+      .withColumn("cos", cosCol("qe", "e", "qnrm", "nrm"))
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .filter(col("rk") <= TOPK)
       .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_sim"), col("rk"))

@@ -99,20 +99,22 @@ object Dedup {
     // tokens; candidates via 4 bands of 16 bits (hamming ≤ 3 guarantees
     // one exact band match by pigeonhole); verified by bit_count(xor).
     QueryDef("dedup_simhash", (s, d) => {
-      // token hashes computed once, then one fold accumulating all 64
-      // bit-votes per step; final fold packs the sign vector into a long.
-      val sig = Tables.load(s, d, "documents")
-        .select(col("doc_id"), toks.as("w"))
-        .withColumn("votes", expr(
-          """aggregate(
-               transform(w, t -> xxhash64(t)),
-               array_repeat(0L, 64),
-               (acc, h) -> transform(acc, (a, k) ->
-                 a + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END))"""))
-        .withColumn("sim", expr(
-          """aggregate(zip_with(votes, sequence(0, 63),
-               (v, k) -> IF(v >= 0, shiftleft(1L, k), 0L)), 0L, (a, x) -> a + x)"""))
-        .select("doc_id", "sim")
+      // explode + 64 codegen'd sum aggregates (higher-order array folds
+      // are interpreted expressions — a flat HashAggregate with map-side
+      // partial aggregation is both faster and shuffle-light: one 64-int
+      // vote row per doc per task crosses the wire).
+      val th = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val voteCols = (0 until 64).map { k =>
+        sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$k")
+      }
+      val sig = th.groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(k =>
+            when(col(s"v$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sim"))
       val bands = sig.select(col("doc_id"), col("sim"),
           explode(expr("transform(sequence(0, 3), b -> " +
             "struct(b AS band, (shiftright(sim, b*16) & 65535) AS bits))")).as("bb"))
@@ -132,24 +134,21 @@ object Dedup {
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `est`.
     * Exposed for the recall spec. */
   def minhashPairs(s: SparkSession, d: String, est: Double): DataFrame = {
-    val grams = Tables.load(s, d, "documents")
-      .select(col("doc_id"), toks.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))")).as("grams"))
-    // 64-wide signature per row — no shuffle, pure codegen. Each shingle
-    // is hashed ONCE (two independent hashes); the 64 permutations are
-    // the universal family h_j = (h1 + j*h2) mod (2^31-1) — the Mersenne-
-    // prime modulus decorrelates the permutations, and the 31-bit
-    // operands keep ANSI-mode arithmetic far from overflow (63·2^31).
-    val sig = grams.select(col("doc_id"), expr(
-      """aggregate(
-           transform(grams, g -> struct(
-             (xxhash64(g) & CAST(2147483647 AS BIGINT)) AS h1,
-             ((xxhash64(concat(g, '!')) & CAST(2147483645 AS BIGINT)) + 1) AS h2)),
-           array_repeat(CAST(9223372036854775807 AS BIGINT), 64),
-           (acc, x) -> transform(acc, (a, j) ->
-             least(a, pmod(x.h1 + CAST(j AS BIGINT) * x.h2, CAST(2147483647 AS BIGINT)))))""").as("sig"))
+    // Each shingle is hashed ONCE (two independent hashes); the 64
+    // permutations are the universal family h_j = (h1 + j*h2) mod
+    // (2^31-1) — the Mersenne-prime modulus decorrelates permutations and
+    // 31-bit operands keep ANSI arithmetic far from overflow (63·2^31).
+    // Signature = 64 codegen'd min-aggregates over the exploded shingles
+    // (map-side partial min → one 64-long row per doc per task shuffles).
+    val gh = shingles(s, d).select(col("doc_id"),
+      (xxhash64(col("gram")).bitwiseAND(lit(2147483647L))).as("h1"),
+      (xxhash64(concat(col("gram"), lit("!"))).bitwiseAND(lit(2147483645L)) + 1).as("h2"))
+    val minCols = (0 until 64).map { j =>
+      min(pmod(col("h1") + lit(j.toLong) * col("h2"), lit(2147483647L))).as(s"m$j")
+    }
+    val sig = gh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(j => col(s"m$j")): _*).as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 15), b -> " +
           "struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("bb"))
