@@ -65,7 +65,36 @@ object AnnOps {
           SELECT qid, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
           FROM ranked WHERE rk <= $TOPK ORDER BY qid, rk""")),
 
-    QueryDef("ann_ivf_topk", (s, d) => ivfTopk(s, d), None)
+    QueryDef("ann_ivf_topk", (s, d) => ivfTopk(s, d), None),
+
+    // ---- Embedding-cosine near-dup with metadata BLOCKING: candidate
+    // pairs come from an equality self-join on the blocking key (label),
+    // so the quadratic cost is per-block, not corpus-wide — the classic
+    // scalable dedup-blocking pattern. For corpora without a usable
+    // blocking key, ann_ivf_topk's bucketing is the candidate generator.
+    QueryDef("dedup_embedding", (s, d) => {
+      val v = vecs(s, d).join(
+        Tables.load(s, d, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      val a = v.select(col("vec_id").as("id1"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("label"))
+      val b = v.select(col("vec_id").as("id2"), col("e").as("e"),
+        col("nrm").as("nrm"), col("label"))
+      a.join(b, Seq("label"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cos", cosCol("qe", "e", "qnrm", "nrm"))
+        .filter(col("cos") >= 0.4)
+        .select(col("label").cast("long").as("label"), col("id1"), col("id2"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("id1", "id2")
+    }, Some(
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         pairs AS (
+           SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT CAST(label AS BIGINT) AS label, id1, id2, round(cos, 6) AS cos_sim
+         FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2"""))
   )
 
   /** Exact brute-force cosine top-k for the NQUERY probe vectors. */
