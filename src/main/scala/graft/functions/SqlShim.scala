@@ -1,0 +1,13 @@
+// Lives inside org.apache.spark.sql so it can reach the private[sql]
+// Column<->Expression converters — the standard bridge pattern for
+// third-party Catalyst expressions on Spark 4.
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object SqlShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

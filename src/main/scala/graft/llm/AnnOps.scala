@@ -28,14 +28,12 @@ object AnnOps {
   private val NPROBE = 4
   private val TOPK = 5
   private val NQUERY = 10
-  private val DIM = 64 // embedding dimensionality of the testdata
 
-  /** Left-associated unrolled dot product of two array<double> columns —
-    * same evaluation order as a sequential fold (so it bit-matches
-    * DuckDB's list_dot_product), but fully whole-stage-codegen'd where a
-    * higher-order `aggregate` would be interpreted. */
+  /** Native codegen'd dot product (graft.functions.DotProductD): one
+    * tight primitive loop, ascending-index accumulation — bit-identical
+    * to a sequential fold and to DuckDB's list_dot_product. */
   private def dot(a: Column, b: Column): Column =
-    (0 until DIM).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
+    graft.functions.DotProductD.dotD(a, b)
 
   /** (vec_id, e: array<double>, nrm) with deterministic double math. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
