@@ -15,7 +15,7 @@ object SparkEntry {
       graft.operators.KvsOps.defs ++ graft.operators.EventOps.defs ++
       graft.llm.Dedup.defs ++ graft.llm.TextOps.defs ++
       graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++
-      graft.sources.Ingest.defs
+      graft.sources.Ingest.defs ++ graft.algos.Iterative.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,150 @@
+package graft.algos
+
+import graft.{QueryDef, Tables}
+import graft.functions.DotProductD.dotD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative / linear-algebra workloads from the reference example suite
+  * (ex/pagerank.c, ex/kmeans-kmr.c, ex/phoenix-matrix-multiply.c),
+  * re-expressed as DataFrame iteration with explicit persist/unpersist
+  * and periodic lineage truncation — the Spark idiom for KMR's
+  * loop-of-map-reduce jobs.
+  */
+object Iterative {
+
+  /** PageRank (ex/pagerank.c, damping 0.85): rank mass flows along edges
+    * each superstep; per-iteration cost is one join + one aggregation,
+    * both shuffled on node id. Ranks are persisted per iteration and the
+    * previous generation unpersisted; lineage is truncated every few
+    * rounds so the plan stays O(1) deep regardless of iteration count
+    * (the 100-iteration-on-100TB safety property).
+    * Simplified variant: dangling-node mass is not redistributed
+    * (matches the reference's per-edge formulation). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count().toDouble
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
+    ranks.count()
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("m"))
+      val next = nodes.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+      val materialized =
+        if (i % 5 == 0 || i == iters) next.localCheckpoint(true)
+        else { val p = next.persist(); p.count(); p }
+      ranks.unpersist(false)
+      ranks = materialized
+    }
+    outDeg.unpersist(false)
+    nodes.unpersist(false)
+    ranks
+  }
+
+  /** Lloyd's k-means (ex/kmeans-kmr.c, ex/phoenix-kmeans.c):
+    * deterministic init (first k vectors by id); each iteration assigns
+    * every vector to its nearest centroid (broadcast centroids, native
+    * dot_d distance) and recomputes component-wise means via
+    * posexplode + groupBy — all shuffles are O(n·dim) rows keyed by
+    * (cluster, component). Returns (iteration, inertia) history plus
+    * final assignment. */
+  def kMeans(vecs: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    val v = vecs.select(col("id"), col("e"), dotD(col("e"), col("e")).as("sq")).persist()
+    v.count()
+    var centroids = v.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("e").as("ce"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val history = Seq.newBuilder[Double]
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cdf = v.sparkSession.createDataFrame(
+        centroids.map { case (cid, ce) => (cid, ce.toSeq) }.toSeq)
+        .toDF("cid", "ce")
+      val withDist = v.crossJoin(broadcast(cdf))
+        .select(col("id"), col("e"),
+          (col("sq") - lit(2.0) * dotD(col("e"), col("ce")) +
+            dotD(col("ce"), col("ce"))).as("d2"), col("cid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("d2"), col("cid"))
+      assigned = withDist
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("id"), col("e"), col("cid"), col("d2"))
+        .persist()
+      history += assigned.agg(sum("d2")).collect()(0).getDouble(0)
+      // component-wise means: explode to (cid, pos, x), average, re-pack
+      val means = assigned
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+      centroids = means.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      assigned.unpersist(false)
+    }
+    v.unpersist(false)
+    (assigned, history.result())
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PageRank over the customer→supplier trade graph (who bought
+    // from whom, via orders⋈lineitem). No SQL oracle (iterative);
+    // IterativeSpec validates against a sequential reference fold.
+    QueryDef("pagerank", (s, d) => {
+      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      pageRank(edges, iters = 5)
+        .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"))
+        .orderBy(desc("rank_ppm"), col("id"))
+        .limit(100)
+    }, None),
+
+    // ---- k-means over the embeddings (k=8, 5 iterations); emits the
+    // final cluster sizes. No SQL oracle; IterativeSpec asserts inertia
+    // monotonicity and nearest-centroid consistency.
+    QueryDef("kmeans_clusters", (s, d) => {
+      val v = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      val (assigned, _) = kMeans(v, k = 8, iters = 5)
+      assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("cid")
+    }, None),
+
+    // ---- Gram matrix V'V of the first 100 embeddings — the matrix-
+    // multiply kernel (ex/phoenix-matrix-multiply.c) as join+aggregate.
+    // Products are summed in exact decimal so the distributed sum is
+    // order-independent and oracle-comparable.
+    QueryDef("matmul_gram", (s, d) => {
+      val v = Tables.load(s, d, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("x"))
+      v.as("a").join(v.as("b"), "vec_id")
+        .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
+        .agg(round(sum((col("a.x") * col("b.x")).cast(DecimalType(28, 12))), 8)
+          .cast("double").as("dot"))
+        .orderBy("p1", "p2")
+    }, Some(
+      "WITH m AS (SELECT vec_id, i - 1 AS pos, CAST(embedding AS DOUBLE[])[i] AS x " +
+      "FROM embeddings CROSS JOIN range(1, 65) r(i) WHERE vec_id < 100) " +
+      "SELECT a.pos AS p1, b.pos AS p2, " +
+      "CAST(round(sum(CAST(a.x * b.x AS DECIMAL(28,12))), 8) AS DOUBLE) AS dot " +
+      "FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY 1, 2 ORDER BY p1, p2"))
+  )
+}

@@ -1,0 +1,54 @@
+package graft.algos
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class IterativeSpec extends SparkSuite {
+
+  test("pageRank matches a sequential reference fold on a hand graph") {
+    import spark.implicits._
+    // 4-node graph: 0->1, 0->2, 1->2, 2->0, 3->2 (3 is dangling-in only)
+    val edgeList = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+    val edges = edgeList.toDF("src", "dst")
+    val iters = 10
+    val got = Iterative.pageRank(edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // sequential reference computation, same simplified semantics
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val outDeg = edgeList.groupBy(_._1).view.mapValues(_.length).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map(e => rank(e._1) / outDeg(e._1)).sum).toMap
+      rank = nodes.map(v => v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - rank(v)) < 1e-12, s"node $v: ${got(v)} vs ${rank(v)}")
+    }
+  }
+
+  test("kMeans inertia is non-increasing and separable clusters are recovered") {
+    import spark.implicits._
+    // two tight, well-separated blobs in 4-d (deterministic offsets)
+    val blobA = (0 until 20).map(i => (i.toLong, Seq(0.0 + i * 0.001, 0.0, 0.0, 0.0)))
+    val blobB = (0 until 20).map(i => (100L + i, Seq(10.0 + i * 0.001, 10.0, 10.0, 10.0)))
+    val v = (blobA ++ blobB).toDF("id", "e")
+    val (assigned, history) = Iterative.kMeans(v, k = 2, iters = 4)
+    history.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"inertia increased: $history")
+      case _ =>
+    }
+    val clusters = assigned.select("id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(clusters.size == 2)
+    assert(clusters.values.toSet == Set(blobA.map(_._1).toSet, blobB.map(_._1).toSet))
+  }
+
+  test("pagerank gate query: mass conservation bound and positive ranks") {
+    val df = graft.algos.Iterative.defs.find(_.name == "pagerank").get.fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > 0.0))
+  }
+}
