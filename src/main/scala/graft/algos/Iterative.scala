@@ -26,15 +26,20 @@ object Iterative {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count().toDouble
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // Weighted edges (1/outdegree) computed ONCE and persisted — the loop
+    // body touches only (edgesW ⋈ ranks), never the raw edge build.
+    val edgesW = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .persist()
+    edgesW.count()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
     ranks.count()
     for (i <- 1 to iters) {
-      val contribs = edges
+      val contribs = edgesW
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(outDeg, "src")
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .groupBy("id").agg(sum("c").as("m"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("w")).as("m"))
       val next = nodes.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
@@ -44,7 +49,7 @@ object Iterative {
       ranks.unpersist(false)
       ranks = materialized
     }
-    outDeg.unpersist(false)
+    edgesW.unpersist(false)
     nodes.unpersist(false)
     ranks
   }
@@ -72,11 +77,12 @@ object Iterative {
         .select(col("id"), col("e"),
           (col("sq") - lit(2.0) * dotD(col("e"), col("ce")) +
             dotD(col("ce"), col("ce"))).as("d2"), col("cid"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("d2"), col("cid"))
+      // nearest centroid via min-struct aggregate (map-side partial agg;
+      // cheaper than a per-id window) with cid as the deterministic tie-break
       assigned = withDist
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("id"), col("e"), col("cid"), col("d2"))
+        .groupBy("id")
+        .agg(first("e").as("e"), min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("id"), col("e"), col("m.cid").as("cid"), col("m.d2").as("d2"))
         .persist()
       history += assigned.agg(sum("d2")).collect()(0).getDouble(0)
       // component-wise means: explode to (cid, pos, x), average, re-pack

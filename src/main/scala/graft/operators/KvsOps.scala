@@ -86,7 +86,8 @@ object KvsOps {
         Tables.load(s, d, "region").filter(col("r_regionkey") === 0),
         col("r_regionkey"), col("r_name")).takeOne()
       Seq((k, v)).toDF("r_regionkey", "r_name")
-    }, Some("SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 0")),
+    }, Some(
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region WHERE r_regionkey = 0")),
 
     QueryDef("map_once", (s, d) => {
       import s.implicits._

@@ -36,6 +36,10 @@ def main(sf_dir, out_dir):
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
             n_fail += 1; continue
+        sd, od = [str(t) for t in s.dtypes], [str(t) for t in o.dtypes]
+        if sd != od:
+            print(f"FAIL {name}: dtypes {list(zip(s.columns, sd, od))}")
+            n_fail += 1; continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_fail += 1; continue
         mismatch = None
