@@ -27,8 +27,10 @@ object Tables {
     * Spark's native timestamp resolution). */
   def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // integer division — a double quotient would quantize ~2024 nano
+    // timestamps (>2^53) to ~256ns steps and shift window boundaries
     load(spark, sfDir, "events")
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
   }
 }
 

@@ -62,6 +62,7 @@ object Iterative {
     * (cluster, component). Returns (iteration, inertia) history plus
     * final assignment. */
   def kMeans(vecs: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    require(iters >= 1, s"kMeans needs at least one iteration, got $iters")
     val v = vecs.select(col("id"), col("e"), dotD(col("e"), col("e")).as("sq")).persist()
     v.count()
     var centroids = v.orderBy("id").limit(k)
@@ -69,7 +70,7 @@ object Iterative {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val history = Seq.newBuilder[Double]
     var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val cdf = v.sparkSession.createDataFrame(
         centroids.map { case (cid, ce) => (cid, ce.toSeq) }.toSeq)
         .toDF("cid", "ce")
@@ -93,10 +94,19 @@ object Iterative {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
-      centroids = means.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      assigned.unpersist(false)
+      // a cluster that lost all members keeps its previous centroid
+      // (Lloyd's convention) instead of silently vanishing below k
+      val updated = means.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      centroids = centroids.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
+      if (i < iters) assigned.unpersist(false)
+      else {
+        // final generation: truncate lineage so the caller's use doesn't
+        // replay the whole iteration, then drop the loop's cache entry
+        val fin = assigned.localCheckpoint(true)
+        assigned.unpersist(false)
+        assigned = fin
+      }
     }
     v.unpersist(false)
     (assigned, history.result())

@@ -135,9 +135,12 @@ final class KVS[K, V](val ds: Dataset[(K, V)]) extends Serializable {
         var acc = offB.value(i)
         it.map { case (k, v) => val pre = acc; acc = plus(acc, v); (k, pre) }
       }
-      val out = spark.createDataset(scanned)(e)
-      out.persist().count() // materialize before the input cache is dropped
-      new KVS(out)
+      // eager localCheckpoint: materializes before the input cache drops
+      // AND truncates lineage, and its blocks are released by the
+      // ContextCleaner once the Dataset is unreferenced (a plain persist
+      // here would pin cache for the session's lifetime with no handle
+      // for the caller to unpersist).
+      new KVS(spark.createDataset(scanned)(e).localCheckpoint(true))
     } finally cached.unpersist(false)
   }
 

@@ -17,9 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Normalized whitespace-token array of `text`. */
-  private val toks = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-  private val normSql = "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+  import TextNorm.{toks, normSql}
 
   /** Distinct word 3-gram shingles per doc. */
   private def shingles(s: SparkSession, d: String): DataFrame =

@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val toks = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-  private val normSql = "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+  import TextNorm.{toks, normSql}
 
   /** Marker lexicons for the n-gram/stopword language-ID heuristic
     * (tiny public stopword lists; ties broken in fixed lang order). */

@@ -59,26 +59,15 @@ object Ingest {
 
   /** kmr_map_file_names (src/kmrfiles.c:1357-1404): enumerate file names,
     * distribute them across partitions, and map each name to its content
-    * (name, bytes) — per-file processing with Spark's scheduler doing the
-    * shuffle of names the reference does by hand. */
+    * (name, bytes). Content loading goes through Spark's binaryFile
+    * source, which carries the session's Hadoop configuration to the
+    * executors (credentials, fs settings) — a hand-rolled
+    * `new Configuration()` in a task would not. */
   def mapFileNames(spark: SparkSession, path: String, numPartitions: Int = 0): DataFrame = {
-    import spark.implicits._
-    val names = enumerateFiles(spark, path)
-    val dist = if (numPartitions > 0) names.repartition(numPartitions) else names
-    dist.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      it.map { name =>
-        val p = new org.apache.hadoop.fs.Path(name)
-        val fs = p.getFileSystem(conf)
-        val in = fs.open(p)
-        try {
-          val len = fs.getFileStatus(p).getLen.toInt
-          val buf = new Array[Byte](len)
-          in.readFully(0, buf)
-          (name, buf)
-        } finally in.close()
-      }
-    }.toDF("path", "content")
+    val names = enumerateFiles(spark, path).collect()
+    val df = spark.read.format("binaryFile").load(names: _*)
+      .select(col("path"), col("content"))
+    if (numPartitions > 0) df.repartition(numPartitions) else df
   }
 
   private def tmpDir(s: SparkSession, tag: String, sfDir: String): String = {
@@ -130,12 +119,15 @@ object Ingest {
 
     // ---- External-process map: "doc_id <tokens…>" lines piped through
     // awk, which emits "doc_id token_count"; parsed back and verified
-    // against DuckDB's own tokenization. Exercises the full subprocess
-    // stdin/stdout round-trip per partition.
+    // against DuckDB's own tokenization. Text is whitespace-normalized
+    // on BOTH sides first (awk's default FS collapses runs and pipe
+    // framing is line-based, so raw text with doubled spaces or embedded
+    // newlines would diverge or break record framing).
     QueryDef("pipe_tokens", (s, d) => {
       import s.implicits._
+      val norm = trim(regexp_replace(col("text"), "\\s+", " "))
       val lines = Tables.load(s, d, "documents")
-        .select(concat_ws(" ", col("doc_id"), col("text")).as("line"))
+        .select(concat_ws(" ", col("doc_id"), norm).as("line"))
         .as[String]
       pipeLines(lines, Seq("awk", "{print $1, NF-1}"))
         .map { out =>
@@ -145,7 +137,7 @@ object Ingest {
         .toDF("doc_id", "n_tokens")
         .orderBy("doc_id")
     }, Some(
-      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+      "SELECT doc_id, CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens " +
       "FROM documents ORDER BY doc_id"))
   )
 }

@@ -50,7 +50,9 @@ object StreamOps {
               closed += SessionOut(uid, cur.start, cur.last, cur.n)
               cur = Session(e.ts_us, e.ts_us, 1L)
             } else {
-              cur.last = e.ts_us; cur.n += 1
+              // max() so a late cross-batch event can't rewind the open
+              // session's frontier and fake a gap for the next event
+              cur.last = math.max(cur.last, e.ts_us); cur.n += 1
             }
           }
           if (cur != null) state.update(cur)

@@ -37,10 +37,11 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q5_local: nation/region broadcast; supplier NOT force-broadcast at plan time") {
-    val logical = q("q5_local").queryExecution.optimizedPlan.toString()
-    // the only explicit broadcast hints left are the O(1) dims
-    val hinted = "(?s)ResolvedHint".r.findAllIn(logical).length
-    assert(hinted <= 2, s"too many forced broadcasts:\n$logical")
+    // hints survive only in the ANALYZED plan (the optimizer erases
+    // ResolvedHint nodes, so scanning optimizedPlan would always pass)
+    val analyzed = q("q5_local").queryExecution.analyzed.toString()
+    val hinted = "(?s)UnresolvedHint|ResolvedHint".r.findAllIn(analyzed).length
+    assert(hinted == 2, s"expected exactly 2 broadcast hints (nation, region), got $hinted:\n$analyzed")
   }
 
   test("dedup_minhash and ann_ivf_topk build candidates by equality join (no cartesian)") {
