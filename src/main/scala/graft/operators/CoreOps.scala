@@ -27,6 +27,8 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructTyp
   *                      (src/kmrbase.c:2239-2350)
   * - sort_global      — kmr_sort sampling sort ≈ range-partitioned orderBy
   *                      (src/kmrmoreops.c:468-536)
+  * - graysort         — ex/graysort.c: binary-key (memcmp-ordered) sort
+  *                      of generated 100-byte records, sf-scaled
   * - histogram_ranks  — kmr_histogram_count_by_ranks partition stats
   *                      (src/kmrmoreops.c:1568-1629; no SQL oracle —
   *                      partitioning is not visible to DuckDB)
@@ -152,6 +154,27 @@ object CoreOps {
     }, Some(
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000")),
+
+    QueryDef("graysort", (s, d) => {
+      // GraySort-shaped benchmark (ex/graysort.c): n 100-byte records with
+      // 10-byte binary keys (generated, deterministic), globally sorted
+      // by unsigned-bytewise key order — Spark's RangePartitioner IS
+      // kmr_sort_large's sampling sort, and BinaryType ordering is memcmp
+      // (asserted in KVSSpec). n scales with the testdata sf so the bench
+      // measures sort throughput, not generator startup. Output: the
+      // first 100 keys with their ranks (deterministic digest of the
+      // order). No SQL oracle — keys are engine-hash-derived.
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1).toDouble).getOrElse(0.01)
+      val n = math.max(10000L, (sf * 10000000L).toLong)
+      val recs = s.range(n).select(
+        unhex(substring(sha2(col("id").cast("string"), 256), 1, 20)).as("key"),
+        concat(lpad(col("id").cast("string"), 10, "0"),
+          repeat(lit("x"), 80)).cast("binary").as("payload"))
+      rankByOrder(recs.select(col("key")), Seq(col("key")), "rank")
+        .filter(col("rank") < 100)
+        .select(hex(col("key")).as("key_hex"), col("rank"))
+        .orderBy("rank")
+    }, None),
 
     QueryDef("histogram_ranks", (s, d) => {
       // Partition-count statistics (mean/min/max over per-partition

@@ -54,6 +54,17 @@ class CoreOpsSpec extends SparkSuite {
       s"unbalanced: ${sizes.mkString(",")}")
   }
 
+  test("graysort head is in strict memcmp order (hex is order-preserving)") {
+    val rows = CoreOps.defs.find(_.name == "graysort").get.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 100)
+    assert(rows.map(_._2).toSeq == (0L until 100L))
+    rows.map(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a < b, s"order violation: $a >= $b")
+      case _ =>
+    }
+  }
+
   test("every oracled QueryDef returns rows at sf0.001") {
     (graft.queries.Tpch.defs ++ CoreOps.defs).foreach { q =>
       val n = q.fn(spark, sfDir).count()
