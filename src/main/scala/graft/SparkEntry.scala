@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All implemented queries, one per SURVEY.md §2 operator/capability. */
   def defs: Seq[QueryDef] =
-    graft.queries.Tpch.defs ++ graft.operators.CoreOps.defs ++
+    graft.queries.Tpch.defs ++ graft.queries.Analytics.defs ++
+      graft.operators.CoreOps.defs ++
       graft.operators.KvsOps.defs ++ graft.operators.EventOps.defs ++
       graft.llm.Dedup.defs ++ graft.llm.TextOps.defs ++
       graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++

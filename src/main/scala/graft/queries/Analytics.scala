@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General-analytics staples beyond the reference's TPC-H slice: exact
+  * percentiles, partitioned window functions (lag / cumulative /
+  * moving), ROLLUP subtotals, and SQL set operators. All shuffles key on
+  * the natural partition column (event_type / user_id / grouping key) —
+  * window partitions are user-scoped, never global.
+  *
+  * Exactness notes: percentiles run over integer cents at quartile
+  * points, where linear interpolation is exactly representable in
+  * binary, so Spark's `percentile` and DuckDB's `quantile_cont` agree
+  * bit-for-bit; window sums are integer; moving averages divide integer
+  * sums by counts (single deterministic fp op).
+  */
+object Analytics {
+
+  private val cents = round(col("value") * 100, 0).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("quantiles", (s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .groupBy("event_type")
+        .agg(
+          percentile(col("c"), lit(0.25)).as("p25_cents"),
+          percentile(col("c"), lit(0.5)).as("p50_cents"),
+          percentile(col("c"), lit(0.75)).as("p75_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, " +
+      "quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.25) AS p25_cents, " +
+      "quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.5) AS p50_cents, " +
+      "quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.75) AS p75_cents, " +
+      "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QueryDef("window_analytics", (s, d) => {
+      // µs resolution on both sides: DuckDB TIMESTAMP truncates the
+      // parquet nanos, so the window order and output use ts_us
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.load(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), cents.as("c"))
+        .select(
+          col("user_id"), col("ts_us"), col("event_id"),
+          lag("event_id", 1).over(w).as("prev_event"),
+          sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_cents"),
+          round(
+            sum("c").over(w.rowsBetween(-2, Window.currentRow)).cast("double") /
+              count(lit(1)).over(w.rowsBetween(-2, Window.currentRow)), 4)
+            .as("mov3_cents"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }, Some(
+      "SELECT user_id, epoch_us(ts) AS ts_us, event_id, " +
+      "lag(event_id, 1) OVER w AS prev_event, " +
+      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents, " +
+      "round(CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
+      "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov3_cents " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+      "ORDER BY user_id, ts_us, event_id")),
+
+    QueryDef("rollup_stats", (s, d) => {
+      Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qc"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("qc").as("qty_cents"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }, Some(
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+      "CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_cents " +
+      "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    QueryDef("set_except", (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val withF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val all = o.select(col("o_custkey"))
+      all.except(withF) // customers who ordered but never with status F
+        .orderBy("o_custkey")
+    }, Some(
+      "SELECT o_custkey FROM orders EXCEPT SELECT o_custkey FROM orders " +
+      "WHERE o_orderstatus = 'F' ORDER BY o_custkey"))
+  )
+}
