@@ -93,6 +93,19 @@ object Dedup {
     // Jaccard instead.
     QueryDef("dedup_minhash", (s, d) => minhashPairs(s, d, est = 0.5), None),
 
+    // ---- Cluster the near-dup pairs into groups and pick one keeper
+    // per group — the step that turns pairwise similarity into an actual
+    // deduplicated corpus. Components via min-label propagation (rows-
+    // only gate; DedupClusterSpec checks transitivity and a hand graph).
+    QueryDef("dedup_clusters", (s, d) => {
+      val pairs = minhashPairs(s, d, est = 0.5)
+      connectedComponents(pairs.select("id1", "id2"), iters = 8)
+        .groupBy("comp")
+        .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+        .filter(col("cluster_size") > 1)
+        .orderBy("keep_id")
+    }, None),
+
     // ---- SimHash: 64-bit sign-of-weighted-bit-votes fingerprint over
     // tokens; candidates via 4 bands of 16 bits (hamming ≤ 3 guarantees
     // one exact band match by pigeonhole); verified by bit_count(xor).
@@ -128,6 +141,37 @@ object Dedup {
         .orderBy("id1", "id2")
     }, None)
   )
+
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * component id among itself and its neighbors. Converges in
+    * O(component diameter) supersteps — near-dup clusters are shallow,
+    * so a small fixed iteration count suffices; each superstep is one
+    * shuffled join + partial-aggregated min, linear in |edges|. */
+  def connectedComponents(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    labels.count()
+    for (_ <- 1 to iters) {
+      val prop = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min("bcomp").as("ncomp"))
+      // `labels` feeds the plan twice per superstep, so lineage would
+      // grow exponentially — localCheckpoint truncates it every round
+      val next = labels.join(prop, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      labels = next
+    }
+    edges.unpersist(false)
+    labels
+  }
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `est`.
     * Exposed for the recall spec. */

@@ -229,6 +229,92 @@ object Tpch {
       "LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%' " +
       "GROUP BY c_custkey) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC")),
 
+    // ---- Q14-shape: conditional aggregation (promo revenue share) —
+    // CASE inside a sum, one pass, decimal-exact on both engines.
+    QueryDef("q14_promo", (s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1996-02-01 00:00:00"))
+      val p = Tables.load(s, d, "part")
+      // exact decimal sums, then ONE double division (engine decimal-
+      // division scale rules differ; double division is deterministic)
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(
+            sum(when(col("p_name").like("%steel%"), rev).otherwise(lit(0.0))
+              .cast(DecimalType(18, 6))).cast("double") * 100 /
+              sum(rev.cast(DecimalType(18, 6))).cast("double"), 4)
+            .as("promo_pct"),
+          count(lit(1)).as("n"))
+    }, Some(
+      "SELECT round(CAST(sum(CASE WHEN p_name LIKE '%steel%' " +
+      s"THEN CAST($revSql AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100 / " +
+      s"CAST(sum(CAST($revSql AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct, count(*) AS n " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'")),
+
+    // ---- Q17-shape: correlated scalar subquery — parts whose lineitems
+    // fall below 20% of that part's average quantity. Catalyst
+    // decorrelates the subquery into an aggregate + join (the rewrite the
+    // reference would hand-schedule).
+    QueryDef("q17_avgqty", (s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+      val avgQ = l.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(avg(round(col("l_quantity") * 100, 0).cast("long")).as("avg_qc"))
+      l.join(avgQ, col("l_partkey") === col("a_partkey"))
+        .filter(round(col("l_quantity") * 100, 0).cast("long") < lit(0.2) * col("avg_qc"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("total_cents"),
+          count(lit(1)).as("n"))
+    }, Some(
+      "SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents, " +
+      "count(*) AS n FROM lineitem l1 " +
+      "WHERE CAST(round(l_quantity*100,0) AS BIGINT) < " +
+      "(SELECT 0.2 * avg(CAST(round(l_quantity*100,0) AS BIGINT)) " +
+      "FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)")),
+
+    // ---- Q18-shape: IN-subquery over a HAVING aggregate — orders whose
+    // total quantity exceeds a threshold, then their customers.
+    QueryDef("q18_topq", (s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("sum_qc"))
+        .filter(col("sum_qc") > 250 * 100)
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }, Some(
+      "SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+      "HAVING sum(CAST(round(l_quantity*100,0) AS BIGINT)) > 25000) " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
+
+    // ---- Q19-shape: disjunction of conjunctive predicates across the
+    // join — Catalyst pushes the common l_partkey = p_partkey through
+    // and evaluates the OR-of-ANDs post-join.
+    QueryDef("q19_disjunct", (s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+      val p = Tables.load(s, d, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+          (col("p_size").between(16, 35) && col("l_quantity").between(21, 40)) ||
+          (col("p_size").between(36, 50) && col("l_quantity") > 40))
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n"))
+    }, Some(
+      s"SELECT ${dsumSql(revSql)} AS revenue, count(*) AS n " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) " +
+      "OR (p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 21 AND 40) " +
+      "OR (p_size BETWEEN 36 AND 50 AND l_quantity > 40)")),
+
     // ---- Q21-shape (exists): lineitems of 'F' orders whose order has
     // ANOTHER supplier — left-semi self-join with an inequality
     // (q21_join_lnos_l2, ex/tpch.c:3417-3457).

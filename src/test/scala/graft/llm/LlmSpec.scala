@@ -58,6 +58,28 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents labels a hand graph correctly") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, singleton 20 via self-pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs, iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup clusters are transitively consistent with the pair graph") {
+    val pairs = Dedup.minhashPairs(spark, sfDir, est = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashPairs(spark, sfDir, est = 0.5).select("id1", "id2"), iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+  }
+
   test("exact dedup groups sum to the corpus size") {
     val df = Dedup.defs.find(_.name == "dedup_exact").get.fn(spark, sfDir)
     val total = df.agg(sum("n_dups")).collect()(0).getLong(0)
