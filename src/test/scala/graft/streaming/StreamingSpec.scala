@@ -36,6 +36,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source readStream over events parquet matches the batch aggregate") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(graft.SparkTest.sfDir, "events.parquet")
+    val dir = Paths.get("target/graft-tmp/stream_src")
+    Files.createDirectories(dir)
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dir.toString).schema
+    def prep(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_type"),
+      timestamp_micros(expr("ts div 1000")).as("ts_t"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamOps.windowedCounts(prep(stream)).writeStream
+      .format("memory").queryName("file_win").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win")
+        .select(col("win_start").cast("long"), col("event_type"), col("n"), col("sum_cents"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      val batch = prep(spark.read.parquet(dir.toString))
+        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("window.start").cast("long"), col("event_type"), col("n"), col("sum_cents"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("windowed query restarts from its checkpoint without losing or duplicating windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
