@@ -44,6 +44,20 @@ object EventOps {
       "count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
 
+    // ---- Sketch surface: HyperLogLog++ approximate distincts — the
+    // constant-memory path for cardinality at 100 TB (exact distinct
+    // shuffles every key; the sketch shuffles one ~1.5KB buffer per
+    // task). Approximate ⇒ no SQL oracle; SketchSpec bounds the error
+    // against the exact count.
+    QueryDef("approx_distinct", (s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, None),
+
     // ---- Hot-key aggregation: groupBy on user_id. Map-side partial
     // aggregation collapses each hot key to one row per task before the
     // shuffle, so a skewed key costs O(tasks), not O(rows) — this plus

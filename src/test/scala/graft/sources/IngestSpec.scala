@@ -35,6 +35,24 @@ class IngestSpec extends SparkSuite {
     assert(rows.head._2 == "line1" && rows.last._2 == "line100")
   }
 
+  test("PipeRun: shell mapper + shell reducer wordcount matches the DataFrame result") {
+    import org.apache.spark.sql.functions._
+    // write the corpus as text, wordcount it with awk executables only
+    val dir = "target/graft-tmp/piperun_in"
+    graft.Tables.load(spark, sfDir, "documents").select(col("text"))
+      .write.mode("overwrite").text(dir)
+    val mapper = Seq("awk", "{for(i=1;i<=NF;i++) print $i, 1}")
+    val reducer = Seq("awk", "{s=0; for(i=2;i<=NF;i++) s+=$i; print $1, s}")
+    val piped = PipeRun.run(spark, dir, mapper, reducer)
+      .collect().map { l => val Array(w, n) = l.split(" "); (w, n.toLong) }.toMap
+    val expected = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(piped == expected)
+  }
+
   test("pipeLines round-trips records through an external process") {
     import spark.implicits._
     val ds = spark.createDataset(Seq("a b c", "d e", "f"))
