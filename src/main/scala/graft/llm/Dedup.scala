@@ -149,13 +149,19 @@ object Dedup {
     * so a small fixed iteration count suffices; each superstep is one
     * shuffled join + partial-aggregated min, linear in |edges|. */
   def connectedComponents(pairs: DataFrame, iters: Int): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // symmetrize with ONE evaluation of the (possibly expensive) pairs
+    // plan — a union of two selects would run it twice
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
     labels.count()
-    for (_ <- 1 to iters) {
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < iters) {
       val prop = edges
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id"))
@@ -166,8 +172,14 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
+      // early exit at the fixpoint: both sides of this count are
+      // materialized checkpoints/caches, so it's a cheap scan
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
       labels.unpersist(false)
       labels = next
+      it += 1
     }
     edges.unpersist(false)
     labels
