@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Tpch.defs ++ graft.queries.Analytics.defs ++
       graft.operators.CoreOps.defs ++
       graft.operators.KvsOps.defs ++ graft.operators.EventOps.defs ++
+      graft.operators.JoinOps.defs ++
       graft.llm.Dedup.defs ++ graft.llm.TextOps.defs ++
       graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++
       graft.sources.Ingest.defs ++ graft.algos.Iterative.defs

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in verb for (the brief's
+  * named examples), composed Spark-first and oracled against DuckDB's
+  * NATIVE implementations of the same semantics (ASOF JOIN / IEJoin):
+  *
+  * - asof_join — each purchase matched to the user's most recent click
+  *   at-or-before it. Realized as union + one ordered window per user:
+  *   a single shuffle on user_id, last(click, ignoreNulls) over the
+  *   time order. No join explosion, no inequality join — linear in
+  *   events, the classic scalable as-of plan.
+  * - range_join — per error event, how many same-user events fall in the
+  *   trailing 1-hour window. Realized as a BAND-BUCKETED equality join:
+  *   each candidate event is replicated into its own time bucket and the
+  *   next one, so every (error, candidate) pair within the band meets on
+  *   an exact (user, bucket) key — a hash join, never the
+  *   BroadcastNestedLoop a raw inequality predicate would plan.
+  *
+  * All time arithmetic runs at microsecond resolution on both engines
+  * (DuckDB TIMESTAMP truncates the parquet nanos).
+  */
+object JoinOps {
+
+  private val HourUs = 3600L * 1000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("asof_join", (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+      // one click per (user, ts): deterministic among exact-tie timestamps
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_us")
+        .agg(max("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val tagged = clicks
+        .select(col("user_id"), col("ts_us"), col("click_id"), lit(null).cast("long").as("p_id"))
+        .unionByName(purchases
+          .select(col("user_id"), col("ts_us"), lit(null).cast("long").as("click_id"),
+            col("event_id").as("p_id")))
+      // clicks sort before purchases at equal ts (is_p = 0 first) so an
+      // exact-tie click is visible to the purchase — ASOF `p.ts >= c.ts`
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("p_id").isNotNull.cast("int"), col("p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click", last("click_id", ignoreNulls = true).over(w))
+        .filter(col("p_id").isNotNull)
+        .select(col("p_id").as("event_id"), col("user_id"), col("last_click").as("click_id"))
+        .orderBy("event_id")
+    }, Some(
+      "WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type='purchase'), " +
+      "c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id FROM events " +
+      "WHERE event_type='click' GROUP BY user_id, epoch_us(ts)) " +
+      "SELECT p.event_id, p.user_id, c.click_id " +
+      "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us " +
+      "ORDER BY p.event_id")),
+
+    QueryDef("range_join", (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"), col("ts_us").as("err_us"),
+          floor(col("ts_us") / HourUs).as("bucket"))
+      // candidates appear in their own bucket and the next, so any pair
+      // within a 1-hour band shares an exact (user, bucket) key
+      val cands = ev
+        .select(col("user_id"), col("event_id").as("o_id"), col("ts_us").as("o_us"),
+          explode(array(floor(col("ts_us") / HourUs), floor(col("ts_us") / HourUs) + 1))
+            .as("bucket"))
+      errors.join(cands, Seq("user_id", "bucket"))
+        .filter(col("o_us").between(col("err_us") - HourUs, col("err_us")) &&
+          col("o_id") =!= col("err_id"))
+        .groupBy(col("err_id").as("event_id"))
+        .agg(count(lit(1)).as("n_trailing_1h"))
+        .orderBy("event_id")
+    }, Some(
+      "SELECT e1.event_id, count(*) AS n_trailing_1h FROM events e1 JOIN events e2 " +
+      "ON e1.user_id = e2.user_id " +
+      "AND epoch_us(e2.ts) BETWEEN epoch_us(e1.ts) - 3600000000 AND epoch_us(e1.ts) " +
+      "AND e1.event_id <> e2.event_id " +
+      "WHERE e1.event_type = 'error' GROUP BY e1.event_id ORDER BY e1.event_id"))
+  )
+}

@@ -51,6 +51,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("range_join bands to an equality join — no nested-loop from the inequality") {
+    val p = planString(q("range_join"))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
   test("dedup_jaccard: inverted-index self-join is a shuffled equality join") {
     val p = planString(q("dedup_jaccard"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
