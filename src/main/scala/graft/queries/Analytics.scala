@@ -80,6 +80,52 @@ object Analytics {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
 
+    // ---- Gap-based sessionization in batch: session id = running count
+    // of gap-exceeded flags per user (the SQL-expressible mirror of
+    // StreamOps.sessionize; 30-minute gap). One user-partitioned window
+    // pass + one aggregate.
+    QueryDef("sessionize_batch", (s, d) => {
+      val gapUs = 30L * 60L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.load(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("sess_no",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        .orderBy("user_id", "sess_no")
+    }, Some(
+      "WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, " +
+      "CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
+      "s AS (SELECT user_id, ts_us, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no FROM t) " +
+      "SELECT user_id, sess_no, count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us " +
+      "FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no")),
+
+    // ---- Pivot: one row per user, event-type counts as columns (fixed
+    // pivot values — the scalable form; dynamic pivot would need a
+    // driver-side distinct first).
+    QueryDef("pivot_events", (s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }, Some(
+      "SELECT user_id, " +
+      "count(*) FILTER (event_type = 'click') AS click, " +
+      "count(*) FILTER (event_type = 'error') AS error, " +
+      "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+      "count(*) FILTER (event_type = 'signup') AS signup, " +
+      "count(*) FILTER (event_type = 'view') AS view " +
+      "FROM events GROUP BY user_id ORDER BY user_id")),
+
     QueryDef("set_except", (s, d) => {
       val o = Tables.load(s, d, "orders")
       val withF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
