@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
       builder))
+    ext.injectPlannerStrategy(_ => graft.plans.StrideSampleStrategy)
   }
 }

@@ -155,6 +155,20 @@ object CoreOps {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000")),
 
+    QueryDef("stride_plan", (s, d) => {
+      // kmr_map_skipping via the custom StrideSample plan node
+      // (graft.plans): every 10th document of the doc_id order starting
+      // at 2, as a first-class Catalyst operator.
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+      graft.plans.StrideSample.sample(docs, from = 2, stride = 10)
+        .orderBy("doc_id")
+    }, Some(
+      "SELECT doc_id, n_chars FROM (" +
+      "SELECT doc_id, n_chars, row_number() OVER (ORDER BY doc_id) - 1 AS rn " +
+      "FROM documents) t WHERE rn >= 2 AND (rn - 2) % 10 = 0 ORDER BY doc_id")),
+
     QueryDef("graysort", (s, d) => {
       // GraySort-shaped benchmark (ex/graysort.c): n 100-byte records with
       // 10-byte binary keys (generated, deterministic), globally sorted

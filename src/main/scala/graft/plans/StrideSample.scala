@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.SqlShim
+
+/** kmr_map_skipping / kmr_sample_kv (src/kmrbase.c:1191-1330,
+  * src/kmrmoreops.c:309-327) as a WHOLE-OPERATOR Catalyst extension —
+  * the brief's ladder step (c): logical node + planner strategy +
+  * physical node. A global "every stride-th element of the global order
+  * starting at from" cannot be a scalar expression (it needs the
+  * cross-partition index), and composing it from zipWithIndex at the
+  * Dataset level hides it from the optimizer; as a plan node it stays
+  * visible, prunable, and AQE-compatible.
+  *
+  * The physical node is the two-phase KMR design: a count pass per
+  * partition, driver-side exclusive offsets (O(P)), then one streaming
+  * pass emitting matching rows — no buffering, rows pass through
+  * untouched.
+  */
+case class StrideSample(from: Long, stride: Long, child: LogicalPlan)
+    extends UnaryNode {
+  require(stride > 0 && from >= 0, s"bad stride sample ($from, $stride)")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): StrideSample =
+    copy(child = c)
+}
+
+case class StrideSampleExec(from: Long, stride: Long, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputOrdering = child.outputOrdering
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val offB = sparkContext.broadcast(offsets)
+    val (f, s) = (from, stride)
+    rdd.mapPartitionsWithIndex({ (i, it) =>
+      var idx = offB.value(i)
+      it.filter { _ =>
+        val keep = idx >= f && (idx - f) % s == 0
+        idx += 1
+        keep
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): StrideSampleExec =
+    copy(child = c)
+}
+
+object StrideSampleStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case StrideSample(f, s, child) =>
+      StrideSampleExec(f, s, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object StrideSample {
+  /** Apply the operator to a DataFrame, registering the strategy on the
+    * session if needed (idempotent — also injectable via
+    * GraftExtensions for extension-built sessions). */
+  def sample(df: DataFrame, from: Long, stride: Long): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(StrideSampleStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ StrideSampleStrategy
+    SqlShim.ofRows(spark, StrideSample(from, stride, SqlShim.logicalPlan(df)))
+  }
+}

@@ -66,6 +66,17 @@ class PlanSpec extends SparkSuite {
   // (ranking's multi-partition property is asserted in CoreOpsSpec on a
   // dataset big enough that AQE doesn't legitimately coalesce it to 1.)
 
+  test("stride_plan executes through the custom StrideSampleExec node") {
+    val df = q("stride_plan")
+    val plan = planString(df)
+    // physical nodes render without the Exec suffix
+    assert(plan.contains("StrideSample"), s"custom node not planned:\n$plan")
+    // agrees with the modulo-on-doc_id definition (doc_ids are dense here)
+    val ids = df.collect().map(_.getLong(0)).toSeq
+    assert(ids.nonEmpty && ids == ids.sorted)
+    assert(ids.forall(id => (id - 2) % 10 == 0))
+  }
+
   test("q3_topk compiles to TakeOrderedAndProject (no full global sort)") {
     val p = planString(q("q3_topk"))
     assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
