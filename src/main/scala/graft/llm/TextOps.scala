@@ -111,6 +111,31 @@ object TextOps {
       "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS re_tokens " +
       "FROM documents GROUP BY source ORDER BY source")),
 
+    // ---- Data mixing: deterministic stratified sampling by language
+    // quota (the training-mixture op). The sampling decision is a pure
+    // function of doc_id (Knuth multiplicative hash mod 100 vs the
+    // stratum's quota), so it is reproducible, engine-independent,
+    // cluster-size-independent — and exactly mirrored in the oracle,
+    // unlike rand()-based sampleBy.
+    QueryDef("sample_stratified", (s, d) => {
+      val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+      val quota = when(col("lang") === "en", 10)
+        .when(col("lang") === "de", 50)
+        .when(col("lang") === "es", 30)
+        .when(col("lang") === "fr", 30)
+        .otherwise(80)
+      Tables.load(s, d, "documents")
+        .filter(bucket < quota)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }, Some(
+      "SELECT lang, count(*) AS n_sampled FROM documents " +
+      "WHERE (doc_id * 2654435761) % 100 < CASE lang " +
+      "WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'es' THEN 30 " +
+      "WHEN 'fr' THEN 30 ELSE 80 END " +
+      "GROUP BY lang ORDER BY lang")),
+
     // ---- Document fingerprint: minimum sha256 over word 5-gram
     // shingles — a 1-permutation MinHash with a cryptographic hash, so
     // both engines agree exactly. Scale shape: per-row shingling +
