@@ -22,15 +22,18 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with `ts` (nanos-since-epoch long under nanosAsLong) also
-    * exposed as a proper timestamp column `ts_t` (microsecond precision —
-    * Spark's native timestamp resolution). */
+  /** events.ts (nanos-since-epoch long under nanosAsLong) as
+    * microseconds. INTEGER division is load-bearing: a double quotient
+    * quantizes ~2024 nano timestamps (>2^53) to ~256ns steps and shifts
+    * window boundaries. Every query that needs µs must use this. */
+  def tsUs: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("ts div 1000")
+
+  /** events with `ts` also exposed as a proper timestamp column `ts_t`
+    * (microsecond precision — Spark's native timestamp resolution). */
   def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integer division — a double quotient would quantize ~2024 nano
-    // timestamps (>2^53) to ~256ns steps and shift window boundaries
-    load(spark, sfDir, "events")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    load(spark, sfDir, "events").withColumn("ts_t", timestamp_micros(tsUs))
   }
 }
 

@@ -37,13 +37,20 @@ case class DotProductD(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_d"
 
+  // A NULL array element makes the whole result NULL (the semantics of
+  // Spark's built-in array functions) — dot_d is SQL-exposed via
+  // GraftExtensions, so arbitrary arrays can reach it.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -56,6 +63,7 @@ case class DotProductD(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -99,7 +99,7 @@ object Dedup {
     // only gate; DedupClusterSpec checks transitivity and a hand graph).
     QueryDef("dedup_clusters", (s, d) => {
       val pairs = minhashPairs(s, d, est = 0.5)
-      connectedComponents(pairs.select("id1", "id2"), iters = 8)
+      connectedComponents(pairs.select("id1", "id2"), iters = 30)
         .groupBy("comp")
         .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
         .filter(col("cluster_size") > 1)
@@ -145,9 +145,11 @@ object Dedup {
   /** Connected components of an undirected pair graph by iterative
     * min-label propagation: every node repeatedly adopts the smallest
     * component id among itself and its neighbors. Converges in
-    * O(component diameter) supersteps — near-dup clusters are shallow,
-    * so a small fixed iteration count suffices; each superstep is one
-    * shuffled join + partial-aggregated min, linear in |edges|. */
+    * O(component diameter) supersteps; each superstep is one shuffled
+    * join + partial-aggregated min, linear in |edges|. `iters` is a
+    * SAFETY CAP, not a tuning knob: hitting it before the fixpoint
+    * throws (silently returning split components would make the dedup
+    * keep duplicates). */
   def connectedComponents(pairs: DataFrame, iters: Int): DataFrame = {
     // symmetrize with ONE evaluation of the (possibly expensive) pairs
     // plan — a union of two selects would run it twice
@@ -182,6 +184,9 @@ object Dedup {
       it += 1
     }
     edges.unpersist(false)
+    require(changed == 0,
+      s"connectedComponents did not converge within $iters supersteps " +
+        "(component diameter exceeds the cap) — raise iters")
     labels
   }
 

@@ -184,7 +184,10 @@ object CoreOps {
         unhex(substring(sha2(col("id").cast("string"), 256), 1, 20)).as("key"),
         concat(lpad(col("id").cast("string"), 10, "0"),
           repeat(lit("x"), 80)).cast("binary").as("payload"))
-      rankByOrder(recs.select(col("key")), Seq(col("key")), "rank")
+      // sort the FULL records (key + 90B payload) — projecting the key
+      // out first would let column pruning drop the payload and the
+      // bench would sort a tenth of the claimed bytes
+      rankByOrder(recs, Seq(col("key")), "rank")
         .filter(col("rank") < 100)
         .select(hex(col("key")).as("key_hex"), col("rank"))
         .orderBy("rank")

@@ -31,7 +31,7 @@ object JoinOps {
 
     QueryDef("asof_join", (s, d) => {
       val ev = Tables.load(s, d, "events")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), col("event_id"), graft.Tables.tsUs.as("ts_us"),
           col("event_type"))
       // one click per (user, ts): deterministic among exact-tie timestamps
       val clicks = ev.filter(col("event_type") === "click")
@@ -64,7 +64,7 @@ object JoinOps {
 
     QueryDef("range_join", (s, d) => {
       val ev = Tables.load(s, d, "events")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), col("event_id"), graft.Tables.tsUs.as("ts_us"),
           col("event_type"))
       val errors = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id").as("err_id"), col("ts_us").as("err_us"),

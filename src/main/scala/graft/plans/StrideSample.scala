@@ -37,7 +37,13 @@ case class StrideSampleExec(from: Long, stride: Long, child: SparkPlan)
   override def outputPartitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val rdd = child.execute()
+    // The two passes must see the SAME rows in the SAME order: cache the
+    // child output (copying — UnsafeRow iterators reuse buffers) so the
+    // count pass doesn't trigger a full re-execution, which would also
+    // break the stride for nondeterministic children. Blocks are freed
+    // by the ContextCleaner when the RDD is unreferenced.
+    val rdd = child.execute().map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
         preservesPartitioning = true)

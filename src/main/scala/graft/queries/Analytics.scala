@@ -44,7 +44,7 @@ object Analytics {
       // parquet nanos, so the window order and output use ts_us
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       Tables.load(s, d, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), graft.Tables.tsUs.as("ts_us"),
           col("event_id"), cents.as("c"))
         .select(
           col("user_id"), col("ts_us"), col("event_id"),
@@ -88,7 +88,7 @@ object Analytics {
       val gapUs = 30L * 60L * 1000000L
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       Tables.load(s, d, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+        .select(col("user_id"), graft.Tables.tsUs.as("ts_us"), col("event_id"))
         .withColumn("new_sess",
           when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L)
             .otherwise(lit(0L)))

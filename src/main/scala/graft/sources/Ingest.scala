@@ -63,11 +63,13 @@ object Ingest {
     * source, which carries the session's Hadoop configuration to the
     * executors (credentials, fs settings) — a hand-rolled
     * `new Configuration()` in a task would not. */
-  def mapFileNames(spark: SparkSession, path: String, numPartitions: Int = 0): DataFrame = {
+  def mapFileNames(spark: SparkSession, path: String): DataFrame = {
     val names = enumerateFiles(spark, path).collect()
-    val df = spark.read.format("binaryFile").load(names: _*)
+    // binaryFile schedules one split per file — read parallelism comes
+    // from the file count; repartitioning afterwards would shuffle every
+    // content byte for nothing.
+    spark.read.format("binaryFile").load(names: _*)
       .select(col("path"), col("content"))
-    if (numPartitions > 0) df.repartition(numPartitions) else df
   }
 
   private def tmpDir(s: SparkSession, tag: String, sfDir: String): String = {
@@ -137,7 +139,10 @@ object Ingest {
         .toDF("doc_id", "n_tokens")
         .orderBy("doc_id")
     }, Some(
-      "SELECT doc_id, CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens " +
+      // empty/whitespace-only text: awk yields 0 fields, but DuckDB's
+      // string_split('') is [''] (len 1) — pin the 0 explicitly
+      "SELECT doc_id, CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 " +
+      "ELSE CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) END AS n_tokens " +
       "FROM documents ORDER BY doc_id"))
   )
 }

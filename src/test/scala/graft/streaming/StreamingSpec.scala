@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSuite {
     val schema = spark.read.parquet(dir.toString).schema
     def prep(df: org.apache.spark.sql.DataFrame) = df.select(
       col("event_type"),
-      timestamp_micros(expr("ts div 1000")).as("ts_t"),
+      timestamp_micros(graft.Tables.tsUs).as("ts_t"),
       round(col("value") * 100, 0).cast("long").as("cents"))
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
     val q = StreamOps.windowedCounts(prep(stream)).writeStream
