@@ -58,6 +58,27 @@ object EventOps {
         .orderBy("event_type")
     }, None),
 
+    // ---- Salted two-phase aggregation: the manual skew-mitigation the
+    // brief names. Phase 1 groups on (key, salt) — a hot key splits
+    // across `salt` reducers; phase 2 merges the partials. The result is
+    // identical to the plain groupBy (the oracle), demonstrated in-plan.
+    // (For pure aggregation Spark's partial agg already does this; the
+    // pattern matters when the combiner can't run map-side, e.g. exact
+    // distinct counts per key.)
+    QueryDef("salted_agg", (s, d) => {
+      val salted = Tables.load(s, d, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(round(col("value") * 100, 0).cast("long")).as("pc"))
+      salted.groupBy("user_id")
+        .agg(sum("pn").as("n_events"), sum("pc").as("sum_cents"))
+        .orderBy("user_id")
+    }, Some(
+      "SELECT user_id, count(*) AS n_events, " +
+      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM events GROUP BY user_id ORDER BY user_id")),
+
     // ---- Hot-key aggregation: groupBy on user_id. Map-side partial
     // aggregation collapses each hot key to one row per task before the
     // shuffle, so a skewed key costs O(tasks), not O(rows) — this plus

@@ -24,6 +24,15 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_cents"))
 
+  /** Streaming exact dedup: drop rows whose `content_hash` was already
+    * seen, with state bounded by the watermark (a duplicate arriving
+    * later than `lateness` after the original is out of scope — the
+    * standard stream-dedup contract). Batch-side mirror: dedup_exact. */
+  def streamingDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts_t", lateness)
+      .dropDuplicates("content_hash")
+
   case class Ev(user_id: Long, ts_us: Long)
   case class Session(var start: Long, var last: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -108,6 +108,25 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)] // (ts_us, content_hash)
+    val docs = in.toDF().toDF("ts_us", "content_hash")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val q = StreamOps.streamingDedup(docs).writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      in.addData((0L, "h1"), (10L, "h2"), (20L, "h1")) // h1 duplicated in-batch
+      q.processAllAvailable()
+      in.addData((30L, "h2"), (40L, "h3")) // h2 duplicated across batches
+      q.processAllAvailable()
+      val hashes = spark.table("dedup_stream")
+        .select("content_hash").collect().map(_.getString(0)).sorted
+      assert(hashes.toSeq == Seq("h1", "h2", "h3"))
+    } finally q.stop()
+  }
+
   test("sessionization splits on gap, emits closed sessions, holds the tail") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
