@@ -169,18 +169,17 @@ object Dedup {
         .groupBy(col("a").as("id"))
         .agg(min("bcomp").as("ncomp"))
       // `labels` feeds the plan twice per superstep, so lineage would
-      // grow exponentially — localCheckpoint truncates it every round
+      // grow exponentially — localCheckpoint truncates it every round.
+      // The change flag rides along so the fixpoint test is one cheap
+      // scan of the checkpoint, not another join.
       val next = labels.join(prop, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp").isNotNull && col("ncomp") < col("comp")).cast("long").as("chg"))
         .localCheckpoint(true)
-      // early exit at the fixpoint: both sides of this count are
-      // materialized checkpoints/caches, so it's a cheap scan
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
+      changed = next.agg(sum("chg")).collect()(0).getLong(0)
       labels.unpersist(false)
-      labels = next
+      labels = next.select("id", "comp")
       it += 1
     }
     edges.unpersist(false)
