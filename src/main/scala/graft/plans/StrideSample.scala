@@ -79,9 +79,12 @@ object StrideSample {
     * GraftExtensions for extension-built sessions). */
   def sample(df: DataFrame, from: Long, stride: Long): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(StrideSampleStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ StrideSampleStrategy
+    // registration must be race-free: Verify runs queries concurrently
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(StrideSampleStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ StrideSampleStrategy
+    }
     SqlShim.ofRows(spark, StrideSample(from, stride, SqlShim.logicalPlan(df)))
   }
 }
