@@ -136,6 +136,33 @@ object TextOps {
       "WHEN 'fr' THEN 30 ELSE 80 END " +
       "GROUP BY lang ORDER BY lang")),
 
+    // ---- Fuzzy matching: edit-distance near-dup over BLOCKED candidate
+    // pairs — blocking key = first token, so the quadratic levenshtein
+    // work is per-block, never corpus-wide (same scale shape as
+    // dedup_embedding's label blocking). Distance on the 32-char prefix.
+    QueryDef("fuzzy_pairs", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 32).as("prefix"),
+          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").getItem(0).as("blk"))
+      val a = docs.select(col("blk"), col("doc_id").as("id1"), col("prefix").as("p1"))
+      val b = docs.select(col("blk"), col("doc_id").as("id2"), col("prefix").as("p2"))
+      a.join(b, Seq("blk"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("edit_dist", levenshtein(col("p1"), col("p2")).cast("long"))
+        .filter(col("edit_dist") <= 8)
+        .select("id1", "id2", "edit_dist")
+        .orderBy("id1", "id2")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id,
+            substring(trim(regexp_replace(lower(text),'\\s+',' ','g')), 1, 32) AS prefix,
+            ($normSql)[1] AS blk FROM documents)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+          FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.prefix, b.prefix) <= 8
+          ORDER BY id1, id2""")),
+
     // ---- Document fingerprint: minimum sha256 over word 5-gram
     // shingles — a 1-permutation MinHash with a cryptographic hash, so
     // both engines agree exactly. Scale shape: per-row shingling +

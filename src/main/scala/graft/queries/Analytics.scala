@@ -39,6 +39,18 @@ object Analytics {
       "quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.75) AS p75_cents, " +
       "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // ---- Approximate quantiles: the sketch path (GK/KLL-style summary,
+    // constant memory per group) vs `quantiles`' exact sort-based path.
+    // Approximate ⇒ rows-only gate; SketchSpec bounds the error.
+    QueryDef("approx_quantiles", (s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .groupBy("event_type")
+        .agg(percentile_approx(col("c"), lit(0.5), lit(1000)).as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }, None),
+
     QueryDef("window_analytics", (s, d) => {
       // µs resolution on both sides: DuckDB TIMESTAMP truncates the
       // parquet nanos, so the window order and output use ts_us
