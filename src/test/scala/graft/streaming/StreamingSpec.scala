@@ -108,6 +108,42 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]   // (user_id, ts_us)
+    val purchases = MemoryStream[(Long, Long)]
+    // generous watermarks: this test pins JOIN semantics; eviction timing
+    // depends on micro-batch boundaries and is not under test
+    val c = clicks.toDF().toDF("c_user", "c_ts_us")
+      .withColumn("c_t", timestamp_micros(col("c_ts_us"))).withWatermark("c_t", "10 hours")
+    val p = purchases.toDF().toDF("p_user", "p_ts_us")
+      .withColumn("p_t", timestamp_micros(col("p_ts_us"))).withWatermark("p_t", "10 hours")
+    // purchase within 1 hour AFTER the click — both sides watermarked so
+    // state for expired intervals is eventually dropped
+    val joined = p.join(c,
+      expr("p_user = c_user AND p_t >= c_t AND p_t <= c_t + interval 1 hour"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      // base at a modern epoch: a row at EXACTLY epoch 0 sits on the
+      // initial watermark and is dropped from join state (observed on
+      // 4.1 — batch emits it, streaming doesn't)
+      val b = 1700000000000000L
+      clicks.addData((1L, b), (1L, b + 10L * 60L * 1000000L), (2L, b))
+      purchases.addData((1L, b + 30L * 60L * 1000000L), (2L, b + 2L * HourUs))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test")
+        .select("p_user", "p_ts_us", "c_ts_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      // user1 purchase@30min joins both clicks (0, 10min); user2's
+      // purchase is 2h after its click — outside the interval
+      assert(rows.toSeq == Seq(
+        (1L, b + 30L * 60L * 1000000L, b),
+        (1L, b + 30L * 60L * 1000000L, b + 10L * 60L * 1000000L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
