@@ -149,8 +149,10 @@ object TextOps {
       val b = docs.select(col("blk"), col("doc_id").as("id2"), col("prefix").as("p2"))
       a.join(b, Seq("blk"))
         .filter(col("id1") < col("id2"))
-        .withColumn("edit_dist", levenshtein(col("p1"), col("p2")).cast("long"))
-        .filter(col("edit_dist") <= 8)
+        // threshold-bounded levenshtein early-exits above the bound
+        // (returns -1), exact below it — same kept pairs, ~k× less work
+        .withColumn("edit_dist", levenshtein(col("p1"), col("p2"), 8).cast("long"))
+        .filter(col("edit_dist") >= 0 && col("edit_dist") <= 8)
         .select("id1", "id2", "edit_dist")
         .orderBy("id1", "id2")
     }, Some(
