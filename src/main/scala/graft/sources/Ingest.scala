@@ -119,6 +119,43 @@ object Ingest {
       "SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word FROM documents) t " +
       "WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word")),
 
+    // ---- JSON-lines round-trip: events subset → .jsonl → re-scan with
+    // explicit schema → aggregate; oracle reads the parquet original.
+    QueryDef("ingest_json", (s, d) => {
+      val dir = tmpDir(s, "json", d)
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .write.mode("overwrite").json(dir)
+      s.read.schema(StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, cents BIGINT"))
+        .json(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // ---- ORC round-trip: the other columnar format the reference's
+    // users would bring; oracle still reads the parquet original, so any
+    // encode/decode drift fails the hash.
+    QueryDef("ingest_orc", (s, d) => {
+      val dir = tmpDir(s, "orc", d)
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_cents"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      "SELECT o_orderstatus, count(*) AS n, " +
+      "CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
     // ---- External-process map: "doc_id <tokens…>" lines piped through
     // awk, which emits "doc_id token_count"; parsed back and verified
     // against DuckDB's own tokenization. Text is whitespace-normalized
