@@ -20,8 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Accumulation order is ascending-index, identical to a sequential left
   * fold, so results are bit-identical to the composed forms (and to
   * DuckDB's list_dot_product) — required by the hash-compare gate.
-  * Array elements must be non-null (guaranteed by the CAST/transform
-  * producing them); lengths may differ, the shorter prefix is used.
+  * A NULL input or a null array element yields NULL (built-in array
+  * function semantics); lengths may differ, the shorter prefix is used.
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,6 +36,10 @@ case class DotProductD(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_d"
+  // NULL inputs AND null array elements produce NULL — must be declared
+  // even when the child arrays are non-nullable, or codegen would plant
+  // `${ev.isNull} = true` into a FalseLiteral slot
+  override def nullable: Boolean = true
 
   // A NULL array element makes the whole result NULL (the semantics of
   // Spark's built-in array functions) — dot_d is SQL-exposed via

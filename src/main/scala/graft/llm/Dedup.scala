@@ -99,9 +99,11 @@ object Dedup {
     // only gate; DedupClusterSpec checks transitivity and a hand graph).
     QueryDef("dedup_clusters", (s, d) => {
       val pairs = minhashPairs(s, d, est = 0.5)
+      // at the fixpoint, comp IS each component's minimum id — it is the
+      // deterministic keeper directly
       connectedComponents(pairs.select("id1", "id2"), iters = 30)
-        .groupBy("comp")
-        .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+        .groupBy(col("comp").as("keep_id"))
+        .agg(count(lit(1)).as("cluster_size"))
         .filter(col("cluster_size") > 1)
         .orderBy("keep_id")
     }, None),
@@ -177,7 +179,7 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp").isNotNull && col("ncomp") < col("comp")).cast("long").as("chg"))
         .localCheckpoint(true)
-      changed = next.agg(sum("chg")).collect()(0).getLong(0)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
       labels.unpersist(false)
       labels = next.select("id", "comp")
       it += 1

@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   * byte-for-byte equivalent — they live here as one pair so a tweak can
   * never land on one side only (the hash gate would silently desync). */
 object TextNorm {
+  /** Normalized text: lowercased, whitespace runs collapsed, trimmed. */
+  val normText: Column = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+  /** DuckDB mirror of [[normText]]. */
+  val normTextSql: String = "trim(regexp_replace(lower(text),'\\s+',' ','g'))"
   /** Normalized whitespace-token array of `text`. */
-  val toks: Column = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+  val toks: Column = split(normText, " ")
   /** DuckDB mirror of [[toks]]. */
-  val normSql: String = "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+  val normSql: String = s"string_split($normTextSql, ' ')"
 }

@@ -118,7 +118,10 @@ object TextOps {
     // cluster-size-independent — and exactly mirrored in the oracle,
     // unlike rand()-based sampleBy.
     QueryDef("sample_stratified", (s, d) => {
-      val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+      // reduce mod a prime BEFORE the Knuth multiplier: 1000003 * 2^31.3
+      // stays far under 2^63, so ANSI mode (and DuckDB BIGINT) can never
+      // overflow no matter how large doc_id grows
+      val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L))
       val quota = when(col("lang") === "en", 10)
         .when(col("lang") === "de", 50)
         .when(col("lang") === "es", 30)
@@ -131,7 +134,7 @@ object TextOps {
         .orderBy("lang")
     }, Some(
       "SELECT lang, count(*) AS n_sampled FROM documents " +
-      "WHERE (doc_id * 2654435761) % 100 < CASE lang " +
+      "WHERE ((doc_id % 1000003) * 2654435761) % 100 < CASE lang " +
       "WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'es' THEN 30 " +
       "WHEN 'fr' THEN 30 ELSE 80 END " +
       "GROUP BY lang ORDER BY lang")),
@@ -143,8 +146,8 @@ object TextOps {
     QueryDef("fuzzy_pairs", (s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 32).as("prefix"),
-          split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").getItem(0).as("blk"))
+          substring(TextNorm.normText, 1, 32).as("prefix"),
+          TextNorm.toks.getItem(0).as("blk"))
       val a = docs.select(col("blk"), col("doc_id").as("id1"), col("prefix").as("p1"))
       val b = docs.select(col("blk"), col("doc_id").as("id2"), col("prefix").as("p2"))
       a.join(b, Seq("blk"))
@@ -157,7 +160,7 @@ object TextOps {
         .orderBy("id1", "id2")
     }, Some(
       s"""WITH t AS (SELECT doc_id,
-            substring(trim(regexp_replace(lower(text),'\\s+',' ','g')), 1, 32) AS prefix,
+            substring(${TextNorm.normTextSql}, 1, 32) AS prefix,
             ($normSql)[1] AS blk FROM documents)
           SELECT a.doc_id AS id1, b.doc_id AS id2,
             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist

@@ -63,13 +63,35 @@ object Ingest {
     * source, which carries the session's Hadoop configuration to the
     * executors (credentials, fs settings) — a hand-rolled
     * `new Configuration()` in a task would not. */
-  def mapFileNames(spark: SparkSession, path: String): DataFrame = {
-    val names = enumerateFiles(spark, path).collect()
-    // binaryFile schedules one split per file — read parallelism comes
-    // from the file count; repartitioning afterwards would shuffle every
-    // content byte for nothing.
-    spark.read.format("binaryFile").load(names: _*)
-      .select(col("path"), col("content"))
+  def mapFileNames(spark: SparkSession, path: String, numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // distribute the (tiny) NAME strings, read contents per task — the
+    // many-small-files case then parallelizes by numPartitions, and only
+    // names ever shuffle. The session's Hadoop configuration is shipped
+    // as a broadcast key-value list (credentials, fs settings).
+    val confB = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toList)
+    val names = enumerateFiles(spark, path)
+    val dist = if (numPartitions > 0) names.repartition(numPartitions) else names
+    dist.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confB.value.foreach { case (k, v) => conf.set(k, v) }
+      it.map { name =>
+        val p = new org.apache.hadoop.fs.Path(name)
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
+        require(len <= Int.MaxValue - 8,
+          s"$name is ${len}B — too large for a whole-file read; use a splittable source")
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(0, buf)
+          (name, buf)
+        } finally in.close()
+      }
+    }.toDF("path", "content")
   }
 
   private def tmpDir(s: SparkSession, tag: String, sfDir: String): String = {
@@ -176,9 +198,9 @@ object Ingest {
         .toDF("doc_id", "n_tokens")
         .orderBy("doc_id")
     }, Some(
-      // empty/whitespace-only text: awk yields 0 fields, but DuckDB's
-      // string_split('') is [''] (len 1) — pin the 0 explicitly
-      "SELECT doc_id, CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 " +
+      // empty/whitespace-only/NULL text: awk yields 0 fields; DuckDB's
+      // string_split('') is [''] (len 1) and NULL propagates — pin 0
+      "SELECT doc_id, CASE WHEN text IS NULL OR trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0 " +
       "ELSE CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) END AS n_tokens " +
       "FROM documents ORDER BY doc_id"))
   )

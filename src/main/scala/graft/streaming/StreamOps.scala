@@ -27,11 +27,14 @@ object StreamOps {
   /** Streaming exact dedup: drop rows whose `content_hash` was already
     * seen, with state bounded by the watermark (a duplicate arriving
     * later than `lateness` after the original is out of scope — the
-    * standard stream-dedup contract). Batch-side mirror: dedup_exact. */
+    * standard stream-dedup contract). dropDuplicatesWithinWatermark is
+    * the API with bounded state for non-event-time keys — plain
+    * dropDuplicates(hash) would keep every hash ever seen forever.
+    * Batch-side mirror: dedup_exact. */
   def streamingDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
     docs
       .withWatermark("ts_t", lateness)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   case class Ev(user_id: Long, ts_us: Long)
   case class Session(var start: Long, var last: Long, var n: Long)

@@ -19,7 +19,7 @@ class IngestSpec extends SparkSuite {
 
   test("mapFileNames reads every enumerated file's bytes") {
     val base = "target/graft-tmp/enum_test"
-    val rows = Ingest.mapFileNames(spark, base).collect()
+    val rows = Ingest.mapFileNames(spark, base, numPartitions = 2).collect()
     val byName = rows.map(r => (r.getString(0).split('/').last,
       new String(r.getAs[Array[Byte]](1), "UTF-8"))).toMap
     assert(byName == Map("a.txt" -> "alpha", "b.txt" -> "beta", "c.txt" -> "gamma"))
