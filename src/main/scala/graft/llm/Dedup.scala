@@ -203,12 +203,11 @@ object Dedup {
     val gh = shingles(s, d).select(col("doc_id"),
       (xxhash64(col("gram")).bitwiseAND(lit(2147483647L))).as("h1"),
       (xxhash64(concat(col("gram"), lit("!"))).bitwiseAND(lit(2147483645L)) + 1).as("h2"))
-    val minCols = (0 until 64).map { j =>
-      min(pmod(col("h1") + lit(j.toLong) * col("h2"), lit(2147483647L))).as(s"m$j")
-    }
+    // one native buffer aggregate (graft.functions.MinHashAgg) instead of
+    // 64 min() columns — same values bit-for-bit, one tight loop per
+    // shingle, still map-side partially aggregated
     val sig = gh.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until 64).map(j => col(s"m$j")): _*).as("sig"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h1"), col("h2")).as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 15), b -> " +
           "struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("bb"))
