@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // Pass forked-run stdout through unprefixed so Bench's JSON line stays parseable
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Keep the Bench/Verify JSON line the LAST line of stdout: sbt's
+// "[success] Total time ..." trailer otherwise lands after it and breaks
+// last-line JSON parsing in the harness.
+Global / showSuccess := false

@@ -44,14 +44,20 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    // Millisecond precision keeps the line compact: the harness captures only
+    // a bounded tail of stdout, and a 70+-query map at full double precision
+    // overflowed it in round 2 (truncated line -> unparseable).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
-    println(line)
     spark.stop()
+    // Printed after spark.stop() so it is the final line of stdout
+    // (build.sbt sets showSuccess := false to keep it that way).
+    println(line)
   }
 }

@@ -202,7 +202,9 @@ object Dedup {
     // (map-side partial min → one 64-long row per doc per task shuffles).
     val gh = shingles(s, d).select(col("doc_id"),
       (xxhash64(col("gram")).bitwiseAND(lit(2147483647L))).as("h1"),
-      (xxhash64(concat(col("gram"), lit("!"))).bitwiseAND(lit(2147483645L)) + 1).as("h2"))
+      // pmod, not a bitmask: AND-ing with 0x7FFFFFFD cleared bit 1 and
+      // halved the h2 seed space. pmod(x, P-1)+1 is uniform on [1, P-1].
+      (pmod(xxhash64(concat(col("gram"), lit("!"))), lit(2147483646L)) + 1).as("h2"))
     // one native buffer aggregate (graft.functions.MinHashAgg) instead of
     // 64 min() columns — same values bit-for-bit, one tight loop per
     // shingle, still map-side partially aggregated

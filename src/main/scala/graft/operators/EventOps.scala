@@ -34,13 +34,15 @@ object EventOps {
     QueryDef("events_window", (s, d) => {
       Tables.load(s, d, "events")
         .select(col("event_type"),
-          floor(col("ts") / lit(3600000000000L)).as("hour_bucket"),
+          // Integer division, NOT floor(a/b): nanos-since-epoch exceeds
+          // 2^53, so double division quantizes near bucket boundaries.
+          expr("ts div 3600000000000").as("hour_bucket"),
           round(col("value") * 100, 0).cast("long").as("cents"))
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .orderBy("event_type", "hour_bucket")
     }, Some(
-      "SELECT event_type, CAST(floor(epoch_ns(ts)/3600000000000) AS BIGINT) AS hour_bucket, " +
+      "SELECT event_type, CAST(epoch_ns(ts)//3600000000000 AS BIGINT) AS hour_bucket, " +
       "count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
 

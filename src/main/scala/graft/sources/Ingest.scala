@@ -19,10 +19,26 @@ import org.apache.spark.sql.types.StructType
 object Ingest {
 
   /** kmr_map_getline parity: one record per line with its global line
-    * number (two-phase zipWithIndex — no single-task stage). */
+    * number, numbered in lexical file order then byte order within each
+    * file. Spark orders splits by size (descending) for bin-packing, so a
+    * bare zipWithIndex would number lines in an input-layout-dependent
+    * order on multi-file input; instead each record is tagged with its
+    * (file, byte offset) from the Hadoop split, range-sorted on that key
+    * (sampling sort — no single-task stage), then indexed two-phase. */
   def readTextLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).rdd.zipWithIndex
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.{FileSplit, TextInputFormat}
+    val tagged = spark.sparkContext
+      .hadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+      .asInstanceOf[org.apache.spark.rdd.HadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        // Text/LongWritable objects are reused by the record reader —
+        // extract immutable values before the iterator advances.
+        it.map { case (off, line) => (file, off.get, line.toString) }
+      }
+    tagged.sortBy(r => (r._1, r._2)).map(_._3).zipWithIndex
       .map { case (l, i) => (i, l) }.toDF("line_no", "line")
   }
 

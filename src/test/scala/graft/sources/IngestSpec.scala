@@ -35,6 +35,22 @@ class IngestSpec extends SparkSuite {
     assert(rows.head._2 == "line1" && rows.last._2 == "line100")
   }
 
+  test("readTextLines numbers multi-file input in lexical file order, not split-size order") {
+    // a.txt is the SMALLEST file: Spark orders splits by size descending,
+    // so a naive zipWithIndex would number c/b before a. Lexical order is
+    // the kmr_map_getline contract.
+    val base = Paths.get("target/graft-tmp/lines_multi")
+    Files.createDirectories(base)
+    Files.writeString(base.resolve("a.txt"), "a1")
+    Files.writeString(base.resolve("b.txt"), (1 to 50).map(i => s"b$i").mkString("\n"))
+    Files.writeString(base.resolve("c.txt"), (1 to 200).map(i => s"c$i").mkString("\n"))
+    val rows = Ingest.readTextLines(spark, base.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 251L))
+    assert(rows.map(_._2).toSeq ==
+      Seq("a1") ++ (1 to 50).map(i => s"b$i") ++ (1 to 200).map(i => s"c$i"))
+  }
+
   test("PipeRun: shell mapper + shell reducer wordcount matches the DataFrame result") {
     import org.apache.spark.sql.functions._
     // write the corpus as text, wordcount it with awk executables only
