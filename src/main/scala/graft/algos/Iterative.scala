@@ -34,7 +34,12 @@ object Iterative {
       .persist()
     edgesW.count()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
-    ranks.count()
+    // Generations are persisted LAZILY and materialized only at each
+    // lineage-truncation point: one Spark job computes the whole window
+    // of supersteps (each persisted generation caches as it is first
+    // computed within that job), instead of a driver-synchronized job
+    // per iteration. Same math, ~5× fewer scheduling round-trips.
+    val window = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (i <- 1 to iters) {
       val contribs = edgesW
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -43,11 +48,16 @@ object Iterative {
       val next = nodes.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
-      val materialized =
-        if (i % 5 == 0 || i == iters) next.localCheckpoint(true)
-        else { val p = next.persist(); p.count(); p }
-      ranks.unpersist(false)
-      ranks = materialized
+      ranks =
+        if (i % 5 == 0 || i == iters) {
+          // eager checkpoint runs the window's chain; afterwards the
+          // intermediate generations are dead — drop their cache entries
+          val m = next.localCheckpoint(true)
+          window.foreach(_.unpersist(false))
+          window.clear()
+          window += m
+          m
+        } else { val p = next.persist(); window += p; p }
     }
     edgesW.unpersist(false)
     nodes.unpersist(false)
@@ -65,51 +75,54 @@ object Iterative {
     require(iters >= 1, s"kMeans needs at least one iteration, got $iters")
     val v = vecs.select(col("id"), col("e"), dotD(col("e"), col("e")).as("sq")).persist()
     v.count()
+    val dim = v.select(size(col("e"))).first().getInt(0)
     var centroids = v.orderBy("id").limit(k)
       .select(col("id").as("cid"), col("e").as("ce"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val history = Seq.newBuilder[Double]
-    var assigned: DataFrame = null
-    for (i <- 1 to iters) {
-      val cdf = v.sparkSession.createDataFrame(
-        centroids.map { case (cid, ce) => (cid, ce.toSeq) }.toSeq)
-        .toDF("cid", "ce")
-      val withDist = v.crossJoin(broadcast(cdf))
-        .select(col("id"), col("e"),
-          (col("sq") - lit(2.0) * dotD(col("e"), col("ce")) +
-            dotD(col("ce"), col("ce"))).as("d2"), col("cid"))
-      // nearest centroid via min-struct aggregate (map-side partial agg;
-      // cheaper than a per-id window) with cid as the deterministic tie-break
-      assigned = withDist
-        .groupBy("id")
-        .agg(first("e").as("e"), min(struct(col("d2"), col("cid"))).as("m"))
+
+    // Assignment is SHUFFLE-FREE: k is small, so the k centroids ride
+    // into the plan as literals and the nearest one is least() over k
+    // (d2, cid) structs — a narrow codegen'd projection over the cached
+    // vectors, no crossJoin row explosion, no per-id re-aggregation.
+    // ‖c‖² is folded on the driver (same left-to-right summation as
+    // dotD, so distances are bit-identical to the joined formulation).
+    def assign(cs: Array[(Long, Array[Double])]): DataFrame = {
+      val structs = cs.map { case (cid, ce) =>
+        val ceCol = array(ce.map(lit).toIndexedSeq: _*)
+        val cc = ce.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct((col("sq") - lit(2.0) * dotD(col("e"), ceCol) + lit(cc)).as("d2"),
+          lit(cid).as("cid"))
+      }
+      val nearest = if (structs.length == 1) structs.head
+        else least(structs.toIndexedSeq: _*)
+      v.select(col("id"), col("e"), nearest.as("m"))
         .select(col("id"), col("e"), col("m.cid").as("cid"), col("m.d2").as("d2"))
-        .persist()
-      history += assigned.agg(sum("d2")).collect()(0).getDouble(0)
-      // component-wise means: explode to (cid, pos, x), average, re-pack
-      val means = assigned
-        .select(col("cid"), posexplode(col("e")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg("col").as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> x.m)").as("ce"))
+    }
+
+    val history = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val assigned = assign(centroids)
+      // ONE flat aggregate per iteration: per-cluster count, inertia
+      // contribution, and all component sums (map-side partial agg; the
+      // shuffle is k rows × (dim+2) columns) — replaces the previous
+      // posexplode + double groupBy + separate inertia job.
+      val aggCols = count(lit(1)).as("cnt") +: sum("d2").as("sd2") +:
+        (0 until dim).map(i => sum(col("e").getItem(i)).as(s"s$i"))
+      // stats row layout: cid(0), cnt(1), sd2(2), s0..s{dim-1} from 3
+      val stats = assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*).collect()
+      history += stats.map(_.getDouble(2)).sum
+      val updated = stats.map { r =>
+        val cnt = r.getLong(1)
+        (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(3 + i) / cnt))
+      }.toMap
       // a cluster that lost all members keeps its previous centroid
       // (Lloyd's convention) instead of silently vanishing below k
-      val updated = means.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
       centroids = centroids.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
-      if (i < iters) assigned.unpersist(false)
-      else {
-        // final generation: truncate lineage so the caller's use doesn't
-        // replay the whole iteration, then drop the loop's cache entry
-        val fin = assigned.localCheckpoint(true)
-        assigned.unpersist(false)
-        assigned = fin
-      }
     }
-    v.unpersist(false)
-    (assigned, history.result())
+    // Final assignment: a narrow map over the cached vectors — cheap to
+    // evaluate lazily, O(1) lineage, no checkpoint needed. v stays
+    // cached for the caller's consumption of the result.
+    (assign(centroids), history.result())
   }
 
   val defs: Seq[QueryDef] = Seq(

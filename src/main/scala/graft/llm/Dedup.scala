@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines (the
@@ -33,6 +33,39 @@ object Dedup {
         grams AS (SELECT DISTINCT doc_id,
           unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
           FROM toks WHERE len(w) >= 3)"""
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
+    * non-negative long. md5 produces identical hex in Spark and DuckDB,
+    * so signature pipelines built on it are oracle-able bit-for-bit
+    * (unlike xxhash64, which exists only in Spark). */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Long]]: fold the 15 hex digits into a BIGINT
+    * (DuckDB has no hex→int conv; strpos on the digit alphabet is the
+    * per-char value, '0' falls out as strpos-miss 0). */
+  private def md5LongSql(e: String): String =
+    "CAST(list_sum(list_transform(range(1, 16), i -> " +
+    s"(strpos('123456789abcdef', substr(md5($e), i, 1))::BIGINT << (4*(15-i))))) AS BIGINT)"
+
+  /** Shared oracle CTE chain (appended after [[shinglesSql]]): MinHash
+    * signatures + LSH band candidates with their matching-position count.
+    * Mirrors [[minhashPairs]] exactly — same hashes, same permutation
+    * family, same banding. */
+  private val minhashSql =
+    s""", gh AS (SELECT doc_id,
+          ${md5LongSql("gram")} % 2147483647 AS h1,
+          ${md5LongSql("gram || '!'")} % 2147483646 + 1 AS h2 FROM grams),
+        perm AS (SELECT doc_id, j, min((h1 + j*h2) % 2147483647) AS m
+          FROM gh, (SELECT unnest(range(0, 64)) AS j) js GROUP BY 1, 2),
+        sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM perm GROUP BY 1),
+        bands AS (SELECT doc_id, sig, bd, sig[bd*4+1 : bd*4+4] AS bk
+          FROM sigs, (SELECT unnest(range(0, 16)) AS bd) bs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+          FROM bands a JOIN bands b
+          ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -85,18 +118,23 @@ object Dedup {
          WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.6
          ORDER BY id1, id2""".stripMargin)),
 
-    // ---- MinHash + LSH banding: 64 fixed-seed permutations approximated
-    // by min(xxhash64(gram # seed)); 16 bands × 4 rows. Candidates =
-    // equality join on (band, band-hash); estimated J = matching
-    // signature fraction. Hash functions are engine-specific, so there is
-    // no SQL oracle — the MinHashSpec asserts recall against exact
-    // Jaccard instead.
-    QueryDef("dedup_minhash", (s, d) => minhashPairs(s, d, est = 0.5), None),
+    // ---- MinHash + LSH banding: 64 fixed-seed permutations over
+    // md5-derived shingle hashes; 16 bands × 4 rows. Candidates =
+    // equality join on (band, band-signature); similarity = count of
+    // matching signature positions (exact integer — no float rounding in
+    // the gate). md5 is engine-portable, so the DuckDB oracle replays
+    // the identical pipeline; LlmSpec additionally asserts recall
+    // against exact Jaccard.
+    QueryDef("dedup_minhash", (s, d) => minhashPairs(s, d, est = 0.5), Some(
+      shinglesSql + minhashSql +
+      " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32 ORDER BY id1, id2")),
 
     // ---- Cluster the near-dup pairs into groups and pick one keeper
     // per group — the step that turns pairwise similarity into an actual
-    // deduplicated corpus. Components via min-label propagation (rows-
-    // only gate; DedupClusterSpec checks transitivity and a hand graph).
+    // deduplicated corpus. Components via min-label propagation on Spark;
+    // the oracle recomputes them as a recursive-CTE transitive closure
+    // over the same (oracled) minhash pair set. DedupClusterSpec checks
+    // transitivity and a hand graph besides.
     QueryDef("dedup_clusters", (s, d) => {
       val pairs = minhashPairs(s, d, est = 0.5)
       // at the fixpoint, comp IS each component's minimum id — it is the
@@ -106,31 +144,45 @@ object Dedup {
         .agg(count(lit(1)).as("cluster_size"))
         .filter(col("cluster_size") > 1)
         .orderBy("keep_id")
-    }, None),
+    }, Some(
+      shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashSql +
+      """, cpairs AS (SELECT id1, id2 FROM cand WHERE n_match >= 32),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM cpairs
+                   UNION SELECT id2, id1 FROM cpairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS cluster_size
+         FROM comps GROUP BY comp HAVING count(*) > 1 ORDER BY keep_id""")),
 
-    // ---- SimHash: 64-bit sign-of-weighted-bit-votes fingerprint over
-    // tokens; candidates via 4 bands of 16 bits (hamming ≤ 3 guarantees
-    // one exact band match by pigeonhole); verified by bit_count(xor).
+    // ---- SimHash: 60-bit sign-of-weighted-bit-votes fingerprint over
+    // tokens (60 bits = one md5-derived portable hash word); candidates
+    // via 4 bands of 15 bits (hamming ≤ 3 guarantees one exact band
+    // match by pigeonhole); verified by bit_count(xor). md5-portable ⇒
+    // the DuckDB oracle replays the identical pipeline.
     QueryDef("dedup_simhash", (s, d) => {
-      // explode + 64 codegen'd sum aggregates (higher-order array folds
+      // explode + 60 codegen'd sum aggregates (higher-order array folds
       // are interpreted expressions — a flat HashAggregate with map-side
-      // partial aggregation is both faster and shuffle-light: one 64-int
+      // partial aggregation is both faster and shuffle-light: one 60-int
       // vote row per doc per task crosses the wire).
       val th = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(toks).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val voteCols = (0 until 64).map { k =>
+        .select(col("doc_id"), md5Long(col("t")).as("h"))
+      val voteCols = (0 until 60).map { k =>
         sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$k")
       }
       val sig = th.groupBy("doc_id")
         .agg(voteCols.head, voteCols.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(k =>
+          (0 until 60).map(k =>
             when(col(s"v$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
             .reduce(_ + _).as("sim"))
       val bands = sig.select(col("doc_id"), col("sim"),
           explode(expr("transform(sequence(0, 3), b -> " +
-            "struct(b AS band, (shiftright(sim, b*16) & 65535) AS bits))")).as("bb"))
+            "struct(b AS band, (shiftright(sim, b*15) & 32767) AS bits))")).as("bb"))
         .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bits"))
       bands.as("a")
         .join(bands.as("b"),
@@ -141,7 +193,23 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("id1", "id2")
-    }, None)
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, $normSql AS w FROM documents),
+         th AS (SELECT doc_id, ${md5LongSql("t")} AS h
+           FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
+         votes AS (SELECT doc_id, k,
+           sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th, (SELECT unnest(range(0, 60)) AS k) ks GROUP BY 1, 2),
+         sims AS (SELECT doc_id,
+           CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS sim
+           FROM votes GROUP BY 1),
+         bands AS (SELECT doc_id, sim, bd, (sim >> (bd*15)) & 32767 AS bits
+           FROM sims, (SELECT unnest(range(0, 4)) AS bd) bs),
+         pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+           FROM bands a JOIN bands b
+           ON a.bd = b.bd AND a.bits = b.bits AND a.doc_id < b.doc_id)
+         SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2"""))
   )
 
   /** Connected components of an undirected pair graph by iterative
@@ -191,38 +259,40 @@ object Dedup {
     labels
   }
 
-  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ `est`.
-    * Exposed for the recall spec. */
+  /** MinHash-LSH candidate pairs whose signatures agree on at least
+    * ceil(est·64) positions (estimated Jaccard ≥ `est`). Exposed for the
+    * recall spec. */
   def minhashPairs(s: SparkSession, d: String, est: Double): DataFrame = {
-    // Each shingle is hashed ONCE (two independent hashes); the 64
-    // permutations are the universal family h_j = (h1 + j*h2) mod
+    // Each shingle is hashed ONCE (two independent md5-portable hashes);
+    // the 64 permutations are the universal family h_j = (h1 + j*h2) mod
     // (2^31-1) — the Mersenne-prime modulus decorrelates permutations and
     // 31-bit operands keep ANSI arithmetic far from overflow (63·2^31).
-    // Signature = 64 codegen'd min-aggregates over the exploded shingles
-    // (map-side partial min → one 64-long row per doc per task shuffles).
+    // % (not pmod) suffices: md5Long is non-negative by construction.
     val gh = shingles(s, d).select(col("doc_id"),
-      (xxhash64(col("gram")).bitwiseAND(lit(2147483647L))).as("h1"),
-      // pmod, not a bitmask: AND-ing with 0x7FFFFFFD cleared bit 1 and
-      // halved the h2 seed space. pmod(x, P-1)+1 is uniform on [1, P-1].
-      (pmod(xxhash64(concat(col("gram"), lit("!"))), lit(2147483646L)) + 1).as("h2"))
+      (md5Long(col("gram")) % 2147483647L).as("h1"),
+      (md5Long(concat(col("gram"), lit("!"))) % 2147483646L + 1).as("h2"))
     // one native buffer aggregate (graft.functions.MinHashAgg) instead of
     // 64 min() columns — same values bit-for-bit, one tight loop per
     // shingle, still map-side partially aggregated
     val sig = gh.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhashSig(col("h1"), col("h2")).as("sig"))
+    // band key = the 4 signature values themselves (array equality join):
+    // hashing them again would only re-bucket exact-equal keys, and the
+    // raw key is what the oracle can reproduce portably
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 15), b -> " +
-          "struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+          "struct(b AS band, slice(sig, b*4+1, 4) AS bk))")).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bk"))
+    val minMatch = math.ceil(est * 64).toLong
     bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        round(expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) / CAST(64 AS DOUBLE)"), 4)
-          .as("est_jaccard"))
+        expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_match"))
       .distinct()
-      .filter(col("est_jaccard") >= est)
+      .filter(col("n_match") >= minMatch)
       .orderBy("id1", "id2")
   }
 }

@@ -174,12 +174,13 @@ object CoreOps {
       // 10-byte binary keys (generated, deterministic), globally sorted
       // by unsigned-bytewise key order — Spark's RangePartitioner IS
       // kmr_sort_large's sampling sort, and BinaryType ordering is memcmp
-      // (asserted in KVSSpec). n scales with the testdata sf so the bench
-      // measures sort throughput, not generator startup. Output: the
-      // first 100 keys with their ranks (deterministic digest of the
-      // order). No SQL oracle — keys are engine-hash-derived.
-      val sf = "sf([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1).toDouble).getOrElse(0.01)
-      val n = math.max(10000L, (sf * 10000000L).toLong)
+      // (asserted in KVSSpec). n is derived from the events row count
+      // (= 10·|events|, i.e. sf·10M) so the bench measures sort
+      // throughput, not generator startup, and the oracle can derive the
+      // same n from the same table. Output: the first 100 keys with
+      // their ranks — SQL-oracled because sha256 hex is engine-portable
+      // and fixed-width lowercase-hex order == memcmp byte order.
+      val n = math.max(10000L, Tables.load(s, d, "events").count() * 10)
       val recs = s.range(n).select(
         unhex(substring(sha2(col("id").cast("string"), 256), 1, 20)).as("key"),
         concat(lpad(col("id").cast("string"), 10, "0"),
@@ -191,20 +192,36 @@ object CoreOps {
         .filter(col("rank") < 100)
         .select(hex(col("key")).as("key_hex"), col("rank"))
         .orderBy("rank")
-    }, None),
+    }, Some(
+      "WITH ids AS (SELECT unnest(range(greatest(10000, (SELECT count(*) FROM events) * 10))) AS id), " +
+      "keyed AS (SELECT upper(substr(sha256(CAST(id AS VARCHAR)), 1, 20)) AS key_hex FROM ids) " +
+      "SELECT key_hex, CAST(row_number() OVER (ORDER BY key_hex) - 1 AS BIGINT) AS rank " +
+      "FROM keyed ORDER BY key_hex LIMIT 100")),
 
     QueryDef("histogram_ranks", (s, d) => {
-      // Partition-count statistics (mean/min/max over per-partition
-      // element counts). Not SQL-expressible — driver records rows>0.
-      Tables.load(s, d, "events").repartition(32)
-        .groupBy(spark_partition_id().as("pid"))
+      // kmr_histogram_count_by_ranks under key_as_rank placement: the
+      // application pins each record to rank (event_id mod 32) via the
+      // KVS placeByKey partitioner, then counts elements per PHYSICAL
+      // partition (spark_partition_id). Because placement is explicit,
+      // the per-rank histogram is data-determined and SQL-oracle-able —
+      // the oracle recomputes it as event_id % 32 with no partitioning.
+      import s.implicits._
+      val kvs = graft.core.KVS(Tables.load(s, d, "events")
+        .select(col("event_id").cast("long"), lit(1L))
+        .as[(Long, Long)])
+        .placeByKey(32)(k => (k % 32).toInt)
+      kvs.ds.toDF("event_id", "one")
+        .groupBy(spark_partition_id().cast("long").as("rank"))
         .agg(count(lit(1)).as("cnt"))
         .agg(
-          count(lit(1)).as("n_partitions"),
+          count(lit(1)).as("n_ranks"),
           min("cnt").as("min_cnt"),
           max("cnt").as("max_cnt"),
           round(avg("cnt"), 2).as("avg_cnt"))
-    }, None)
+    }, Some(
+      "SELECT CAST(count(*) AS BIGINT) AS n_ranks, min(cnt) AS min_cnt, max(cnt) AS max_cnt, " +
+      "round(avg(cnt), 2) AS avg_cnt FROM (" +
+      "SELECT event_id % 32 AS rank, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1) t"))
   )
 
   /** Two-phase distributed non-inclusive prefix sum over a unique total

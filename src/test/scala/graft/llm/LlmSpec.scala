@@ -24,7 +24,7 @@ class LlmSpec extends SparkSuite {
     val exact = Dedup.defs.find(_.name == "dedup_jaccard").get.fn(spark, sfDir)
       .select(col("id1"), col("id2"), col("jaccard"))
     val est = Dedup.minhashPairs(spark, sfDir, est = 0.5)
-      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .select(col("id1"), col("id2"), (col("n_match") / 64.0).as("est_jaccard"))
     val both = exact.join(est, Seq("id1", "id2")).collect()
     assert(both.nonEmpty)
     both.foreach { r =>
