@@ -27,7 +27,15 @@ object Bench {
     Tables.load(spark, sfDir, "nation").count()
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=pagerank,dedup_clusters (full run when unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timings = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val err: Option[String] =

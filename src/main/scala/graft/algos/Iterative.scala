@@ -23,16 +23,21 @@ object Iterative {
     * Simplified variant: dangling-node mass is not redistributed
     * (matches the reference's per-edge formulation). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().persist()
+    // The caller's edge plan may be arbitrarily expensive (a join +
+    // distinct here) and is referenced three times below (nodes union ×1,
+    // edgesW ×2) — persist it so the upstream build runs exactly once.
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count().toDouble
     // Weighted edges (1/outdegree) computed ONCE and persisted — the loop
     // body touches only (edgesW ⋈ ranks), never the raw edge build.
-    val edgesW = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    val edgesW = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .persist()
     edgesW.count()
+    e.unpersist(false)
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
     // Generations are persisted LAZILY and materialized only at each
     // lineage-truncation point: one Spark job computes the whole window

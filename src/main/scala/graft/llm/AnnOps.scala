@@ -63,7 +63,35 @@ object AnnOps {
           SELECT qid, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
           FROM ranked WHERE rk <= $TOPK ORDER BY qid, rk""")),
 
-    QueryDef("ann_ivf_topk", (s, d) => ivfTopk(s, d), None),
+    // Deterministic end-to-end (centroid stub = first K vectors; every
+    // float op is a sequential-order dot/product both engines share), so
+    // the whole IVF pipeline — assignment, probe, bucket join, re-rank —
+    // is DuckDB-oracled, not just rows-checked.
+    QueryDef("ann_ivf_topk", (s, d) => ivfTopk(s, d), Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+          cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn WHERE vec_id < $K),
+          assigned AS (
+            SELECT vec_id, e, nrm, cid FROM (
+              SELECT a.vec_id, a.e, a.nrm, c.cid,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY list_dot_product(c.ce, a.e)/(c.cnrm*a.nrm) DESC, c.cid) AS ark
+              FROM vn a, cents c) t WHERE ark = 1),
+          q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id < $NQUERY),
+          probes AS (
+            SELECT qid, qe, qnrm, cid FROM (
+              SELECT q.qid, q.qe, q.qnrm, c.cid,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_dot_product(c.ce, q.qe)/(c.cnrm*q.qnrm) DESC, c.cid) AS prk
+              FROM q, cents c) t WHERE prk <= $NPROBE),
+          cand AS (
+            SELECT p.qid, a.vec_id, list_dot_product(p.qe, a.e)/(p.qnrm*a.nrm) AS cos
+            FROM assigned a JOIN probes p ON a.cid = p.cid
+            WHERE a.vec_id <> p.qid),
+          ranked AS (SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cand)
+          SELECT qid, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+          FROM ranked WHERE rk <= $TOPK ORDER BY qid, rk""")),
 
     // ---- Embedding-cosine near-dup with metadata BLOCKING: candidate
     // pairs come from an equality self-join on the blocking key (label),

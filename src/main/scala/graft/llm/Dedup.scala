@@ -228,8 +228,10 @@ object Dedup {
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+    // seed comp = min(self, direct neighbors) — the same aggregation a
+    // first superstep would do, so convergence needs one round fewer
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), col("a")).as("comp")).persist()
     labels.count()
     var changed = 1L
     var it = 0
