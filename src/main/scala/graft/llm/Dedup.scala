@@ -38,13 +38,13 @@ object Dedup {
     * non-negative long. md5 produces identical hex in Spark and DuckDB,
     * so signature pipelines built on it are oracle-able bit-for-bit
     * (unlike xxhash64, which exists only in Spark). */
-  private def md5Long(c: Column): Column =
+  private[llm] def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB twin of [[md5Long]]: fold the 15 hex digits into a BIGINT
     * (DuckDB has no hex→int conv; strpos on the digit alphabet is the
     * per-char value, '0' falls out as strpos-miss 0). */
-  private def md5LongSql(e: String): String =
+  private[llm] def md5LongSql(e: String): String =
     "CAST(list_sum(list_transform(range(1, 16), i -> " +
     s"(strpos('123456789abcdef', substr(md5($e), i, 1))::BIGINT << (4*(15-i))))) AS BIGINT)"
 
