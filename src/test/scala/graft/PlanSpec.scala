@@ -81,4 +81,20 @@ class PlanSpec extends SparkSuite {
     val p = planString(q("q3_topk"))
     assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
   }
+
+  test("seq_pack has no unpartitioned Window (runs on the two-phase prefix sum)") {
+    // the global running token total must come from prefixSumLong's
+    // range-partition + driver-carry design — a Window.orderBy would be a
+    // single-task funnel at scale
+    val p = planString(q("seq_pack"))
+    assert(!p.contains("Window"), s"seq_pack fell back to a window funnel:\n$p")
+  }
+
+  test("rep_tokens and split_assign are scan-side only (no joins, no windows)") {
+    Seq("rep_tokens", "split_assign").foreach { name =>
+      val p = planString(q(name))
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$name should be a map-only scan + aggregate:\n$p")
+    }
+  }
 }
