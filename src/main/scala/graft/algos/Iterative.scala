@@ -38,6 +38,15 @@ object Iterative {
       .persist()
     edgesW.count()
     e.unpersist(false)
+    // Nodes with no in-edges keep the constant rank (1-d)/n forever —
+    // that set is static, so it is computed ONCE and unioned into each
+    // generation instead of re-deriving it with a per-superstep
+    // left-outer join against the full node set.
+    val noIn = nodes
+      .join(edgesW.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), lit((1 - damping) / n).as("rank"))
+      .persist()
+    noIn.count()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
     // Generations are persisted LAZILY and materialized only at each
     // lineage-truncation point: one Spark job computes the whole window
@@ -50,9 +59,10 @@ object Iterative {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") * col("w")).as("m"))
-      val next = nodes.join(contribs, Seq("id"), "left_outer")
+      val next = contribs
         .select(col("id"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+          (lit((1 - damping) / n) + lit(damping) * col("m")).as("rank"))
+        .union(noIn)
       ranks =
         if (i % 5 == 0 || i == iters) {
           // eager checkpoint runs the window's chain; afterwards the
@@ -66,6 +76,7 @@ object Iterative {
     }
     edgesW.unpersist(false)
     nodes.unpersist(false)
+    noIn.unpersist(false)
     ranks
   }
 
