@@ -93,6 +93,30 @@ object AnnOps {
           SELECT qid, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
           FROM ranked WHERE rk <= $TOPK ORDER BY qid, rk""")),
 
+    // ---- Int8 symmetric quantization of the embedding column — the
+    // compression step a 100 TB vector store runs before ANN (4× smaller
+    // vectors, SIMD-friendly int dot products downstream). Map-only scan:
+    // per-vector scale = max |x|, q_i = round(x_i·127/scale). The gate
+    // checks scale and the exact integer L1 mass of each quantized
+    // vector; every float op is per-row and order-fixed, so DuckDB
+    // replays it bit-for-bit.
+    QueryDef("embed_quantize", (s, d) => {
+      val v = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      v.select(col("vec_id"), col("e"),
+          expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))").as("scale"))
+        .filter(col("scale") > 0)
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          expr("CAST(aggregate(transform(e, x -> abs(CAST(round((x*127)/scale, 0) AS BIGINT))), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)").as("l1_q"))
+        .orderBy("vec_id")
+    }, Some(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+           CAST(list_sum(list_transform(e, x -> abs(CAST(round((x*127)/scale, 0) AS BIGINT)))) AS BIGINT) AS l1_q
+         FROM sc WHERE scale > 0 ORDER BY vec_id""")),
+
     // ---- Embedding-cosine near-dup with metadata BLOCKING: candidate
     // pairs come from an equality self-join on the blocking key (label),
     // so the quadratic cost is per-block, not corpus-wide — the classic

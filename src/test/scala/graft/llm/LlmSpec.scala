@@ -80,6 +80,20 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("embed_quantize stays inside the int8 envelope") {
+    val rows = AnnOps.defs.find(_.name == "embed_quantize").get.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dim = graft.Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("size(embedding)").first().getInt(0)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0, "scale must be positive")
+      val l1 = r.getLong(2)
+      assert(l1 >= 127 && l1 <= 127L * dim,
+        s"vec ${r.getLong(0)}: L1 $l1 outside [127, ${127L * dim}] — " +
+          "the max-|x| component must quantize to exactly ±127")
+    }
+  }
+
   test("exact dedup groups sum to the corpus size") {
     val df = Dedup.defs.find(_.name == "dedup_exact").get.fn(spark, sfDir)
     val total = df.agg(sum("n_dups")).collect()(0).getLong(0)
