@@ -171,13 +171,18 @@ object AnnOps {
     val cents = v.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
     // One O(nK) assignment pass → every vector gets its nearest bucket.
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+    // argmax-by-struct aggregate, NOT a per-vector window: the broadcast
+    // crossJoin keeps a vector's K candidate rows in one task, so the
+    // map-side partial min collapses them before the shuffle — n tiny
+    // rows cross the wire instead of a n×K shuffle-and-sort.
+    // min(struct(-cos, cid)) == "highest cosine, then lowest cid", the
+    // exact order the window variant (and the oracle) ranks by.
     val assigned = v.crossJoin(broadcast(cents))
       .withColumn("ccos", cosCol("ce", "e", "cnrm", "nrm"))
-      .withColumn(
-        "ark", row_number().over(wAssign))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+      .groupBy("vec_id")
+      .agg(first("e").as("e"), first("nrm").as("nrm"),
+        min(struct(negate(col("ccos")), col("cid"))).as("m"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("m.cid").as("cid"))
     // Each query probes its NPROBE nearest centroids.
     val q = v.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
