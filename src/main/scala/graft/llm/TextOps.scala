@@ -40,6 +40,44 @@ object TextOps {
       s"CAST(sum(len($normSql)) AS BIGINT) AS total_tokens " +
       "FROM documents GROUP BY lang, source ORDER BY lang, source")),
 
+    // ---- Distinctive terms per language: TF-IDF-shaped ranking with a
+    // LOG-FREE integer score, score = tf_lang · 10⁶ · N ÷ df (integer
+    // division), so both engines compute bit-identical values — libm's
+    // log() is not guaranteed identical across engines, integer ops are.
+    // Shuffles only on (lang, term) and term; top-5 via a window
+    // PARTITIONED by lang (parallel across languages at any scale).
+    QueryDef("tfidf_lang", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val n = docs.count()
+      val terms = docs.select(col("doc_id"), col("lang"), explode(toks).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val df_ = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("lang").orderBy(desc("score_q"), col("term"))
+      tf.join(df_, "term")
+        .withColumn("score_q", expr(s"tf * 1000000L * ${n}L div df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("lang", "term", "tf", "df", "score_q", "rk")
+        .orderBy("lang", "rk")
+    }, Some(
+      s"""WITH terms AS (SELECT doc_id, lang, unnest($normSql) AS term
+           FROM documents),
+         t AS (SELECT * FROM terms WHERE term <> ''),
+         tfx AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM t) u GROUP BY 1),
+         nx AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT lang, tfx.term AS term, tf, df,
+             tf * 1000000 * (SELECT n FROM nx) // df AS score_q
+           FROM tfx JOIN dfx ON tfx.term = dfx.term),
+         ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY score_q DESC, term) AS BIGINT) AS rk FROM scored)
+         SELECT lang, term, tf, df, CAST(score_q AS BIGINT) AS score_q, rk
+         FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")),
+
     // ---- Language ID: count marker-stopword hits per language, take the
     // argmax with a fixed tie-break order. (The synthetic corpus shares
     // one vocabulary, so predictions are uniform — the gate checks the
