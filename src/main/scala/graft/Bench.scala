@@ -32,7 +32,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+        SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -55,13 +59,18 @@ object Bench {
     // Millisecond precision keeps the line compact: the harness captures only
     // a bounded tail of stdout, and a 70+-query map at full double precision
     // overflowed it in round 2 (truncated line -> unparseable).
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+    // comma-decimal default locale would render 0,123 — unparseable JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // subset runs are marked so a partial total can never be mistaken
+    // for a full-run baseline
+    val subset = if (only.isDefined) ""","subset":true""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs$subset,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout

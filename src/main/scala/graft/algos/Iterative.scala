@@ -135,10 +135,12 @@ object Iterative {
       // (Lloyd's convention) instead of silently vanishing below k
       centroids = centroids.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
     }
-    // Final assignment: a narrow map over the cached vectors — cheap to
-    // evaluate lazily, O(1) lineage, no checkpoint needed. v stays
-    // cached for the caller's consumption of the result.
-    (assign(centroids), history.result())
+    // Final assignment: materialized via eager checkpoint so the loop's
+    // cache entry can be dropped before returning — no persisted RDD
+    // outlives the call (the round-1 review's persist-leak lesson).
+    val fin = assign(centroids).localCheckpoint(true)
+    v.unpersist(false)
+    (fin, history.result())
   }
 
   val defs: Seq[QueryDef] = Seq(

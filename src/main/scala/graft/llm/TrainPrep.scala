@@ -38,9 +38,8 @@ object TrainPrep {
     // unpartitioned window — no single-task stage at any size.
     QueryDef("seq_pack", (s, d) => {
       val t = Tables.load(s, d, "documents").select(col("doc_id"), nToks.as("n_toks"))
-      val prefix = graft.operators.CoreOps
-        .prefixSumLong(s, t, "doc_id", "n_toks", "start_tok")
-      prefix.join(t, "doc_id")
+      graft.operators.CoreOps
+        .prefixSumLong(s, t, "doc_id", "n_toks", "start_tok", keepVal = true)
         .select(expr(s"start_tok div $PackBudget").as("pack_id"), col("n_toks"))
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))

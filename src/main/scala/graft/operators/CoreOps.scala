@@ -231,7 +231,7 @@ object CoreOps {
     * The sorted frame is persisted so both phases see identical
     * partitioning, and unpersisted once the result is materialized. */
   def prefixSumLong(spark: SparkSession, df: DataFrame, orderCol: String,
-      valCol: String, outCol: String): DataFrame = {
+      valCol: String, outCol: String, keepVal: Boolean = false): DataFrame = {
     val parts = spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     val sorted = df
       .repartitionByRange(parts, col(orderCol))
@@ -254,12 +254,15 @@ object CoreOps {
         it.map { r =>
           val pre = acc
           acc += r.getLong(1)
-          Row(r.getLong(0), pre)
+          // phase 2 already holds the value — emit it when the caller
+          // wants it, saving a re-scan + join on their side
+          if (keepVal) Row(r.getLong(0), r.getLong(1), pre) else Row(r.getLong(0), pre)
         }
       }
-      val schema = StructType(Seq(
-        StructField(orderCol, LongType, nullable = false),
-        StructField(outCol, LongType, nullable = false)))
+      val schema = StructType(
+        StructField(orderCol, LongType, nullable = false) +:
+          (if (keepVal) Seq(StructField(valCol, LongType, nullable = false)) else Nil) :+
+          StructField(outCol, LongType, nullable = false))
       // Materialize before unpersist so phase 2 never recomputes unsorted.
       val out = spark.createDataFrame(rows, schema)
         .orderBy(orderCol) // deterministic row order for the oracle gate

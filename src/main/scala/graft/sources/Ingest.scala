@@ -22,24 +22,37 @@ object Ingest {
     * number, numbered in lexical file order then byte order within each
     * file. Spark orders splits by size (descending) for bin-packing, so a
     * bare zipWithIndex would number lines in an input-layout-dependent
-    * order on multi-file input; instead each record is tagged with its
-    * (file, byte offset) from the Hadoop split, range-sorted on that key
-    * (sampling sort — no single-task stage), then indexed two-phase. */
+    * order on multi-file input. Instead of sorting the data (a full
+    * shuffle of every byte just to renumber), this is the two-phase
+    * count-then-offset design over the splits themselves: pass 1 counts
+    * lines per split, the driver orders the O(#splits) counts by each
+    * split's (file, start offset) and prefix-sums the carries, pass 2
+    * re-reads and emits numbered lines map-only. Zero shuffle at any
+    * scale; a split never spans files, so split order IS line order. */
   def readTextLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapred.{FileSplit, TextInputFormat}
-    val tagged = spark.sparkContext
+    def hadoopLines() = spark.sparkContext
       .hadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
       .asInstanceOf[org.apache.spark.rdd.HadoopRDD[LongWritable, Text]]
-      .mapPartitionsWithInputSplit { (split, it) =>
-        val file = split.asInstanceOf[FileSplit].getPath.toString
-        // Text/LongWritable objects are reused by the record reader —
-        // extract immutable values before the iterator advances.
-        it.map { case (off, line) => (file, off.get, line.toString) }
-      }
-    tagged.sortBy(r => (r._1, r._2)).map(_._3).zipWithIndex
-      .map { case (l, i) => (i, l) }.toDF("line_no", "line")
+    val counts = hadoopLines().mapPartitionsWithInputSplit { (split, it) =>
+      val fs = split.asInstanceOf[FileSplit]
+      Iterator((org.apache.spark.TaskContext.getPartitionId(),
+        fs.getPath.toString, fs.getStart, it.size.toLong))
+    }.collect()
+    val offsets = new Array[Long](counts.length)
+    var acc = 0L
+    counts.sortBy(c => (c._2, c._3)).foreach { case (pid, _, _, n) =>
+      offsets(pid) = acc; acc += n
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    hadoopLines().mapPartitionsWithInputSplit { (_, it) =>
+      var i = offB.value(org.apache.spark.TaskContext.getPartitionId())
+      // Text objects are reused by the record reader — copy the string
+      // before the iterator advances.
+      it.map { case (_, line) => val r = (i, line.toString); i += 1; r }
+    }.toDF("line_no", "line")
   }
 
   /** TPC-H `.tbl` scan: pipe-delimited CSV with an explicit schema —
