@@ -92,6 +92,26 @@ object Analytics {
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
 
+    // ---- CUBE grouping sets (all 4 marginal combinations in one pass —
+    // Catalyst's Expand operator; one shuffle for every grouping set).
+    // grouping() flags disambiguate a NULL data value from a subtotal row.
+    QueryDef("cube_docs", (s, d) => {
+      Tables.load(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy(col("g_lang"), col("g_source"),
+          asc_nulls_first("lang"), asc_nulls_first("source"))
+    }, Some(
+      "SELECT lang, source, CAST(grouping(lang) AS BIGINT) AS g_lang, " +
+      "CAST(grouping(source) AS BIGINT) AS g_source, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY CUBE (lang, source) " +
+      "ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST")),
+
     // ---- Gap-based sessionization in batch: session id = running count
     // of gap-exceeded flags per user (the SQL-expressible mirror of
     // StreamOps.sessionize; 30-minute gap). One user-partitioned window
