@@ -58,8 +58,9 @@ object Ingest {
   /** TPC-H `.tbl` scan: pipe-delimited CSV with an explicit schema —
     * Catalyst pushes filters/pruning into this scan exactly as with
     * parquet (minus column statistics). */
-  def readTbl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("sep", "|").schema(schema).csv(path)
+  def readTbl(spark: SparkSession, path: String, schema: StructType,
+      mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.option("sep", "|").option("mode", mode).schema(schema).csv(path)
 
   /** kmr_map_ms_commands parity: stream a partition's records through an
     * external command's stdin/stdout. Spark schedules one process per
@@ -151,6 +152,38 @@ object Ingest {
       "SELECT l_returnflag, count(*) AS n, " +
       "CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // ---- Corrupt-input tolerance: the raw-scan reality at 100 TB is
+    // that some records are garbage. Deliberately contaminate a .tbl
+    // dump with unparseable lines, re-scan under DROPMALFORMED, and
+    // verify the aggregate over fully-parsed records equals the clean
+    // subset exactly — bad records are dropped or nulled, never coerced
+    // into wrong values. The explicit non-null filter matters: Spark's
+    // CSV fast-count path skips field parsing when no columns are
+    // needed, so malformed detection varies with column pruning;
+    // anchoring the aggregate on parsed fields makes the result
+    // independent of that internal (probed empirically — a bare count()
+    // under DROPMALFORMED counts cast-failing lines).
+    QueryDef("ingest_malformed", (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(s, "badtbl", d)
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"))
+        .write.mode("overwrite").option("sep", "|").csv(dir)
+      s.createDataset(Seq(
+          "garbage|not_a_number", "x|y", "1|2|3|4|extra-columns", "|", "lone-field"))
+        .write.mode("append").text(dir)
+      readTbl(s, dir, StructType.fromDDL("l_orderkey BIGINT, qty_cents BIGINT"),
+          mode = "DROPMALFORMED")
+        .filter(col("l_orderkey").isNotNull && col("qty_cents").isNotNull)
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum("qty_cents").as("sum_qty_cents"))
+    }, Some(
+      "SELECT count(*) AS n, " +
+      "CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents " +
+      "FROM lineitem WHERE l_orderkey % 2 = 0")),
 
     // ---- Text-file wordcount (ex/wordcount.c:15-48 reads FILES, not
     // tables): write documents.text as plain .txt, read back line-wise,
