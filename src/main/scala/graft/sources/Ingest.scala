@@ -222,6 +222,25 @@ object Ingest {
       "CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // ---- Partitioned sink + pruned scan: write hive-layout parquet
+    // partitioned by lang, read back with a partition filter. At 100 TB
+    // the filter prunes directories at PLAN time (PartitionPruneSpec
+    // pins the single-partition scan); the gate checks the round-trip
+    // result against the unpartitioned original.
+    QueryDef("sink_partitioned", (s, d) => {
+      val dir = tmpDir(s, "partsink", d)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }, Some(
+      "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents WHERE lang IN ('en','de') GROUP BY lang ORDER BY lang")),
+
     // ---- ORC round-trip: the other columnar format the reference's
     // users would bring; oracle still reads the parquet original, so any
     // encode/decode drift fails the hash.
