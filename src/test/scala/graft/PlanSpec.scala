@@ -97,4 +97,20 @@ class PlanSpec extends SparkSuite {
         s"$name should be a map-only scan + aggregate:\n$p")
     }
   }
+
+  test("global sweep: no gate query plans a cartesian product (ANN broadcast scans excepted)") {
+    // The one blanket scale rule: candidate generation must always be a
+    // key join. The ANN queries deliberately broadcast the tiny query /
+    // centroid set against the full scan — that IS the one-full-scan
+    // baseline — so their BroadcastNestedLoop over a broadcast side is
+    // whitelisted; everything else must plan joins on keys.
+    val deliberate = Set("ann_cosine_topk", "ann_ivf_topk", "kmeans_clusters")
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(deliberate).foreach { name =>
+      // initial physical plan only — no execution; side-effecting ingest
+      // queries still run their writes in fn(), cheap at sf0.001
+      val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
 }
