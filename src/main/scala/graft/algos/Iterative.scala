@@ -135,10 +135,13 @@ object Iterative {
       // (Lloyd's convention) instead of silently vanishing below k
       centroids = centroids.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
     }
-    // Final assignment: materialized via eager checkpoint so the loop's
-    // cache entry can be dropped before returning — no persisted RDD
-    // outlives the call (the round-1 review's persist-leak lesson).
-    val fin = assign(centroids).localCheckpoint(true)
+    // Final assignment: returned LAZY. It derives only from the source
+    // vectors and the literal final centroids, so consumers recompute it
+    // with one narrow scan — and the loop's cache entry can be dropped
+    // here, leaving no persisted RDD behind (an eager checkpoint would
+    // itself persist the full assignment with no one to unpersist it —
+    // the round-1 review's persist-leak lesson, both directions).
+    val fin = assign(centroids)
     v.unpersist(false)
     (fin, history.result())
   }

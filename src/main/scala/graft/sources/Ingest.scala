@@ -38,17 +38,25 @@ object Ingest {
       .asInstanceOf[org.apache.spark.rdd.HadoopRDD[LongWritable, Text]]
     val counts = hadoopLines().mapPartitionsWithInputSplit { (split, it) =>
       val fs = split.asInstanceOf[FileSplit]
-      Iterator((org.apache.spark.TaskContext.getPartitionId(),
-        fs.getPath.toString, fs.getStart, it.size.toLong))
+      Iterator((fs.getPath.toString, fs.getStart, it.size.toLong))
     }.collect()
-    val offsets = new Array[Long](counts.length)
     var acc = 0L
-    counts.sortBy(c => (c._2, c._3)).foreach { case (pid, _, _, n) =>
-      offsets(pid) = acc; acc += n
-    }
+    // Offsets are keyed by the split's own (file, start) — NOT by
+    // partition index — so pass 2 is immune to the two getSplits calls
+    // enumerating splits in different orders. If the input changed
+    // between the passes the keys no longer match and the lookup below
+    // fails loudly instead of silently misnumbering.
+    val offsets = counts.sortBy(c => (c._1, c._2)).map { case (f, st, n) =>
+      val o = acc; acc += n; ((f, st), o)
+    }.toMap
     val offB = spark.sparkContext.broadcast(offsets)
-    hadoopLines().mapPartitionsWithInputSplit { (_, it) =>
-      var i = offB.value(org.apache.spark.TaskContext.getPartitionId())
+    hadoopLines().mapPartitionsWithInputSplit { (split, it) =>
+      val fs = split.asInstanceOf[FileSplit]
+      val key = (fs.getPath.toString, fs.getStart)
+      var i = offB.value.getOrElse(key,
+        throw new IllegalStateException(
+          s"input split $key not present in the count pass — " +
+            "did the input directory change while readTextLines ran?"))
       // Text objects are reused by the record reader — copy the string
       // before the iterator advances.
       it.map { case (_, line) => val r = (i, line.toString); i += 1; r }

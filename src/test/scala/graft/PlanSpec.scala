@@ -98,19 +98,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("global sweep: no gate query plans a cartesian product (ANN broadcast scans excepted)") {
-    // The one blanket scale rule: candidate generation must always be a
-    // key join. The ANN queries deliberately broadcast the tiny query /
-    // centroid set against the full scan — that IS the one-full-scan
-    // baseline — so their BroadcastNestedLoop over a broadcast side is
-    // whitelisted; everything else must plan joins on keys.
-    val deliberate = Set("ann_cosine_topk", "ann_ivf_topk", "kmeans_clusters")
-    SparkEntry.queries.keys.toSeq.sorted.filterNot(deliberate).foreach { name =>
+  test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
+    // The blanket scale rule: candidate generation must always be a key
+    // join. CartesianProduct is banned with NO exceptions. The ANN
+    // queries deliberately broadcast the tiny query/centroid set against
+    // the full scan — that IS the one-full-scan baseline — so
+    // BroadcastNestedLoopJoin is whitelisted for exactly those two;
+    // anywhere else a nested-loop fallback is a planning regression.
+    val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
+      if (!bnlOk(name))
+        assert(!p.contains("BroadcastNestedLoop"),
+          s"$name degenerated to a nested-loop join:\n$p")
     }
   }
 }
