@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties for the packing arithmetic, independent of the
+  * fixed test corpus: for arbitrary token-count sequences, concat-and-
+  * chunk packing (exclusive prefix div budget) must conserve docs and
+  * tokens, assign monotone pack ids, and never start a pack past the
+  * corpus's total token count. Runs through the same two-phase prefix
+  * sum the gate query uses. */
+class TrainPrepPropertySpec extends SparkSuite {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val countsGen: Gen[List[Long]] =
+    Gen.listOfN(80, Gen.chooseNum(0L, 300L))
+
+  test("synthetic packing conserves mass and yields monotone pack ids for arbitrary corpora") {
+    import spark.implicits._
+    val budget = 256L
+    samples(countsGen, 6).foreach { counts =>
+      val df = counts.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_toks")
+      val packed = graft.operators.CoreOps
+        .prefixSumLong(spark, df, "doc_id", "n_toks", "start_tok", keepVal = true)
+        .select(expr(s"start_tok div $budget").as("pack_id"), col("n_toks"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        .collect().sortBy(_.getLong(0))
+      assert(packed.map(_.getLong(1)).sum == counts.length, "doc conservation")
+      assert(packed.map(_.getLong(2)).sum == counts.sum, "token conservation")
+      val ids = packed.map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted && ids.distinct == ids)
+      assert(ids.head == 0L)
+      // a pack id can never start beyond the corpus's total token mass
+      assert(ids.last <= counts.sum / budget)
+      // reference: sequential fold computes the same (pack -> docs) map
+      val expected = counts.scanLeft(0L)(_ + _).dropRight(1)
+        .map(_ / budget).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(packed.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    }
+  }
+
+  test("split bucketing is a total function with stable fractions for arbitrary id ranges") {
+    import spark.implicits._
+    samples(Gen.listOfN(200, Gen.chooseNum(0L, 1000000L)), 4).foreach { rawIds =>
+      val ids = rawIds.distinct
+      val bucket = Dedup.md5Long(concat(lit("split:"), col("id").cast("string"))) % 100L
+      val rows = ids.toDF("id")
+        .select(when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.values.sum == ids.length, "every id gets exactly one split")
+      assert(rows.keySet.subsetOf(Set("train", "val", "test")))
+      // md5 is uniform: train should dominate for any non-tiny id set
+      assert(rows.getOrElse("train", 0L) > rows.getOrElse("test", 0L))
+    }
+  }
+}
