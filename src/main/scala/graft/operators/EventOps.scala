@@ -60,6 +60,21 @@ object EventOps {
         .orderBy("event_type")
     }, None),
 
+    // ---- Exact per-group distinct count — the expensive cousin the HLL
+    // sketch above replaces at scale: Catalyst plans it as a two-phase
+    // Expand + partial-distinct aggregation (each (group, user) pair
+    // deduplicates map-side before the shuffle, no row-set ever
+    // collects). Exact ⇒ fully oracle-able.
+    QueryDef("distinct_exact", (s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+      "count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")),
+
     // ---- Salted two-phase aggregation: the manual skew-mitigation the
     // brief names. Phase 1 groups on (key, salt) — a hot key splits
     // across `salt` reducers; phase 2 merges the partials. The result is
