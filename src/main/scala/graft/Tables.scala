@@ -35,6 +35,19 @@ object Tables {
     import org.apache.spark.sql.functions._
     load(spark, sfDir, "events").withColumn("ts_t", timestamp_micros(tsUs))
   }
+
+  /** Drop a managed table AND its warehouse location. A directory left
+    * by a previous session is invisible to a fresh session's in-memory
+    * catalog, so `mode("overwrite").saveAsTable` alone throws
+    * LOCATION_ALREADY_EXISTS — every bucketed-table writer (gate query
+    * or spec) must reset through this. */
+  def resetManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }
 
 /** One engine query: a Spark implementation plus (where SQL-expressible)

@@ -29,6 +29,14 @@ object TrainPrep {
   /** Tokens per training sequence for seq packing. */
   private val PackBudget = 1024L
 
+  /** THE production split expression over a `doc_id` column (exposed so
+    * specs exercise this exact definition — salt, hash, and thresholds —
+    * rather than a copy that could drift). */
+  val splitCol: org.apache.spark.sql.Column = {
+    val bucket = Dedup.md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- GPT-style sequence packing: concatenate the corpus in doc_id
@@ -60,10 +68,8 @@ object TrainPrep {
     // shuffle is the final count. Reproducible across engines AND runs,
     // the property a training pipeline needs from its split.
     QueryDef("split_assign", (s, d) => {
-      val bucket = Dedup.md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
       Tables.load(s, d, "documents")
-        .select(col("lang"),
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .select(col("lang"), splitCol.as("split"))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang")

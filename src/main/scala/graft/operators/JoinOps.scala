@@ -89,25 +89,16 @@ object JoinOps {
       "WHERE e1.event_type = 'error' GROUP BY e1.event_id ORDER BY e1.event_id")),
 
     // ---- Bucketed fact-fact join: both sides bucketed on the join key
-    // at write time, so the join itself plans with no Exchange — the
-    // 100 TB strategy for joins that repeat every day (pay the shuffle
-    // once when the table lands; BucketingSpec pins the zero-Exchange
-    // plan, this gate query pins the result).
+    // at write time — the 100 TB strategy for joins that repeat every
+    // day (pay the shuffle once when the table lands). The "merge" hint
+    // pins a SortMergeJoin so the bucketed layout is what actually runs
+    // even at gate scales where the planner would otherwise broadcast
+    // the small side and never touch the buckets; PlanSpec asserts both
+    // scans read bucketed with no Exchange feeding the join.
     QueryDef("bucketed_join", (s, d) => {
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      // A warehouse directory left by a PREVIOUS session is invisible to
-      // this session's in-memory catalog, so overwrite alone throws
-      // LOCATION_ALREADY_EXISTS — drop the catalog entry AND the stale
-      // location before (re)creating the bucketed tables.
-      def reset(name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-        val p = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      reset(s"orders_bj$sfx")
-      reset(s"customer_bj$sfx")
+      Tables.resetManagedTable(s, s"orders_bj$sfx")
+      Tables.resetManagedTable(s, s"customer_bj$sfx")
       Tables.load(s, d, "orders")
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -116,7 +107,7 @@ object JoinOps {
         .write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(s"customer_bj$sfx")
-      s.table(s"orders_bj$sfx")
+      s.table(s"orders_bj$sfx").hint("merge")
         .join(s.table(s"customer_bj$sfx"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),

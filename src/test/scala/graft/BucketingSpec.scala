@@ -10,6 +10,11 @@ class BucketingSpec extends SparkSuite {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // reset BOTH catalog entry and any stale warehouse dir: a killed
+      // test JVM leaves the directory behind and a fresh session's
+      // catalog can't see it (LOCATION_ALREADY_EXISTS otherwise)
+      Tables.resetManagedTable(spark, "orders_bucketed")
+      Tables.resetManagedTable(spark, "customer_bucketed")
       Tables.load(spark, sfDir, "orders")
         .write.mode("overwrite")
         .bucketBy(4, "o_custkey").sortBy("o_custkey")

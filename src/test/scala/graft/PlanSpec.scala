@@ -98,6 +98,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bucketed_join runs a SortMergeJoin over bucketed scans with no join-key re-shuffle") {
+    val df = q("bucketed_join")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin"), s"merge hint not honored:\n$p")
+    assert(p.contains("Bucketed: true") || p.contains("SelectedBucketsCount"),
+      s"scan does not read the bucket layout:\n$p")
+    // the join keys must never be re-shuffled — bucketing already
+    // co-located them (the groupBy/orderBy exchanges downstream are fine)
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join re-shuffled its keys:\n$p")
+  }
+
   test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
     // The blanket scale rule: candidate generation must always be a key
     // join. CartesianProduct is banned with NO exceptions. The ANN

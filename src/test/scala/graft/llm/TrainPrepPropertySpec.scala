@@ -45,19 +45,23 @@ class TrainPrepPropertySpec extends SparkSuite {
     }
   }
 
-  test("split bucketing is a total function with stable fractions for arbitrary id ranges") {
+  test("split bucketing is stable, uniform-ish, and uses the production expression") {
     import spark.implicits._
     samples(Gen.listOfN(200, Gen.chooseNum(0L, 1000000L)), 4).foreach { rawIds =>
       val ids = rawIds.distinct
-      val bucket = Dedup.md5Long(concat(lit("split:"), col("id").cast("string"))) % 100L
-      val rows = ids.toDF("id")
-        .select(when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      // the PRODUCTION TrainPrep.splitCol — not a local copy that could
+      // drift from the query's salt/hash/thresholds
+      def run(): Map[String, Long] = ids.toDF("doc_id")
+        .select(TrainPrep.splitCol.as("split"))
         .groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = run()
+      assert(rows == run(), "split must be identical across evaluations")
       assert(rows.values.sum == ids.length, "every id gets exactly one split")
-      assert(rows.keySet.subsetOf(Set("train", "val", "test")))
-      // md5 is uniform: train should dominate for any non-tiny id set
+      // md5 is uniform: an 80% bucket dominates a 10% bucket for any
+      // non-tiny id set, whatever the id distribution
       assert(rows.getOrElse("train", 0L) > rows.getOrElse("test", 0L))
+      assert(rows.getOrElse("train", 0L) > rows.getOrElse("val", 0L))
     }
   }
 }
