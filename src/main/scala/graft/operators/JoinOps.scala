@@ -99,11 +99,16 @@ object JoinOps {
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.resetManagedTable(s, s"orders_bj$sfx")
       Tables.resetManagedTable(s, s"customer_bj$sfx")
+      // project to the query's columns before the write — a bucketed
+      // table is a materialization, and materializing unread columns
+      // just multiplies the one-off write cost
       Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .saveAsTable(s"orders_bj$sfx")
       Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
         .write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(s"customer_bj$sfx")
