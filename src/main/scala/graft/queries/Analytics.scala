@@ -166,6 +166,20 @@ object Analytics {
         .orderBy("o_custkey")
     }, Some(
       "SELECT o_custkey FROM orders EXCEPT SELECT o_custkey FROM orders " +
-      "WHERE o_orderstatus = 'F' ORDER BY o_custkey"))
+      "WHERE o_orderstatus = 'F' ORDER BY o_custkey")),
+
+    // ---- Set intersection (completes the family with concat_union and
+    // set_except): customers who placed BOTH a finished and an open
+    // order — plans as a left-semi join on the distinct key sets.
+    QueryDef("set_intersect", (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val withF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val withO = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      withF.intersect(withO)
+        .orderBy("o_custkey")
+    }, Some(
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+      "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+      "ORDER BY o_custkey"))
   )
 }
