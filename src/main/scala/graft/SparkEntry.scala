@@ -16,7 +16,7 @@ object SparkEntry {
       graft.operators.KvsOps.defs ++ graft.operators.EventOps.defs ++
       graft.operators.JoinOps.defs ++
       graft.llm.Dedup.defs ++ graft.llm.TextOps.defs ++
-      graft.llm.TrainPrep.defs ++
+      graft.llm.TrainPrep.defs ++ graft.llm.Curate.defs ++
       graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++
       graft.sources.Ingest.defs ++ graft.algos.Iterative.defs
 

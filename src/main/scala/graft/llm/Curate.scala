@@ -1,0 +1,165 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (beyond-reference LLM-pipeline surface,
+  * like llm/Dedup and llm/TrainPrep): PII scrubbing, benchmark
+  * decontamination, incremental shard dedup, and near-dup survivor
+  * selection.
+  *
+  * Scale design: pii_redact is a map-only scan (regex per row, no
+  * shuffle); contamination and dedup_keep_best are inverted-index /
+  * key-equality joins (shuffle on gram / band key — never a cross
+  * product); dedup_incremental shuffles only (hash, source, doc_id)
+  * pairs, so at 100 TB the document text itself never moves for any of
+  * the dedup family.
+  */
+object Curate {
+
+  import TextNorm.{toks, normSql}
+  import Dedup.{md5Long, md5LongSql}
+
+  /** Portable email-shaped PII pattern: plain character classes only, so
+    * Java regex (Spark) and RE2 (DuckDB) agree on every match. */
+  private val PiiPat = "[a-z0-9]+@[a-z0-9.]+"
+
+  /** The corpus text with deterministically injected PII — the driver
+    * testdata contains no addresses, so the scrubber is exercised against
+    * synthetic ones derived from doc_id (0, 1 or 2 per doc). The operator
+    * under test is the scrub itself; the injection just gives it work. */
+  private val enriched = concat(col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" contact a"), col("doc_id").cast("string"), lit("@mail.com now")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit(" from b"), col("doc_id").cast("string"),
+          lit("@x.org or c"), col("doc_id").cast("string"), lit("@x.org")))
+      .otherwise(lit("")))
+
+  private val enrichedSql =
+    "text || CASE doc_id % 3 " +
+    "WHEN 0 THEN ' contact a' || CAST(doc_id AS VARCHAR) || '@mail.com now' " +
+    "WHEN 1 THEN ' from b' || CAST(doc_id AS VARCHAR) || '@x.org or c' || CAST(doc_id AS VARCHAR) || '@x.org' " +
+    "ELSE '' END"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PII scrubbing: count and redact email-shaped spans. Map-only
+    // — at 100 TB this is a single pass with the regex inside
+    // whole-stage codegen; the output carries an md5 of the scrubbed
+    // text so the gate checks the full redacted payload, not just the
+    // count, without shipping the text through the compare.
+    QueryDef("pii_redact", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(enriched, lit(PiiPat), lit(0))).cast("long").as("n_pii"),
+          md5(regexp_replace(enriched, PiiPat, "<EMAIL>")).as("clean_md5"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+         CAST(len(regexp_extract_all($enrichedSql, '$PiiPat')) AS BIGINT) AS n_pii,
+         md5(regexp_replace($enrichedSql, '$PiiPat', '<EMAIL>', 'g')) AS clean_md5
+         FROM documents ORDER BY doc_id""")),
+
+    // ---- Benchmark decontamination: flag training documents sharing an
+    // 8-token n-gram with the held-out test split. Splits come from THE
+    // production split expression (TrainPrep.splitCol), so the check is
+    // consistent with split_assign. Candidate generation is an
+    // inverted-index equality join on the gram — shuffle key = gram, no
+    // cross product, the same 100 TB shape as dedup_jaccard.
+    QueryDef("contamination", (s, d) => {
+      val t = Tables.load(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"), TrainPrep.splitCol.as("split"))
+        .filter(size(col("w")) >= 8)
+      val g = t.select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(0, size(w)-8), i -> array_join(slice(w, i+1, 8), ' '))")).as("gram"))
+      val train = g.filter(col("split") === "train").select("doc_id", "gram").distinct()
+      val test = g.filter(col("split") === "test").select("gram").distinct()
+      train.join(test, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, $normSql AS w,
+           ${md5LongSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+           FROM documents),
+         g AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(w)-6), i ->
+           array_to_string(w[i:i+7], ' '))) AS gram FROM t WHERE len(w) >= 8),
+         tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE bucket < 80),
+         te AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90)
+         SELECT tr.doc_id, count(*) AS n_shared_grams
+         FROM tr JOIN te USING (gram) GROUP BY tr.doc_id ORDER BY doc_id""")),
+
+    // ---- Incremental shard dedup: treat source 'src0' as the existing
+    // corpus and every other source as a newly arriving shard; a new doc
+    // survives iff its content hash is unseen in the corpus (left-anti
+    // join on the hash). This is the steady-state ingest path of a
+    // training pipeline — the full-corpus variants (dedup_exact/minhash)
+    // are the batch backfill, this is the delta.
+    QueryDef("dedup_incremental", (s, d) => {
+      val h = Tables.load(s, d, "documents")
+        .select(col("source"),
+          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("h"))
+      val corpus = h.filter(col("source") === "src0").select("h").distinct()
+      val fresh = h.filter(col("source") =!= "src0")
+      val survivors = fresh.join(corpus, Seq("h"), "left_anti")
+      fresh.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(survivors.groupBy("source")
+            .agg(count(lit(1)).as("n_new"),
+              countDistinct(col("h")).as("n_uniq_new")),
+          Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_uniq_new"), lit(0L)).as("n_uniq_new"))
+        .orderBy("source")
+    }, Some(
+      """WITH h AS (SELECT source,
+           sha256(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS h
+           FROM documents),
+         corpus AS (SELECT DISTINCT h FROM h WHERE source = 'src0'),
+         fresh AS (SELECT * FROM h WHERE source <> 'src0'),
+         surv AS (SELECT f.source, f.h FROM fresh f ANTI JOIN corpus c USING (h))
+         SELECT f.source, count(*) AS n_docs,
+           CAST(coalesce(s.n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(s.n_uniq_new, 0) AS BIGINT) AS n_uniq_new
+         FROM fresh f LEFT JOIN (
+           SELECT source, count(*) AS n_new, count(DISTINCT h) AS n_uniq_new
+           FROM surv GROUP BY source) s USING (source)
+         GROUP BY f.source, s.n_new, s.n_uniq_new ORDER BY source""")),
+
+    // ---- Near-dup survivor selection: after MinHash-LSH clustering
+    // (same pipeline as dedup_clusters), keep the highest-quality doc per
+    // cluster — longest token count, ties to the smallest doc_id. The
+    // two-step argmax (max length per cluster, then min id at that
+    // length) is deterministic in both engines, unlike arg_max under
+    // ties. This is the step that turns "these docs are near-dups" into
+    // an actual curated corpus.
+    QueryDef("dedup_keep_best", (s, d) => {
+      val pairs = Dedup.minhashPairs(s, d, est = 0.5)
+      val comps = Dedup.connectedComponents(pairs.select("id1", "id2"), iters = 30)
+      val stats = Tables.load(s, d, "documents")
+        .select(col("doc_id"), TrainPrep.nToks.as("n_toks"))
+      val members = comps.join(stats, comps("id") === stats("doc_id"))
+        .select(col("comp"), col("doc_id"), col("n_toks"))
+      val best = members.groupBy("comp")
+        .agg(count(lit(1)).as("cluster_size"), max("n_toks").as("kept_toks"))
+        .filter(col("cluster_size") > 1)
+      members.join(best, "comp")
+        .filter(col("n_toks") === col("kept_toks"))
+        .groupBy("comp", "cluster_size", "kept_toks")
+        .agg(min("doc_id").as("keep_id"))
+        .select("comp", "keep_id", "cluster_size", "kept_toks")
+        .orderBy("comp")
+    }, Some(
+      Dedup.clusterClosureSql +
+      s""", stats AS (SELECT doc_id, ${TrainPrep.nToksSql} AS n_toks FROM documents),
+         members AS (SELECT c.comp, c.id AS doc_id, s.n_toks
+           FROM comps c JOIN stats s ON s.doc_id = c.id),
+         best AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size,
+             max(n_toks) AS kept_toks
+           FROM members GROUP BY comp HAVING count(*) > 1)
+         SELECT m.comp AS comp, min(m.doc_id) AS keep_id, b.cluster_size, b.kept_toks
+         FROM members m JOIN best b ON m.comp = b.comp AND m.n_toks = b.kept_toks
+         GROUP BY m.comp, b.cluster_size, b.kept_toks ORDER BY m.comp"""))
+  )
+}

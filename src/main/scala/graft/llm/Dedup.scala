@@ -67,6 +67,22 @@ object Dedup {
           FROM bands a JOIN bands b
           ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
 
+  /** Full oracle CTE chain ending in `comps(id, comp)` — the recursive
+    * transitive closure of the MinHash candidate pairs (threshold 32/64).
+    * Shared by dedup_clusters and Curate's dedup_keep_best so both
+    * oracles replay the identical clustering. */
+  private[llm] val clusterClosureSql: String =
+    shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashSql +
+    """, cpairs AS (SELECT id1, id2 FROM cand WHERE n_match >= 32),
+       edges AS (SELECT id1 AS src, id2 AS dst FROM cpairs
+                 UNION SELECT id2, id1 FROM cpairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach(id, comp) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: hash-groupBy on a normalized content hash. The
@@ -145,17 +161,8 @@ object Dedup {
         .filter(col("cluster_size") > 1)
         .orderBy("keep_id")
     }, Some(
-      shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashSql +
-      """, cpairs AS (SELECT id1, id2 FROM cand WHERE n_match >= 32),
-         edges AS (SELECT id1 AS src, id2 AS dst FROM cpairs
-                   UNION SELECT id2, id1 FROM cpairs),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach(id, comp) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
-         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
-         SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS cluster_size
+      clusterClosureSql +
+      """ SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS cluster_size
          FROM comps GROUP BY comp HAVING count(*) > 1 ORDER BY keep_id""")),
 
     // ---- SimHash: 60-bit sign-of-weighted-bit-votes fingerprint over

@@ -17,12 +17,13 @@ object TrainPrep {
   import TextNorm.{normText, normTextSql, normSql, toks}
 
   /** Whitespace token count with the pipe_tokens null/empty convention:
-    * NULL or whitespace-only text counts 0 (split('') would count 1). */
-  private val nToks =
+    * NULL or whitespace-only text counts 0 (split('') would count 1).
+    * Shared with Curate so every token-budget operator agrees. */
+  private[llm] val nToks =
     when(col("text").isNull || normText === "", 0L)
       .otherwise(size(toks).cast("long"))
 
-  private val nToksSql =
+  private[llm] val nToksSql =
     s"CASE WHEN text IS NULL OR $normTextSql = '' THEN 0 " +
     s"ELSE CAST(len($normSql) AS BIGINT) END"
 
@@ -100,6 +101,58 @@ object TrainPrep {
            FROM documents)
          SELECT doc_id, n_toks, n_uniq,
            round(1.0 - CAST(n_uniq AS DOUBLE)/n_toks, 6) AS dup_frac
-         FROM t WHERE n_toks > 0 ORDER BY doc_id"""))
+         FROM t WHERE n_toks > 0 ORDER BY doc_id""")),
+
+    // ---- Sliding-window chunking (RAG/context-window prep): window 32
+    // tokens, stride 24 (8-token overlap), per-doc — the complement of
+    // seq_pack, which concatenates ACROSS docs with no overlap. Chunk
+    // starts come from a per-row sequence(), so this is generate+project
+    // with no shuffle at all; the md5 of each chunk's text lets the gate
+    // check full chunk content without shipping it.
+    QueryDef("chunk_docs", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_toks"),
+          explode(expr("sequence(0L, cast(size(w)-1 AS LONG), 24L)")).as("start"))
+        .select(col("doc_id"), (col("start") / 24).cast("long").as("chunk_idx"),
+          col("start"),
+          least(lit(32L), col("n_toks") - col("start")).as("chunk_len"),
+          md5(array_join(slice(col("w"), (col("start") + 1).cast("int"), lit(32)), " "))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, $normSql AS w FROM documents),
+         c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+           unnest(range(0, len(w), 24)) AS start FROM t WHERE len(w) > 0)
+         SELECT doc_id, start//24 AS chunk_idx, start,
+           least(32, n_toks - start) AS chunk_len,
+           md5(array_to_string(w[start+1 : start+32], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ---- Source-mixing allocation: per-language token totals and the
+    // integer parts-per-million sampling weight that equalizes every
+    // language to the smallest one's budget (the "up/down-weight domains
+    // toward a target mix" step of corpus assembly). Integer arithmetic
+    // end-to-end so both engines agree exactly; the single-row global min
+    // rides a broadcast cross join, not a window. (At extreme corpus
+    // sizes min_tokens*1e6 nears the int64 ceiling around 9e12 tokens —
+    // swap to DECIMAL weights there; ppm precision is the portable choice
+    // at gate scale.)
+    QueryDef("mix_weights", (s, d) => {
+      val lt = Tables.load(s, d, "documents")
+        .groupBy("lang").agg(sum(nToks).as("n_tokens"))
+      lt.crossJoin(broadcast(lt.agg(min("n_tokens").as("min_tokens"))))
+        .withColumn("weight_ppm", expr("(min_tokens * 1000000) div n_tokens"))
+        .select(col("lang"), col("n_tokens"), col("weight_ppm"),
+          expr("(n_tokens * weight_ppm) div 1000000").as("sampled_tokens"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH lt AS (SELECT lang, CAST(sum($nToksSql) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         m AS (SELECT min(n_tokens) AS min_tokens FROM lt)
+         SELECT lang, n_tokens, (min_tokens * 1000000)//n_tokens AS weight_ppm,
+           (n_tokens * ((min_tokens * 1000000)//n_tokens))//1000000 AS sampled_tokens
+         FROM lt, m ORDER BY lang"""))
   )
 }

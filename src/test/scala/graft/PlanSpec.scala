@@ -116,9 +116,12 @@ class PlanSpec extends SparkSuite {
     // join. CartesianProduct is banned with NO exceptions. The ANN
     // queries deliberately broadcast the tiny query/centroid set against
     // the full scan — that IS the one-full-scan baseline — so
-    // BroadcastNestedLoopJoin is whitelisted for exactly those two;
-    // anywhere else a nested-loop fallback is a planning regression.
-    val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk")
+    // BroadcastNestedLoopJoin is whitelisted for exactly those two, plus
+    // mix_weights, whose build side is a ONE-ROW global aggregate (the
+    // scalar-subquery shape: broadcasting a single scalar row is O(1)
+    // data at any corpus size); anywhere else a nested-loop fallback is
+    // a planning regression.
+    val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "mix_weights")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001
