@@ -160,6 +160,62 @@ object Curate {
            FROM members GROUP BY comp HAVING count(*) > 1)
          SELECT m.comp AS comp, min(m.doc_id) AS keep_id, b.cluster_size, b.kept_toks
          FROM members m JOIN best b ON m.comp = b.comp AND m.n_toks = b.kept_toks
-         GROUP BY m.comp, b.cluster_size, b.kept_toks ORDER BY m.comp"""))
+         GROUP BY m.comp, b.cluster_size, b.kept_toks ORDER BY m.comp""")),
+
+    // ---- Quality filter funnel: the end-of-pipeline report — per
+    // source, how many docs each successive gate drops (empty → length
+    // → repetition → word-shape) and what survives, with surviving
+    // token mass. Standard funnel attribution: a doc is charged to the
+    // FIRST gate it fails. Thresholds are integer inequalities
+    // (10·n_uniq ≥ 3·n_toks is dup_frac ≤ 0.7, etc.) so both engines
+    // agree exactly; the whole thing is one map-only projection of
+    // per-doc flags + one grouped conditional sum — no per-stage pass.
+    QueryDef("filter_funnel", (s, d) => {
+      val guard0 = col("text").isNull || TextNorm.normText === ""
+      val t = Tables.load(s, d, "documents")
+        .select(col("source"), col("text"), TextNorm.toks.as("w0"))
+        .select(
+          col("source"), TrainPrep.nToks.as("n_toks"),
+          when(guard0, 0L).otherwise(size(array_distinct(col("w0"))).cast("long")).as("n_uniq"),
+          when(guard0, 0L)
+            .otherwise(expr("aggregate(w0, 0L, (a, t) -> a + length(t))")).as("sum_len"))
+        .withColumn("s1", col("n_toks") > 0)
+        .withColumn("s2", col("n_toks") >= 10 && col("n_toks") <= 100000)
+        .withColumn("s3", col("n_uniq") * 10 >= col("n_toks") * 3)
+        .withColumn("s4",
+          col("sum_len") >= col("n_toks") * 2 && col("sum_len") <= col("n_toks") * 15)
+      t.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("s1"), 1L).otherwise(0L)).as("drop_empty"),
+          sum(when(col("s1") && !col("s2"), 1L).otherwise(0L)).as("drop_len"),
+          sum(when(col("s1") && col("s2") && !col("s3"), 1L).otherwise(0L)).as("drop_rep"),
+          sum(when(col("s1") && col("s2") && col("s3") && !col("s4"), 1L).otherwise(0L))
+            .as("drop_shape"),
+          sum(when(col("s1") && col("s2") && col("s3") && col("s4"), 1L).otherwise(0L))
+            .as("kept"),
+          sum(when(col("s1") && col("s2") && col("s3") && col("s4"), col("n_toks"))
+            .otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }, Some(
+      s"""WITH t AS (SELECT source, ${TrainPrep.nToksSql} AS n_toks,
+           CASE WHEN text IS NULL OR ${TextNorm.normTextSql} = '' THEN 0
+             ELSE CAST(len(list_distinct($normSql)) AS BIGINT) END AS n_uniq,
+           CASE WHEN text IS NULL OR ${TextNorm.normTextSql} = '' THEN 0
+             ELSE CAST(list_sum(list_transform($normSql, t -> len(t))) AS BIGINT) END AS sum_len
+           FROM documents),
+         f AS (SELECT source, n_toks,
+           n_toks > 0 AS s1,
+           n_toks >= 10 AND n_toks <= 100000 AS s2,
+           n_uniq * 10 >= n_toks * 3 AS s3,
+           sum_len >= n_toks * 2 AND sum_len <= n_toks * 15 AS s4
+           FROM t)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_empty,
+           CAST(sum(CASE WHEN s1 AND NOT s2 THEN 1 ELSE 0 END) AS BIGINT) AS drop_len,
+           CAST(sum(CASE WHEN s1 AND s2 AND NOT s3 THEN 1 ELSE 0 END) AS BIGINT) AS drop_rep,
+           CAST(sum(CASE WHEN s1 AND s2 AND s3 AND NOT s4 THEN 1 ELSE 0 END) AS BIGINT) AS drop_shape,
+           CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         FROM f GROUP BY source ORDER BY source"""))
   )
 }

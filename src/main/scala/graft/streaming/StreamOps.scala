@@ -36,6 +36,15 @@ object StreamOps {
       .withWatermark("ts_t", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static enrichment: join a streaming fact against a batch
+    * dimension table. The static side is re-planned every micro-batch
+    * (so a dim refresh is picked up without restarting the query);
+    * broadcasting it keeps each batch's join map-only — the stream is
+    * never shuffled, which is the only sustainable shape when the stream
+    * side is unbounded. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   case class Ev(user_id: Long, ts_us: Long)
   case class Session(var start: Long, var last: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

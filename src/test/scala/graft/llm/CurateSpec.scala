@@ -103,6 +103,25 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("filter_funnel conserves documents: drops plus kept equal the corpus, per source") {
+    val rows = q("filter_funnel").collect()
+    assert(rows.nonEmpty)
+    val bySource = graft.Tables.load(spark, sfDir, "documents")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet, "every source reported")
+    rows.foreach { r =>
+      val (src, n, d1, d2, d3, d4, kept, keptToks) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(n == bySource(src), s"$src doc count drifted")
+      assert(d1 + d2 + d3 + d4 + kept == n,
+        s"$src funnel leaks: $d1+$d2+$d3+$d4+$kept != $n")
+      assert(kept > 0, s"$src kept nothing — thresholds implausible for testdata")
+      assert(keptToks >= kept * 10, s"$src kept docs below the length gate")
+    }
+  }
+
   test("mix_weights normalizes the smallest language to 1.0 and never upsamples") {
     val rows = q("mix_weights").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

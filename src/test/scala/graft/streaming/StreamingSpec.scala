@@ -163,6 +163,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment through a foreachBatch parquet sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production sink idiom: foreachBatch hands each micro-batch to
+    // ordinary batch writers (parquet here); the static dim side joins
+    // broadcast, so the stream is never shuffled
+    val dim = graft.Tables.load(spark, graft.SparkTest.sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("nation_key"), col("n_name"))
+    val outDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/graft-tmp/enrich_out")).toString + "/run_" + System.nanoTime
+    val in = MemoryStream[(Long, Long)] // (nation_key, cents)
+    val stream = in.toDF().toDF("nation_key", "cents")
+    val q = StreamOps.enrich(stream, dim, "nation_key").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .outputMode("append").start()
+    try {
+      in.addData((0L, 10L), (1L, 20L))
+      q.processAllAvailable()
+      in.addData((0L, 30L), (9999L, 40L)) // second batch; 9999 has no dim row
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select("nation_key", "cents", "n_name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sortBy(t => (t._1, t._2))
+      val names = dim.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.toSeq == Seq(
+        (0L, 10L, names.get(0L)), (0L, 30L, names.get(0L)),
+        (1L, 20L, names.get(1L)), (9999L, 40L, None)),
+        s"enriched output mismatch: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionization splits on gap, emits closed sessions, holds the tail") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
