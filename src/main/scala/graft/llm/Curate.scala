@@ -17,8 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  import TextNorm.{toks, normSql}
-  import Dedup.{md5Long, md5LongSql}
+  import TextNorm.{toks, normSql, contentHash, contentHashSql}
 
   /** Portable email-shaped PII pattern: plain character classes only, so
     * Java regex (Spark) and RE2 (DuckDB) agree on every match. */
@@ -29,9 +28,11 @@ object Curate {
     * synthetic ones derived from doc_id (0, 1 or 2 per doc). The operator
     * under test is the scrub itself; the injection just gives it work. */
   private val enriched = concat(col("text"),
-    when(pmod(col("doc_id"), lit(3)) === 0,
+    // sign-following % (not pmod) so the arm choice matches the oracle's
+    // doc_id % 3 even for negative ids
+    when(col("doc_id") % 3 === 0,
       concat(lit(" contact a"), col("doc_id").cast("string"), lit("@mail.com now")))
-      .when(pmod(col("doc_id"), lit(3)) === 1,
+      .when(col("doc_id") % 3 === 1,
         concat(lit(" from b"), col("doc_id").cast("string"),
           lit("@x.org or c"), col("doc_id").cast("string"), lit("@x.org")))
       .otherwise(lit("")))
@@ -81,12 +82,12 @@ object Curate {
         .orderBy("doc_id")
     }, Some(
       s"""WITH t AS (SELECT doc_id, $normSql AS w,
-           ${md5LongSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+           ${TrainPrep.splitBucketSql} AS bucket
            FROM documents),
          g AS (SELECT doc_id, bucket, unnest(list_transform(range(1, len(w)-6), i ->
            array_to_string(w[i:i+7], ' '))) AS gram FROM t WHERE len(w) >= 8),
-         tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE bucket < 80),
-         te AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90)
+         tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE bucket < ${TrainPrep.TrainBelow}),
+         te AS (SELECT DISTINCT gram FROM g WHERE bucket >= ${TrainPrep.ValBelow})
          SELECT tr.doc_id, count(*) AS n_shared_grams
          FROM tr JOIN te USING (gram) GROUP BY tr.doc_id ORDER BY doc_id""")),
 
@@ -98,8 +99,7 @@ object Curate {
     // are the batch backfill, this is the delta.
     QueryDef("dedup_incremental", (s, d) => {
       val h = Tables.load(s, d, "documents")
-        .select(col("source"),
-          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("h"))
+        .select(col("source"), contentHash.as("h"))
       val corpus = h.filter(col("source") === "src0").select("h").distinct()
       val fresh = h.filter(col("source") =!= "src0")
       val survivors = fresh.join(corpus, Seq("h"), "left_anti")
@@ -113,9 +113,7 @@ object Curate {
           coalesce(col("n_uniq_new"), lit(0L)).as("n_uniq_new"))
         .orderBy("source")
     }, Some(
-      """WITH h AS (SELECT source,
-           sha256(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS h
-           FROM documents),
+      s"""WITH h AS (SELECT source, $contentHashSql AS h FROM documents),
          corpus AS (SELECT DISTINCT h FROM h WHERE source = 'src0'),
          fresh AS (SELECT * FROM h WHERE source <> 'src0'),
          surv AS (SELECT f.source, f.h FROM fresh f ANTI JOIN corpus c USING (h))

@@ -90,13 +90,12 @@ object Dedup {
     // moves, and min(doc_id) keeps the canonical copy deterministically.
     QueryDef("dedup_exact", (s, d) => {
       Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          sha2(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 256).as("content_hash"))
+        .select(col("doc_id"), TextNorm.contentHash.as("content_hash"))
         .groupBy("content_hash")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("keep_id")
     }, Some(
-      "SELECT sha256(trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS content_hash, " +
+      s"SELECT ${TextNorm.contentHashSql} AS content_hash, " +
       "min(doc_id) AS keep_id, count(*) AS n_dups " +
       "FROM documents GROUP BY 1 ORDER BY keep_id")),
 

@@ -16,4 +16,9 @@ object TextNorm {
   val toks: Column = split(normText, " ")
   /** DuckDB mirror of [[toks]]. */
   val normSql: String = s"string_split($normTextSql, ' ')"
+  /** THE content hash for exact/incremental dedup: sha256 of the
+    * normalized text. One pair, used by every dedup variant. */
+  val contentHash: Column = sha2(normText, 256)
+  /** DuckDB mirror of [[contentHash]]. */
+  val contentHashSql: String = s"sha256($normTextSql)"
 }

@@ -30,12 +30,25 @@ object TrainPrep {
   /** Tokens per training sequence for seq packing. */
   private val PackBudget = 1024L
 
+  /** 80/10/10 thresholds of [[splitCol]], shared with the oracles.
+    * (Defined BEFORE splitCol: a forward val reference inside an object
+    * would silently read 0 during initialization.) */
+  val TrainBelow = 80
+  val ValBelow = 90
+
+  /** DuckDB mirror of [[splitCol]]'s bucket (before thresholding). */
+  val splitBucketSql: String =
+    Dedup.md5LongSql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+
   /** THE production split expression over a `doc_id` column (exposed so
     * specs exercise this exact definition — salt, hash, and thresholds —
-    * rather than a copy that could drift). */
+    * rather than a copy that could drift). [[splitBucketSql]] is its
+    * DuckDB twin; both oracles that involve the split (split_assign,
+    * contamination) must build on it so a salt/threshold change can
+    * never land on one side only. */
   val splitCol: org.apache.spark.sql.Column = {
     val bucket = Dedup.md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
-    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    when(bucket < TrainBelow, "train").when(bucket < ValBelow, "val").otherwise("test")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -75,10 +88,9 @@ object TrainPrep {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang")
     }, Some(
-      s"""WITH b AS (SELECT lang,
-           ${Dedup.md5LongSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
-           FROM documents)
-         SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      s"""WITH b AS (SELECT lang, $splitBucketSql AS bucket FROM documents)
+         SELECT CASE WHEN bucket < $TrainBelow THEN 'train'
+           WHEN bucket < $ValBelow THEN 'val'
            ELSE 'test' END AS split, lang, count(*) AS n_docs
          FROM b GROUP BY 1, 2 ORDER BY split, lang""")),
 
@@ -111,8 +123,10 @@ object TrainPrep {
     // check full chunk content without shipping it.
     QueryDef("chunk_docs", (s, d) => {
       Tables.load(s, d, "documents")
+        // the nToks convention: NULL/whitespace-only docs have 0 tokens
+        // and get no chunks (split('') would smuggle in a [""] token)
+        .filter(col("text").isNotNull && normText =!= "")
         .select(col("doc_id"), toks.as("w"))
-        .filter(size(col("w")) > 0)
         .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_toks"),
           explode(expr("sequence(0L, cast(size(w)-1 AS LONG), 24L)")).as("start"))
         .select(col("doc_id"), (col("start") / 24).cast("long").as("chunk_idx"),
@@ -122,9 +136,10 @@ object TrainPrep {
             .as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     }, Some(
-      s"""WITH t AS (SELECT doc_id, $normSql AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, $normSql AS w FROM documents
+           WHERE text IS NOT NULL AND $normTextSql <> ''),
          c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
-           unnest(range(0, len(w), 24)) AS start FROM t WHERE len(w) > 0)
+           unnest(range(0, len(w), 24)) AS start FROM t)
          SELECT doc_id, start//24 AS chunk_idx, start,
            least(32, n_toks - start) AS chunk_len,
            md5(array_to_string(w[start+1 : start+32], ' ')) AS chunk_md5
@@ -140,8 +155,11 @@ object TrainPrep {
     // swap to DECIMAL weights there; ppm precision is the portable choice
     // at gate scale.)
     QueryDef("mix_weights", (s, d) => {
+      // a language whose docs are all empty aggregates to 0 tokens;
+      // exclude it up front or the ANSI div below throws DIVIDE_BY_ZERO
       val lt = Tables.load(s, d, "documents")
         .groupBy("lang").agg(sum(nToks).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
       lt.crossJoin(broadcast(lt.agg(min("n_tokens").as("min_tokens"))))
         .withColumn("weight_ppm", expr("(min_tokens * 1000000) div n_tokens"))
         .select(col("lang"), col("n_tokens"), col("weight_ppm"),
@@ -149,7 +167,7 @@ object TrainPrep {
         .orderBy("lang")
     }, Some(
       s"""WITH lt AS (SELECT lang, CAST(sum($nToksSql) AS BIGINT) AS n_tokens
-           FROM documents GROUP BY lang),
+           FROM documents GROUP BY lang HAVING sum($nToksSql) > 0),
          m AS (SELECT min(n_tokens) AS min_tokens FROM lt)
          SELECT lang, n_tokens, (min_tokens * 1000000)//n_tokens AS weight_ppm,
            (n_tokens * ((min_tokens * 1000000)//n_tokens))//1000000 AS sampled_tokens

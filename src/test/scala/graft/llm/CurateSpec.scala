@@ -131,7 +131,10 @@ class CurateSpec extends SparkSuite {
       assert(ppm <= 1000000L, s"$lang upsampled: $ppm ppm")
       assert(ppm == (minTok * 1000000L) / n, s"$lang weight drifted")
       assert(sampled <= minTok, s"$lang sampled $sampled above the $minTok budget")
-      assert(sampled >= minTok - 1000000L / math.max(ppm, 1L) - 1,
+      // floor arithmetic guarantee: ppm >= minTok*1e6/n - 1, so
+      // sampled >= minTok - n/1e6 - 1 (n-based slack; a ppm-based bound
+      // is wrong once minTok exceeds 1e6)
+      assert(sampled >= minTok - n / 1000000L - 1,
         s"$lang sampled $sampled far below the $minTok budget")
     }
     assert(rows.filter(_._2 == minTok).forall(_._3 == 1000000L),
