@@ -45,6 +45,35 @@ class TrainPrepPropertySpec extends SparkSuite {
     }
   }
 
+  test("chunking covers arbitrary token arrays exactly, via the production query") {
+    import spark.implicits._
+    // arbitrary synthetic corpora: docs of 0..120 tokens (0 → no chunks)
+    samples(Gen.listOfN(40, Gen.chooseNum(0, 120)), 4).foreach { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("t").mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("chunk_prop").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // the PRODUCTION chunk_docs query over the synthetic table
+      val chunks = graft.SparkEntry.queries("chunk_docs")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byDoc = chunks.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      lens.zipWithIndex.foreach { case (n, i) =>
+        byDoc.get(i.toLong) match {
+          case None => assert(n == 0, s"doc $i with $n tokens got no chunks")
+          case Some(cs) =>
+            assert(n > 0, s"empty doc $i got chunks")
+            // exactly ceil(max(n-32,0)/24)+1 stride starts below n
+            assert(cs.length == (n - 1) / 24 + 1, s"doc $i ($n toks): ${cs.length} chunks")
+            assert(cs.map(_._4).sum ==
+              cs.indices.map(k => math.min(32, n - k * 24)).sum, s"doc $i length sum")
+            assert(cs.last._3 + cs.last._4 == n, s"doc $i last chunk must end at $n")
+        }
+      }
+    }
+  }
+
   test("split bucketing is stable, uniform-ish, and uses the production expression") {
     import spark.implicits._
     samples(Gen.listOfN(200, Gen.chooseNum(0L, 1000000L)), 4).foreach { rawIds =>
