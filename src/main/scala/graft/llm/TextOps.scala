@@ -158,8 +158,10 @@ object TextOps {
     QueryDef("sample_stratified", (s, d) => {
       // reduce mod a prime BEFORE the Knuth multiplier: 1000003 * 2^31.3
       // stays far under 2^63, so ANSI mode (and DuckDB BIGINT) can never
-      // overflow no matter how large doc_id grows
-      val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L))
+      // overflow no matter how large doc_id grows. Sign-following %
+      // (not pmod) on both sides so a negative doc_id can't pick
+      // different buckets per engine.
+      val bucket = col("doc_id") % 1000003L * 2654435761L % 100L
       val quota = when(col("lang") === "en", 10)
         .when(col("lang") === "de", 50)
         .when(col("lang") === "es", 30)
