@@ -29,6 +29,18 @@ object Tables {
   def tsUs: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr("ts div 1000")
 
+  /** events.value as exact integer cents — THE money-measure expression
+    * for every events aggregate, paired with [[centsSql]]. try_cast (not
+    * cast): a NaN/±Infinity measure becomes NULL — skipped by sums
+    * exactly like a NULL value — instead of killing the whole job with
+    * ANSI CAST_OVERFLOW; real event streams contain NaN
+    * (HostileEventsSpec pins this). */
+  def cents: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("try_cast(round(value * 100, 0) AS LONG)")
+
+  /** DuckDB mirror of [[cents]]. */
+  val centsSql: String = "TRY_CAST(round(value*100,0) AS BIGINT)"
+
   /** events with `ts` also exposed as a proper timestamp column `ts_t`
     * (microsecond precision — Spark's native timestamp resolution). */
   def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {

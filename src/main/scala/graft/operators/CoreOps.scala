@@ -70,11 +70,11 @@ object CoreOps {
       // driver-side carry (exactly KMR's rank-carry on rank0,
       // kmr_scan_across_ranks_sequentially src/kmrmoreops.c:871-929).
       val e = Tables.load(s, d, "events")
-        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), graft.Tables.cents.as("cents"))
       prefixSumLong(s, e, "event_id", "cents", "prefix_cents")
         .select("event_id", "prefix_cents")
     }, Some(
-      "SELECT event_id, CAST(coalesce(SUM(CAST(round(value*100,0) AS BIGINT)) OVER (" +
+      "SELECT event_id, CAST(coalesce(SUM(TRY_CAST(round(value*100,0) AS BIGINT)) OVER (" +
       "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
       "AS prefix_cents FROM events ORDER BY event_id")),
 

@@ -37,13 +37,13 @@ object EventOps {
           // Integer division, NOT floor(a/b): nanos-since-epoch exceeds
           // 2^53, so double division quantizes near bucket boundaries.
           expr("ts div 3600000000000").as("hour_bucket"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
+          Tables.cents.as("cents"))
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .orderBy("event_type", "hour_bucket")
     }, Some(
       "SELECT event_type, CAST(epoch_ns(ts)//3600000000000 AS BIGINT) AS hour_bucket, " +
-      "count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "count(*) AS n, CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
 
     // ---- Sketch surface: HyperLogLog++ approximate distincts — the
@@ -87,13 +87,13 @@ object EventOps {
         .withColumn("salt", pmod(col("event_id"), lit(16)))
         .groupBy("user_id", "salt")
         .agg(count(lit(1)).as("pn"),
-          sum(round(col("value") * 100, 0).cast("long")).as("pc"))
+          sum(Tables.cents).as("pc"))
       salted.groupBy("user_id")
         .agg(sum("pn").as("n_events"), sum("pc").as("sum_cents"))
         .orderBy("user_id")
     }, Some(
       "SELECT user_id, count(*) AS n_events, " +
-      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY user_id ORDER BY user_id")),
 
     // ---- Hot-key aggregation: groupBy on user_id. Map-side partial
@@ -104,11 +104,11 @@ object EventOps {
       Tables.load(s, d, "events")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+          sum(Tables.cents).as("sum_cents"))
         .orderBy(desc("n_events"), col("user_id"))
     }, Some(
       "SELECT user_id, count(*) AS n_events, " +
-      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY user_id ORDER BY n_events DESC, user_id"))
   )
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  private val cents = round(col("value") * 100, 0).cast("long")
+  private val cents = Tables.cents
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -34,9 +34,9 @@ object Analytics {
         .orderBy("event_type")
     }, Some(
       "SELECT event_type, " +
-      "quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.25) AS p25_cents, " +
-      "quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.5) AS p50_cents, " +
-      "quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.75) AS p75_cents, " +
+      "quantile_cont(TRY_CAST(round(value*100,0) AS BIGINT), 0.25) AS p25_cents, " +
+      "quantile_cont(TRY_CAST(round(value*100,0) AS BIGINT), 0.5) AS p50_cents, " +
+      "quantile_cont(TRY_CAST(round(value*100,0) AS BIGINT), 0.75) AS p75_cents, " +
       "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ---- Approximate quantiles: the sketch path (GK/KLL-style summary,
@@ -71,9 +71,9 @@ object Analytics {
     }, Some(
       "SELECT user_id, epoch_us(ts) AS ts_us, event_id, " +
       "lag(event_id, 1) OVER w AS prev_event, " +
-      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents, " +
-      "round(CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+      "round(CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
       "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov3_cents " +
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +

@@ -217,7 +217,7 @@ object Ingest {
       val dir = tmpDir(s, "json", d)
       Tables.load(s, d, "events")
         .select(col("event_id"), col("event_type"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
+          Tables.cents.as("cents"))
         .write.mode("overwrite").json(dir)
       s.read.schema(StructType.fromDDL(
           "event_id BIGINT, event_type STRING, cents BIGINT"))
@@ -227,7 +227,7 @@ object Ingest {
         .orderBy("event_type")
     }, Some(
       "SELECT event_type, count(*) AS n, " +
-      "CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ---- Partitioned sink + pruned scan: write hive-layout parquet

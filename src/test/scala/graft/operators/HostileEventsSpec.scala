@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Robustness net for the events-table operators: NULL/malformed JSON
+  * props, NULL values/types/users, NaN and infinite measures, negative
+  * and zero timestamps — realistic stream contamination the driver's
+  * clean testdata never exercises. (`ts` is written as a plain long — the
+  * same shape those queries see reading TIMESTAMP(NANOS) parquet under
+  * nanosAsLong.) */
+class HostileEventsSpec extends SparkSuite {
+
+  private val eventsOnlyQueries = Seq(
+    "props_extract", "events_window", "approx_distinct", "distinct_exact",
+    "salted_agg", "skew_level", "quantiles", "approx_quantiles",
+    "window_analytics", "sessionize_batch", "pivot_events",
+    "asof_join", "range_join")
+
+  private lazy val hostileDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hostile_events").toString
+    val h = 3600L * 1000000000L // one hour of nanos
+    val rows = Seq(
+      // (event_id, ts, user_id, event_type, value, props)
+      (0L, h + 1L, 1L, "click", 10.0, """{"k": 1}"""),
+      (1L, h + 2L, 1L, "purchase", 20.5, """{"k": 2}"""),
+      (2L, h + 3L, 2L, "click", 0.0, null.asInstanceOf[String]), // null props
+      (3L, h + 4L, 2L, "error", 1.0, "{not json"),               // malformed props
+      (4L, h + 5L, 2L, "error", 2.0, """{"other": 9}"""),        // key absent
+      (5L, 2 * h, 3L, "view", Double.NaN, """{"k": 3}"""),       // NaN measure
+      (6L, 2 * h + 1L, 3L, "view", Double.PositiveInfinity, "{}"), // infinite measure
+      (7L, 0L, 4L, "click", -5.25, "[1,2]"),                     // zero ts, non-object JSON
+      (8L, -h, 4L, "purchase", 1e15, """{"k": -1}"""),           // negative ts, huge value
+      (9L, 3 * h, 5L, null.asInstanceOf[String], 3.0, """{"k": 4}""")) // null type
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  eventsOnlyQueries.foreach { name =>
+    test(s"$name survives the hostile event stream") {
+      graft.SparkEntry.queries(name)(spark, hostileDir).collect()
+    }
+  }
+}
