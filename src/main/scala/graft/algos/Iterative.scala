@@ -4,7 +4,6 @@ import graft.{QueryDef, Tables}
 import graft.functions.DotProductD.dotD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Iterative / linear-algebra workloads from the reference example suite
   * (ex/pagerank.c, ex/kmeans-kmr.c, ex/phoenix-matrix-multiply.c),
@@ -122,14 +121,25 @@ object Iterative {
       // contribution, and all component sums (map-side partial agg; the
       // shuffle is k rows × (dim+2) columns) — replaces the previous
       // posexplode + double groupBy + separate inertia job.
+      // get() (not getItem): a vector shorter than dim contributes null
+      // to the components it lacks — skipped by sum — instead of an ANSI
+      // INVALID_ARRAY_INDEX that kills the job on one malformed row
       val aggCols = count(lit(1)).as("cnt") +: sum("d2").as("sd2") +:
-        (0 until dim).map(i => sum(col("e").getItem(i)).as(s"s$i"))
+        (0 until dim).map(i => sum(get(col("e"), lit(i))).as(s"s$i"))
       // stats row layout: cid(0), cnt(1), sd2(2), s0..s{dim-1} from 3
       val stats = assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*).collect()
-      history += stats.map(_.getDouble(2)).sum
+      history += stats.map(r => if (r.isNullAt(2)) 0.0 else r.getDouble(2)).sum
+      val prev = centroids.toMap
       val updated = stats.map { r =>
+        val cid = r.getLong(0)
         val cnt = r.getLong(1)
-        (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(3 + i) / cnt))
+        // an all-null component sum (every member lacked it) keeps the
+        // previous centroid's coordinate
+        (cid, Array.tabulate(dim) { i =>
+          if (r.isNullAt(3 + i))
+            prev.get(cid).collect { case ce if ce.length > i => ce(i) }.getOrElse(0.0)
+          else r.getDouble(3 + i) / cnt
+        })
       }.toMap
       // a cluster that lost all members keeps its previous centroid
       // (Lloyd's convention) instead of silently vanishing below k
@@ -167,7 +177,11 @@ object Iterative {
     // final cluster sizes. No SQL oracle; IterativeSpec asserts inertia
     // monotonicity and nearest-centroid consistency.
     QueryDef("kmeans_clusters", (s, d) => {
+      // NULL/empty vectors carry no position — exclude them up front, or
+      // centroid init NPEs when one lands in the first k rows
+      // (HostileEmbeddingsSpec pins this)
       val v = Tables.load(s, d, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id").as("id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       val (assigned, _) = kMeans(v, k = 8, iters = 5)
@@ -187,14 +201,16 @@ object Iterative {
         .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("x"))
       v.as("a").join(v.as("b"), "vec_id")
         .groupBy(col("a.pos").as("p1"), col("b.pos").as("p2"))
-        .agg(round(sum((col("a.x") * col("b.x")).cast(DecimalType(28, 12))), 8)
+        // try_cast: a product beyond DECIMAL(28,12) (or NaN) degrades to
+        // NULL instead of an ANSI NUMERIC_VALUE_OUT_OF_RANGE crash
+        .agg(round(sum(expr("try_cast(a.x * b.x AS DECIMAL(28,12))")), 8)
           .cast("double").as("dot"))
         .orderBy("p1", "p2")
     }, Some(
       "WITH m AS (SELECT vec_id, i - 1 AS pos, CAST(embedding AS DOUBLE[])[i] AS x " +
       "FROM embeddings CROSS JOIN range(1, 65) r(i) WHERE vec_id < 100) " +
       "SELECT a.pos AS p1, b.pos AS p2, " +
-      "CAST(round(sum(CAST(a.x * b.x AS DECIMAL(28,12))), 8) AS DOUBLE) AS dot " +
+      "CAST(round(sum(TRY_CAST(a.x * b.x AS DECIMAL(28,12))), 8) AS DOUBLE) AS dot " +
       "FROM m a JOIN m b ON a.vec_id = b.vec_id GROUP BY 1, 2 ORDER BY p1, p2"))
   )
 }

@@ -43,8 +43,15 @@ object AnnOps {
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
   }
 
-  private def cosCol(q: String, v: String, qn: String, vn: String): Column =
-    dot(col(q), col(v)) / (col(qn) * col(vn))
+  /** Cosine with an undefined-for-zero-norm guard: a zero (or null)
+    * vector has no direction, so its similarity is NULL — filtered by
+    * every >= threshold and ranked last — instead of an ANSI
+    * DIVIDE_BY_ZERO that kills the job (HostileEmbeddingsSpec pins
+    * this). Oracles mirror with nullif on the denominator. */
+  private def cosCol(q: String, v: String, qn: String, vn: String): Column = {
+    val den = col(qn) * col(vn)
+    when(den === 0, lit(null)).otherwise(dot(col(q), col(v)) / den)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -54,7 +61,7 @@ object AnnOps {
           scored AS (
             SELECT qid, vec_id,
               list_dot_product(qe, e) /
-                (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cos
+                nullif(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)), 0) AS cos
             FROM q, v WHERE qid <> vec_id),
           ranked AS (
             SELECT qid, vec_id, cos,
@@ -75,17 +82,17 @@ object AnnOps {
             SELECT vec_id, e, nrm, cid FROM (
               SELECT a.vec_id, a.e, a.nrm, c.cid,
                 row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY list_dot_product(c.ce, a.e)/(c.cnrm*a.nrm) DESC, c.cid) AS ark
+                  ORDER BY list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0) DESC, c.cid) AS ark
               FROM vn a, cents c) t WHERE ark = 1),
           q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id < $NQUERY),
           probes AS (
             SELECT qid, qe, qnrm, cid FROM (
               SELECT q.qid, q.qe, q.qnrm, c.cid,
                 row_number() OVER (PARTITION BY q.qid
-                  ORDER BY list_dot_product(c.ce, q.qe)/(c.cnrm*q.qnrm) DESC, c.cid) AS prk
+                  ORDER BY list_dot_product(c.ce, q.qe)/nullif(c.cnrm*q.qnrm, 0) DESC, c.cid) AS prk
               FROM q, cents c) t WHERE prk <= $NPROBE),
           cand AS (
-            SELECT p.qid, a.vec_id, list_dot_product(p.qe, a.e)/(p.qnrm*a.nrm) AS cos
+            SELECT p.qid, a.vec_id, list_dot_product(p.qe, a.e)/nullif(p.qnrm*a.nrm, 0) AS cos
             FROM assigned a JOIN probes p ON a.cid = p.cid
             WHERE a.vec_id <> p.qid),
           ranked AS (SELECT qid, vec_id, cos,
@@ -107,14 +114,14 @@ object AnnOps {
           expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))").as("scale"))
         .filter(col("scale") > 0)
         .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
-          expr("CAST(aggregate(transform(e, x -> abs(CAST(round((x*127)/scale, 0) AS BIGINT))), " +
+          expr("CAST(aggregate(transform(e, x -> abs(try_cast(round((x*127)/scale, 0) AS BIGINT))), " +
             "CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)").as("l1_q"))
         .orderBy("vec_id")
     }, Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
          SELECT vec_id, round(scale, 6) AS scale_r,
-           CAST(list_sum(list_transform(e, x -> abs(CAST(round((x*127)/scale, 0) AS BIGINT)))) AS BIGINT) AS l1_q
+           CAST(list_sum(list_transform(e, x -> abs(TRY_CAST(round((x*127)/scale, 0) AS BIGINT)))) AS BIGINT) AS l1_q
          FROM sc WHERE scale > 0 ORDER BY vec_id""")),
 
     // ---- Embedding-cosine near-dup with metadata BLOCKING: candidate
@@ -141,7 +148,7 @@ object AnnOps {
          pairs AS (
            SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
              list_dot_product(a.e, b.e) /
-               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+               nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0) AS cos
            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT CAST(label AS BIGINT) AS label, id1, id2, round(cos, 6) AS cos_sim
          FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2"""))
