@@ -93,12 +93,12 @@ object CoreOps {
       Tables.load(s, d, "lineitem").agg(
         min("l_quantity").as("min_qty"),
         max("l_quantity").as("max_qty"),
-        round(sum(col("l_quantity").cast(DecimalType(18, 6))), 2)
+        round(sum(col("l_quantity").try_cast(DecimalType(18, 6))), 2)
           .cast("double").as("sum_qty"),
         count(lit(1)).as("cnt"))
     }, Some(
       "SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
-      "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))),2) AS DOUBLE) AS sum_qty, " +
+      "CAST(round(sum(TRY_CAST(l_quantity AS DECIMAL(18,6))),2) AS DOUBLE) AS sum_qty, " +
       "count(*) AS cnt FROM lineitem")),
 
     QueryDef("match_join", (s, d) => {

@@ -36,11 +36,11 @@ object Tpch {
     * fixed order — a distributed sum does not). Result rounded to cents
     * and returned as double. Mirrored exactly by [[dsumSql]]. */
   private def dsum(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 6))), 2).cast("double")
+    round(sum(c.try_cast(DecimalType(18, 6))), 2).cast("double")
 
   /** DuckDB-side mirror of [[dsum]]. */
   private def dsumSql(expr: String): String =
-    s"CAST(round(sum(CAST($expr AS DECIMAL(18,6))),2) AS DOUBLE)"
+    s"CAST(round(sum(TRY_CAST($expr AS DECIMAL(18,6))),2) AS DOUBLE)"
 
   private val revSql = "l_extendedprice*(1-l_discount)"
 
@@ -242,14 +242,14 @@ object Tpch {
         .agg(
           round(
             sum(when(col("p_name").like("%steel%"), rev).otherwise(lit(0.0))
-              .cast(DecimalType(18, 6))).cast("double") * 100 /
-              sum(rev.cast(DecimalType(18, 6))).cast("double"), 4)
+              .try_cast(DecimalType(18, 6))).cast("double") * 100 /
+              sum(rev.try_cast(DecimalType(18, 6))).cast("double"), 4)
             .as("promo_pct"),
           count(lit(1)).as("n"))
     }, Some(
       "SELECT round(CAST(sum(CASE WHEN p_name LIKE '%steel%' " +
-      s"THEN CAST($revSql AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100 / " +
-      s"CAST(sum(CAST($revSql AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct, count(*) AS n " +
+      s"THEN TRY_CAST($revSql AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100 / " +
+      s"CAST(sum(TRY_CAST($revSql AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct, count(*) AS n " +
       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
       "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
       "AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'")),

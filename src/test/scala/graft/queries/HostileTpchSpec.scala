@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Robustness net for the relational family: the sf0.001 star schema
+  * with corrupted fact rows spliced into lineitem and orders — NaN and
+  * 1e300 money values (beyond DECIMAL(18,6)), NULL join keys, NULL
+  * dates, negative quantities. A single corrupt row must degrade (NULL
+  * measure, dropped join row) rather than kill a 100 TB job with ANSI
+  * CAST/overflow errors. */
+class HostileTpchSpec extends SparkSuite {
+
+  private val relationalQueries = Seq(
+    "q1_pricing", "q3_topk", "q5_local", "q7_volume", "q9_profit",
+    "q10_returns", "q13_custdist", "q14_promo", "q17_avgqty", "q18_topq",
+    "q19_disjunct", "q21_exists", "q21_sole", "rollup_stats",
+    "set_except", "set_intersect")
+
+  private lazy val hostileDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("hostile_tpch").toString
+    val src = graft.SparkTest.sfDir
+    graft.Tables.names.foreach { t =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val out = t match {
+        case "lineitem" =>
+          df.unionByName(df.limit(3).withColumn("l_extendedprice", lit(Double.NaN)))
+            .unionByName(df.limit(3).withColumn("l_extendedprice", lit(1e300)))
+            .unionByName(df.limit(2)
+              .withColumn("l_orderkey", lit(null).cast("long"))
+              .withColumn("l_partkey", lit(null).cast("long")))
+            .unionByName(df.limit(2).withColumn("l_shipdate",
+              lit(null).cast(df.schema("l_shipdate").dataType)))
+            .unionByName(df.limit(2).withColumn("l_quantity", lit(-5.0)))
+        case "orders" =>
+          df.unionByName(df.limit(2).withColumn("o_custkey", lit(null).cast("long")))
+            .unionByName(df.limit(2).withColumn("o_orderdate",
+              lit(null).cast(df.schema("o_orderdate").dataType)))
+        case _ => df
+      }
+      out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  relationalQueries.foreach { name =>
+    test(s"$name survives corrupted fact rows") {
+      graft.SparkEntry.queries(name)(spark, hostileDir).collect()
+    }
+  }
+}
