@@ -41,6 +41,16 @@ object Tables {
   /** DuckDB mirror of [[cents]]. */
   val centsSql: String = "TRY_CAST(round(value*100,0) AS BIGINT)"
 
+  /** lineitem.l_quantity as integer cents — same try_cast rationale. */
+  def qtyCents: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("try_cast(round(l_quantity * 100, 0) AS LONG)")
+  val qtyCentsSql: String = "TRY_CAST(round(l_quantity*100,0) AS BIGINT)"
+
+  /** lineitem.l_extendedprice as integer cents — same try_cast rationale. */
+  def priceCents: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("try_cast(round(l_extendedprice * 100, 0) AS LONG)")
+  val priceCentsSql: String = "TRY_CAST(round(l_extendedprice*100,0) AS BIGINT)"
+
   /** events with `ts` also exposed as a proper timestamp column `ts_t`
     * (microsecond precision — Spark's native timestamp resolution). */
   def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {

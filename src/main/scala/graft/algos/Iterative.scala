@@ -123,22 +123,27 @@ object Iterative {
       // posexplode + double groupBy + separate inertia job.
       // get() (not getItem): a vector shorter than dim contributes null
       // to the components it lacks — skipped by sum — instead of an ANSI
-      // INVALID_ARRAY_INDEX that kills the job on one malformed row
+      // INVALID_ARRAY_INDEX that kills the job on one malformed row. Each
+      // component carries its own non-null count as the mean denominator:
+      // dividing a null-skipping sum by the full cluster size would bias
+      // coordinates toward zero whenever short vectors are members.
       val aggCols = count(lit(1)).as("cnt") +: sum("d2").as("sd2") +:
-        (0 until dim).map(i => sum(get(col("e"), lit(i))).as(s"s$i"))
-      // stats row layout: cid(0), cnt(1), sd2(2), s0..s{dim-1} from 3
+        ((0 until dim).map(i => sum(get(col("e"), lit(i))).as(s"s$i")) ++
+          (0 until dim).map(i => count(get(col("e"), lit(i))).as(s"c$i")))
+      // stats row layout: cid(0), cnt(1), sd2(2), s0..s{dim-1} from 3,
+      // c0..c{dim-1} from 3+dim
       val stats = assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*).collect()
       history += stats.map(r => if (r.isNullAt(2)) 0.0 else r.getDouble(2)).sum
       val prev = centroids.toMap
       val updated = stats.map { r =>
         val cid = r.getLong(0)
-        val cnt = r.getLong(1)
-        // an all-null component sum (every member lacked it) keeps the
-        // previous centroid's coordinate
+        // a component no member carries (count 0) keeps the previous
+        // centroid's coordinate
         (cid, Array.tabulate(dim) { i =>
-          if (r.isNullAt(3 + i))
+          val n = r.getLong(3 + dim + i)
+          if (n == 0L)
             prev.get(cid).collect { case ce if ce.length > i => ce(i) }.getOrElse(0.0)
-          else r.getDouble(3 + i) / cnt
+          else r.getDouble(3 + i) / n
         })
       }.toMap
       // a cluster that lost all members keeps its previous centroid

@@ -114,14 +114,18 @@ object AnnOps {
           expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))").as("scale"))
         .filter(col("scale") > 0)
         .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          // coalesce inside the fold: a NaN component (null after
+          // try_cast) contributes 0, matching DuckDB's null-skipping
+          // list_sum — a null-propagating fold would diverge on exactly
+          // the corrupt inputs the try_cast tolerates
           expr("CAST(aggregate(transform(e, x -> abs(try_cast(round((x*127)/scale, 0) AS BIGINT))), " +
-            "CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)").as("l1_q"))
+            "CAST(0 AS BIGINT), (a, b) -> a + coalesce(b, CAST(0 AS BIGINT))) AS BIGINT)").as("l1_q"))
         .orderBy("vec_id")
     }, Some(
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
          SELECT vec_id, round(scale, 6) AS scale_r,
-           CAST(list_sum(list_transform(e, x -> abs(TRY_CAST(round((x*127)/scale, 0) AS BIGINT)))) AS BIGINT) AS l1_q
+           CAST(coalesce(list_sum(list_transform(e, x -> abs(TRY_CAST(round((x*127)/scale, 0) AS BIGINT)))), 0) AS BIGINT) AS l1_q
          FROM sc WHERE scale > 0 ORDER BY vec_id""")),
 
     // ---- Embedding-cosine near-dup with metadata BLOCKING: candidate
@@ -183,9 +187,14 @@ object AnnOps {
     // map-side partial min collapses them before the shuffle — n tiny
     // rows cross the wire instead of a n×K shuffle-and-sort.
     // min(struct(-cos, cid)) == "highest cosine, then lowest cid", the
-    // exact order the window variant (and the oracle) ranks by.
+    // exact order the window variant (and the oracle) ranks by. A NULL
+    // cosine (zero-norm centroid or vector) coalesces to -Infinity so it
+    // ranks LAST like the oracle's DESC — a struct with a null first
+    // field would otherwise sort FIRST and a degenerate centroid would
+    // capture the whole corpus.
     val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosCol("ce", "e", "cnrm", "nrm"))
+      .withColumn("ccos",
+        coalesce(cosCol("ce", "e", "cnrm", "nrm"), lit(Double.NegativeInfinity)))
       .groupBy("vec_id")
       .agg(first("e").as("e"), first("nrm").as("nrm"),
         min(struct(negate(col("ccos")), col("cid"))).as("m"))

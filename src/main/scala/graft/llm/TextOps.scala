@@ -158,10 +158,12 @@ object TextOps {
     QueryDef("sample_stratified", (s, d) => {
       // reduce mod a prime BEFORE the Knuth multiplier: 1000003 * 2^31.3
       // stays far under 2^63, so ANSI mode (and DuckDB BIGINT) can never
-      // overflow no matter how large doc_id grows. Sign-following %
-      // (not pmod) on both sides so a negative doc_id can't pick
-      // different buckets per engine.
-      val bucket = col("doc_id") % 1000003L * 2654435761L % 100L
+      // overflow no matter how large doc_id grows. The bucket must be
+      // NON-NEGATIVE or `bucket < quota` silently keeps 100% of
+      // negative-id docs — pmod here, (x % 100 + 100) % 100 in the
+      // oracle, so quota semantics AND engine parity both hold for any
+      // id sign.
+      val bucket = pmod(col("doc_id") % 1000003L * 2654435761L, lit(100L))
       val quota = when(col("lang") === "en", 10)
         .when(col("lang") === "de", 50)
         .when(col("lang") === "es", 30)
@@ -174,7 +176,7 @@ object TextOps {
         .orderBy("lang")
     }, Some(
       "SELECT lang, count(*) AS n_sampled FROM documents " +
-      "WHERE ((doc_id % 1000003) * 2654435761) % 100 < CASE lang " +
+      "WHERE (((doc_id % 1000003) * 2654435761) % 100 + 100) % 100 < CASE lang " +
       "WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'es' THEN 30 " +
       "WHEN 'fr' THEN 30 ELSE 80 END " +
       "GROUP BY lang ORDER BY lang")),

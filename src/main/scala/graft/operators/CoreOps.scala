@@ -74,7 +74,7 @@ object CoreOps {
       prefixSumLong(s, e, "event_id", "cents", "prefix_cents")
         .select("event_id", "prefix_cents")
     }, Some(
-      "SELECT event_id, CAST(coalesce(SUM(TRY_CAST(round(value*100,0) AS BIGINT)) OVER (" +
+      "SELECT event_id, CAST(coalesce(SUM(" + graft.Tables.centsSql + ") OVER (" +
       "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
       "AS prefix_cents FROM events ORDER BY event_id")),
 

@@ -43,7 +43,7 @@ object EventOps {
         .orderBy("event_type", "hour_bucket")
     }, Some(
       "SELECT event_type, CAST(epoch_ns(ts)//3600000000000 AS BIGINT) AS hour_bucket, " +
-      "count(*) AS n, CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "count(*) AS n, CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
 
     // ---- Sketch surface: HyperLogLog++ approximate distincts — the
@@ -93,7 +93,7 @@ object EventOps {
         .orderBy("user_id")
     }, Some(
       "SELECT user_id, count(*) AS n_events, " +
-      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY user_id ORDER BY user_id")),
 
     // ---- Hot-key aggregation: groupBy on user_id. Map-side partial
@@ -108,7 +108,7 @@ object EventOps {
         .orderBy(desc("n_events"), col("user_id"))
     }, Some(
       "SELECT user_id, count(*) AS n_events, " +
-      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY user_id ORDER BY n_events DESC, user_id"))
   )
 }

@@ -29,12 +29,12 @@ object KvsOps {
       KVS.fromColumns[String, Long](
           Tables.load(s, d, "lineitem"),
           col("l_returnflag"),
-          round(col("l_quantity") * 100, 0).cast("long"))
+          graft.Tables.qtyCents)
         .reduceByKey(_ + _)
         .ds.toDF("l_returnflag", "qty_cents")
         .orderBy("l_returnflag")
     }, Some(
-      "SELECT l_returnflag, CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_cents " +
+      "SELECT l_returnflag, CAST(sum(" + graft.Tables.qtyCentsSql + ") AS BIGINT) AS qty_cents " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
     QueryDef("concat_union", (s, d) => {

@@ -34,9 +34,9 @@ object Analytics {
         .orderBy("event_type")
     }, Some(
       "SELECT event_type, " +
-      "quantile_cont(TRY_CAST(round(value*100,0) AS BIGINT), 0.25) AS p25_cents, " +
-      "quantile_cont(TRY_CAST(round(value*100,0) AS BIGINT), 0.5) AS p50_cents, " +
-      "quantile_cont(TRY_CAST(round(value*100,0) AS BIGINT), 0.75) AS p75_cents, " +
+      "quantile_cont(" + graft.Tables.centsSql + ", 0.25) AS p25_cents, " +
+      "quantile_cont(" + graft.Tables.centsSql + ", 0.5) AS p50_cents, " +
+      "quantile_cont(" + graft.Tables.centsSql + ", 0.75) AS p75_cents, " +
       "count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ---- Approximate quantiles: the sketch path (GK/KLL-style summary,
@@ -71,9 +71,9 @@ object Analytics {
     }, Some(
       "SELECT user_id, epoch_us(ts) AS ts_us, event_id, " +
       "lag(event_id, 1) OVER w AS prev_event, " +
-      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+      "CAST(sum(" + graft.Tables.centsSql + ") OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents, " +
-      "round(CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+      "round(CAST(sum(" + graft.Tables.centsSql + ") OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
       "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov3_cents " +
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
@@ -82,13 +82,13 @@ object Analytics {
     QueryDef("rollup_stats", (s, d) => {
       Tables.load(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
-          round(col("l_quantity") * 100, 0).cast("long").as("qc"))
+          graft.Tables.qtyCents.as("qc"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("qc").as("qty_cents"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }, Some(
       "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-      "CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_cents " +
+      "CAST(sum(" + graft.Tables.qtyCentsSql + ") AS BIGINT) AS qty_cents " +
       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
 

@@ -261,17 +261,17 @@ object Tpch {
     QueryDef("q17_avgqty", (s, d) => {
       val l = Tables.load(s, d, "lineitem")
       val avgQ = l.groupBy(col("l_partkey").as("a_partkey"))
-        .agg(avg(round(col("l_quantity") * 100, 0).cast("long")).as("avg_qc"))
+        .agg(avg(graft.Tables.qtyCents).as("avg_qc"))
       l.join(avgQ, col("l_partkey") === col("a_partkey"))
-        .filter(round(col("l_quantity") * 100, 0).cast("long") < lit(0.2) * col("avg_qc"))
+        .filter(graft.Tables.qtyCents < lit(0.2) * col("avg_qc"))
         .agg(
-          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("total_cents"),
+          sum(graft.Tables.priceCents).as("total_cents"),
           count(lit(1)).as("n"))
     }, Some(
-      "SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS total_cents, " +
+      "SELECT CAST(sum(" + graft.Tables.priceCentsSql + ") AS BIGINT) AS total_cents, " +
       "count(*) AS n FROM lineitem l1 " +
-      "WHERE CAST(round(l_quantity*100,0) AS BIGINT) < " +
-      "(SELECT 0.2 * avg(CAST(round(l_quantity*100,0) AS BIGINT)) " +
+      "WHERE " + graft.Tables.qtyCentsSql + " < " +
+      "(SELECT 0.2 * avg(" + graft.Tables.qtyCentsSql + ") " +
       "FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)")),
 
     // ---- Q18-shape: IN-subquery over a HAVING aggregate — orders whose
@@ -279,7 +279,7 @@ object Tpch {
     QueryDef("q18_topq", (s, d) => {
       val l = Tables.load(s, d, "lineitem")
       val big = l.groupBy("l_orderkey")
-        .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("sum_qc"))
+        .agg(sum(graft.Tables.qtyCents).as("sum_qc"))
         .filter(col("sum_qc") > 250 * 100)
       val o = Tables.load(s, d, "orders")
       val c = Tables.load(s, d, "customer")
@@ -293,7 +293,7 @@ object Tpch {
       "SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice " +
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
       "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
-      "HAVING sum(CAST(round(l_quantity*100,0) AS BIGINT)) > 25000) " +
+      "HAVING sum(" + graft.Tables.qtyCentsSql + ") > 25000) " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
 
     // ---- Q19-shape: disjunction of conjunctive predicates across the

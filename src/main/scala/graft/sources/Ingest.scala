@@ -148,7 +148,7 @@ object Ingest {
       val dir = tmpDir(s, "tbl", d)
       val proj = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"),
-          round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"))
+          graft.Tables.qtyCents.as("qty_cents"))
       proj.write.mode("overwrite").option("sep", "|").csv(dir)
       val schema = StructType.fromDDL(
         "l_orderkey BIGINT, l_returnflag STRING, qty_cents BIGINT")
@@ -158,7 +158,7 @@ object Ingest {
         .orderBy("l_returnflag")
     }, Some(
       "SELECT l_returnflag, count(*) AS n, " +
-      "CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents " +
+      "CAST(sum(" + graft.Tables.qtyCentsSql + ") AS BIGINT) AS sum_qty_cents " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
     // ---- Corrupt-input tolerance: the raw-scan reality at 100 TB is
@@ -178,7 +178,7 @@ object Ingest {
       Tables.load(s, d, "lineitem")
         .filter(col("l_orderkey") % 2 === 0)
         .select(col("l_orderkey"),
-          round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"))
+          graft.Tables.qtyCents.as("qty_cents"))
         .write.mode("overwrite").option("sep", "|").csv(dir)
       s.createDataset(Seq(
           "garbage|not_a_number", "x|y", "1|2|3|4|extra-columns", "|", "lone-field"))
@@ -190,7 +190,7 @@ object Ingest {
         .agg(count(lit(1)).as("n"), sum("qty_cents").as("sum_qty_cents"))
     }, Some(
       "SELECT count(*) AS n, " +
-      "CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents " +
+      "CAST(sum(" + graft.Tables.qtyCentsSql + ") AS BIGINT) AS sum_qty_cents " +
       "FROM lineitem WHERE l_orderkey % 2 = 0")),
 
     // ---- Text-file wordcount (ex/wordcount.c:15-48 reads FILES, not
@@ -227,7 +227,7 @@ object Ingest {
         .orderBy("event_type")
     }, Some(
       "SELECT event_type, count(*) AS n, " +
-      "CAST(sum(TRY_CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ---- Partitioned sink + pruned scan: write hive-layout parquet

@@ -64,7 +64,7 @@ class TrainPrepPropertySpec extends SparkSuite {
           case None => assert(n == 0, s"doc $i with $n tokens got no chunks")
           case Some(cs) =>
             assert(n > 0, s"empty doc $i got chunks")
-            // exactly ceil(max(n-32,0)/24)+1 stride starts below n
+            // stride starts 0,24,... strictly below n → (n-1)/24 + 1 chunks
             assert(cs.length == (n - 1) / 24 + 1, s"doc $i ($n toks): ${cs.length} chunks")
             assert(cs.map(_._4).sum ==
               cs.indices.map(k => math.min(32, n - k * 24)).sum, s"doc $i length sum")

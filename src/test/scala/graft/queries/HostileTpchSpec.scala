@@ -32,6 +32,8 @@ class HostileTpchSpec extends SparkSuite {
             .unionByName(df.limit(2).withColumn("l_shipdate",
               lit(null).cast(df.schema("l_shipdate").dataType)))
             .unionByName(df.limit(2).withColumn("l_quantity", lit(-5.0)))
+            .unionByName(df.limit(2).withColumn("l_quantity", lit(Double.NaN)))
+            .unionByName(df.limit(2).withColumn("l_quantity", lit(1e300)))
         case "orders" =>
           df.unionByName(df.limit(2).withColumn("o_custkey", lit(null).cast("long")))
             .unionByName(df.limit(2).withColumn("o_orderdate",
