@@ -28,6 +28,8 @@ object AnnOps {
   private val NPROBE = 4
   private val TOPK = 5
   private val NQUERY = 10
+  private val NPLANES = 64 // RP-LSH hyperplanes
+  private val BANDBITS = 8 // bits per LSH band (8 bands)
 
   /** Native codegen'd dot product (graft.functions.DotProductD): one
     * tight primitive loop, ascending-index accumulation — bit-identical
@@ -155,7 +157,73 @@ object AnnOps {
                nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0) AS cos
            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT CAST(label AS BIGINT) AS label, id1, id2, round(cos, 6) AS cos_sim
-         FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2"""))
+         FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2""")),
+
+    // ---- Embedding near-dup WITHOUT a blocking key: sign-random-
+    // projection LSH (SRP / "SimHash for vectors"). 64 md5-derived
+    // integer hyperplanes give every vector 64 sign bits → 8 bands of
+    // 8 bits; candidates come from an equality self-join on
+    // (band, bucket) — the same banding shape as dedup_minhash — and
+    // the DISTINCT candidate pairs are re-ranked by exact cosine.
+    // Scale shape: only (vec_id, band, bucket) signatures shuffle
+    // (9 longs/vector, map-side partials collapse the 64 bit-rows per
+    // vector before the wire); full vectors re-join BY ID for the
+    // surviving pairs only. The 64-row plane table is the one
+    // deliberate broadcast. Plane components are integers in
+    // [-1000, 1000] derived from md5, and the plane dot rides the same
+    // ascending-index fold as every cosine here, so DuckDB replays the
+    // whole pipeline — buckets, candidates, re-rank — bit-for-bit.
+    QueryDef("dedup_embedding_lsh", (s, d) => {
+      val v = vecs(s, d)
+      // hyperplane j, component i = md5('rp|j|i') % 2001 - 1000
+      val planes = s.range(NPLANES).select(col("id").as("j"), expr(
+        "transform(sequence(0, 63), i -> CAST(" +
+        "CAST(conv(substring(md5(concat('rp|', CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+        " % 2001 - 1000 AS DOUBLE))").as("p"))
+      val buckets = v.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("j"),
+          when(dot(col("e"), col("p")) >= 0, 1L).otherwise(0L).as("bit0"))
+        .select(col("vec_id"), expr(s"j div $BANDBITS").as("band"),
+          expr(s"shiftleft(bit0, CAST(j % $BANDBITS AS INT))").as("bit"))
+        .groupBy("vec_id", "band")
+        .agg(sum("bit").as("bk"))
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct()
+      val va = v.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
+      val vb = v.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
+      cand.join(va, "id1").join(vb, "id2")
+        .withColumn("cos", cosCol("e1", "e2", "n1", "n2"))
+        .filter(col("cos") >= 0.4)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy("id1", "id2")
+    }, Some {
+      val md5k = (e: String) =>
+        "CAST(list_sum(list_transform(range(1,16), k -> " +
+        s"strpos('123456789abcdef', substr(md5($e), k, 1))::BIGINT << (4*(15-k)))) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          planes AS (SELECT j, list_transform(range(0,64), i ->
+            CAST(${md5k("'rp|'||j||'|'||i")} % 2001 - 1000 AS DOUBLE)) AS p
+            FROM range(0,$NPLANES) t(j)),
+          bits AS (SELECT v.vec_id, p.j,
+            CASE WHEN list_dot_product(v.e, p.p) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM v, planes p),
+          buckets AS (SELECT vec_id, j//$BANDBITS AS band,
+            CAST(sum(bit << (j%$BANDBITS)) AS BIGINT) AS bk
+            FROM bits GROUP BY vec_id, j//$BANDBITS),
+          cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+            FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+          pairs AS (SELECT id1, id2,
+            list_dot_product(a.e, b.e) /
+              nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0) AS cos
+            FROM cand JOIN v a ON a.vec_id = id1 JOIN v b ON b.vec_id = id2)
+          SELECT id1, id2, round(cos, 6) AS cos_sim
+          FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2"""
+    })
   )
 
   /** Exact brute-force cosine top-k for the NQUERY probe vectors. */

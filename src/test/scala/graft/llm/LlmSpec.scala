@@ -58,6 +58,35 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("RP-LSH near-dup pairs are a sound, non-empty subset of the exact cos>=0.4 pairs") {
+    // Soundness: every emitted pair really has cosine >= 0.4 (the re-rank
+    // is exact, so LSH can only lose pairs, never invent them). Recall is
+    // geometry-dependent (8 bands x 8 bits at tau=0.4 keeps ~20% on this
+    // corpus) — the gate pins the exact output against DuckDB, so here we
+    // check soundness + non-triviality, not a recall floor.
+    val lsh = AnnOps.defs.find(_.name == "dedup_embedding_lsh").get
+      .fn(spark, sfDir).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "RP-LSH produced no pairs at test scale")
+    lsh.foreach { case (a, b) => assert(a < b, s"pair ($a,$b) not canonicalized") }
+    // exact pairs >= 0.4 via the brute-force formula on the same table
+    import spark.implicits._
+    val v = graft.Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) Double.NaN else d / den
+    }
+    lsh.foreach { case (a, b) =>
+      val c = cos(v(a), v(b))
+      assert(c >= 0.4 - 1e-9, s"pair ($a,$b) emitted with exact cosine $c < 0.4")
+    }
+  }
+
   test("connectedComponents labels a hand graph correctly") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singleton 20 via self-pair
