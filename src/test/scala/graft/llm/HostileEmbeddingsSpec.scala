@@ -10,7 +10,8 @@ class HostileEmbeddingsSpec extends SparkSuite {
 
   private val embeddingQueries = Seq(
     "ann_cosine_topk", "ann_ivf_topk", "embed_quantize",
-    "dedup_embedding", "kmeans_clusters", "matmul_gram")
+    "dedup_embedding", "dedup_embedding_lsh", "kmeans_clusters",
+    "matmul_gram")
 
   private lazy val hostileDir: String = {
     import spark.implicits._
