@@ -210,6 +210,40 @@ object TextOps {
           WHERE levenshtein(a.prefix, b.prefix) <= 8
           ORDER BY id1, id2""")),
 
+    // ---- Statistical LM quality score (CCNet/KenLM-style, integer
+    // form): a document whose bigrams are common in the corpus reads
+    // like the corpus; one full of rare bigrams is noise (or novelty).
+    // Phase 1 builds the global bigram frequency table (groupBy — the
+    // "LM training" pass); phase 2 re-joins each document's bigrams to
+    // it (inverted-index equality join on the gram, the contamination/
+    // dedup shape) and averages. Scale: both shuffles are keyed by the
+    // gram; text never moves; map-side partials collapse repeated grams
+    // per task. Integer milli-average (1000·sum div n) keeps the score
+    // portable — a float log-prob would not be cross-engine exact.
+    QueryDef("lm_bigram_score", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("gram"))
+      val cnt = bg.groupBy("gram").agg(count(lit(1)).as("df"))
+      bg.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("df").as("sum_freq"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+          expr("(1000 * sum_freq) div n_bigrams").as("avg_freq_milli"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, $normSql AS w FROM documents),
+          bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i]||' '||w[i+1])) AS gram FROM t WHERE len(w) >= 2),
+          cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY gram)
+          SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(df) AS BIGINT) AS sum_freq,
+            (1000 * CAST(sum(df) AS BIGINT)) // count(*) AS avg_freq_milli
+          FROM bg JOIN cnt USING (gram)
+          GROUP BY bg.doc_id ORDER BY doc_id""")),
+
     // ---- Document fingerprint: minimum sha256 over word 5-gram
     // shingles — a 1-permutation MinHash with a cryptographic hash, so
     // both engines agree exactly. Scale shape: per-row shingling +

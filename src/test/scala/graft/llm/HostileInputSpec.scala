@@ -18,7 +18,8 @@ class HostileInputSpec extends SparkSuite {
     "pii_redact", "contamination", "chunk_docs", "mix_weights",
     "filter_funnel", "seq_pack", "split_assign", "rep_tokens",
     "text_stats", "text_quality", "token_count", "lang_id",
-    "tfidf_lang", "doc_fingerprint", "fuzzy_pairs", "sample_stratified")
+    "tfidf_lang", "doc_fingerprint", "fuzzy_pairs", "sample_stratified",
+    "lm_bigram_score")
 
   private lazy val hostileDir: String = {
     import spark.implicits._
