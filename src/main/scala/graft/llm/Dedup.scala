@@ -218,53 +218,89 @@ object Dedup {
          SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2"""))
   )
 
-  /** Connected components of an undirected pair graph by iterative
-    * min-label propagation: every node repeatedly adopts the smallest
-    * component id among itself and its neighbors. Converges in
-    * O(component diameter) supersteps; each superstep is one shuffled
-    * join + partial-aggregated min, linear in |edges|. `iters` is a
-    * SAFETY CAP, not a tuning knob: hitting it before the fixpoint
-    * throws (silently returning split components would make the dedup
-    * keep duplicates). */
+  /** Connected components of an undirected pair graph via alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round rewires
+    * every node's strictly-larger neighbors to the minimum of its
+    * closed neighborhood (large-star), then its smaller neighbors plus
+    * itself to its minimum neighbor (small-star); the edge set
+    * converges to min-centered stars in O(log² n) rounds worst-case
+    * (single digits in practice) — independent of component DIAMETER.
+    * A chained near-dup family (doc A ~ B ~ C ~ … thousands deep, the
+    * templated-spam shape at corpus scale) converges just as fast as a
+    * clique, where the previous min-label propagation needed
+    * O(diameter) supersteps and could hit its cap. Per round: two
+    * shuffled join+aggregate passes, each linear in |edges|; edge text
+    * never moves (ids only). `iters` stays a SAFETY CAP, not a tuning
+    * knob: hitting it before the fixpoint throws (silently returning
+    * split components would make the dedup keep duplicates). */
   def connectedComponents(pairs: DataFrame, iters: Int): DataFrame = {
-    // symmetrize with ONE evaluation of the (possibly expensive) pairs
-    // plan — a union of two selects would run it twice
-    val edges = pairs.select(explode(array(
-        struct(col("id1").as("a"), col("id2").as("b")),
-        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .persist()
-    // seed comp = min(self, direct neighbors) — the same aggregation a
-    // first superstep would do, so convergence needs one round fewer
-    var labels = edges.groupBy(col("a").as("id"))
-      .agg(least(min(col("b")), col("a")).as("comp")).persist()
-    labels.count()
-    var changed = 1L
+    // every input endpoint must come out labeled — remember them before
+    // the star contraction drops self-loops (singleton components)
+    val nodes = pairs.select(explode(array(col("id1"), col("id2"))).as("id"))
+      .distinct().persist()
+    nodes.count()
+    // canonical (larger u → smaller v) orientation, deduped; ONE
+    // evaluation of the (possibly expensive) pairs plan feeds both this
+    // and `nodes` via the persisted parent
+    var edges = pairs.filter(col("id1") =!= col("id2"))
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     var it = 0
-    while (changed > 0 && it < iters) {
-      val prop = edges
-        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min("bcomp").as("ncomp"))
-      // `labels` feeds the plan twice per superstep, so lineage would
-      // grow exponentially — localCheckpoint truncates it every round.
-      // The change flag rides along so the fixpoint test is one cheap
-      // scan of the checkpoint, not another join.
-      val next = labels.join(prop, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp").isNotNull && col("ncomp") < col("comp")).cast("long").as("chg"))
+    while (!converged && it < iters) {
+      // LARGE-STAR: over the symmetrized adjacency (single evaluation
+      // via explode, not a double-scan union), attach each node a's
+      // strictly-larger neighbors b to m = min(N(a) ∪ {a}).
+      val sym = edges.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val large = sym
+        .join(sym.groupBy("a").agg(min("b").as("mn")), "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), least(col("mn"), col("a")).as("v"))
+        .distinct()
+      // SMALL-STAR: attach each node u's smaller neighbors and u itself
+      // to its minimum neighbor m (= min(N_small(u) ∪ {u}) since all
+      // neighbors here are < u); self-loop (m, m) dropped. Output stays
+      // in canonical u > v orientation by construction.
+      val next = large
+        .join(large.groupBy("u").agg(min("v").as("m")), "u")
+        .select(explode(array(
+            struct(col("v").as("x"), col("m").as("m")),
+            struct(col("u").as("x"), col("m").as("m")))).as("e"))
+        .filter(col("e.x") =!= col("e.m"))
+        .select(col("e.x").as("u"), col("e.m").as("v"))
+        .distinct()
+        // two derived plans below (count + anti-join) plus the next
+        // round read this — checkpoint truncates the per-round lineage
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
-      labels.unpersist(false)
-      labels = next.select("id", "comp")
+      // exact fixpoint test: both sides are distinct sets, so equal
+      // cardinality plus next ⊆ edges (empty anti-join) ⇒ set equality;
+      // the only fixpoint of large∘small is the min-centered star set
+      val nNext = next.count()
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      nEdges = nNext
       it += 1
     }
-    edges.unpersist(false)
-    require(changed == 0,
-      s"connectedComponents did not converge within $iters supersteps " +
-        "(component diameter exceeds the cap) — raise iters")
-    labels
+    require(converged,
+      s"connectedComponents did not converge within $iters rounds — raise iters")
+    // fixpoint edges are stars centered at each component's minimum:
+    // leaf u → center v, every center → itself
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+    val out = nodes.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint(true)
+    nodes.unpersist(false)
+    out
   }
 
   /** MinHash-LSH candidate pairs whose signatures agree on at least

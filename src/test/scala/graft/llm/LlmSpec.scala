@@ -98,6 +98,19 @@ class LlmSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents converges on a 200-node path well under the cap") {
+    import spark.implicits._
+    // path 0-1-2-…-199: diameter 199. Min-label propagation needed
+    // O(diameter) supersteps (≫ the production cap of 30); the
+    // large-star/small-star contraction must finish in O(log n) rounds —
+    // iters=15 here both proves the bound and would throw on regression.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs, iters = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp.size == 200)
+    comp.foreach { case (id, c) => assert(c == 0L, s"node $id labeled $c, want 0") }
+  }
+
   test("dedup clusters are transitively consistent with the pair graph") {
     val pairs = Dedup.minhashPairs(spark, sfDir, est = 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
