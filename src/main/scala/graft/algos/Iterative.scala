@@ -127,8 +127,16 @@ object Iterative {
       // component carries its own non-null count as the mean denominator:
       // dividing a null-skipping sum by the full cluster size would bias
       // coordinates toward zero whenever short vectors are members.
+      // Component sums run in exact DECIMAL (the matmul_gram technique):
+      // decimal addition is order-independent, so the recomputed
+      // centroids — and therefore the final assignment — are identical
+      // across partitionings and engines, which is what lets the gate
+      // hash-compare this iterative pipeline against DuckDB at all.
+      // (d2 stays a double sum: it only feeds the spec-level inertia
+      // history, never the centroids or the gate output.)
       val aggCols = count(lit(1)).as("cnt") +: sum("d2").as("sd2") +:
-        ((0 until dim).map(i => sum(get(col("e"), lit(i))).as(s"s$i")) ++
+        ((0 until dim).map(i =>
+          sum(expr(s"try_cast(get(e, $i) AS DECIMAL(28,12))")).as(s"s$i")) ++
           (0 until dim).map(i => count(get(col("e"), lit(i))).as(s"c$i")))
       // stats row layout: cid(0), cnt(1), sd2(2), s0..s{dim-1} from 3,
       // c0..c{dim-1} from 3+dim
@@ -143,7 +151,10 @@ object Iterative {
           val n = r.getLong(3 + dim + i)
           if (n == 0L)
             prev.get(cid).collect { case ce if ce.length > i => ce(i) }.getOrElse(0.0)
-          else r.getDouble(3 + i) / n
+          // nearest-double of the exact decimal sum, THEN an IEEE double
+          // division — both steps are engine-portable, unlike dividing
+          // in decimal (engines disagree on quotient scale rules)
+          else r.getDecimal(3 + i).doubleValue / n
         })
       }.toMap
       // a cluster that lost all members keeps its previous centroid
@@ -159,6 +170,46 @@ object Iterative {
     val fin = assign(centroids)
     v.unpersist(false)
     (fin, history.result())
+  }
+
+  /** DuckDB oracle for [[kMeans]]: the 5 Lloyd iterations unrolled as
+    * CTE stages, replaying the engine's arithmetic bit-for-bit —
+    * distances via ascending-order dot products (list_dot_product ==
+    * DotProductD), argmin with the same (d2, cid) struct tie-break as
+    * least(), centroid means as exact DECIMAL(28,12) sums cast to
+    * DOUBLE then IEEE-divided by the count (the same two portable steps
+    * the driver-side update performs). Assumes well-formed fixed-dim
+    * vectors (like the matmul_gram oracle); the engine's short-vector /
+    * empty-cluster branches never fire on such input, so the replay is
+    * exact. */
+  private def kmeansOracleSql(k: Int, dim: Int, iters: Int): String = {
+    def assign(out: String, cin: String) =
+      s"""$out AS (
+         SELECT v.id AS id,
+           (min(struct_pack(d := v.sq - 2*list_dot_product(v.e, c.ce) + c.cc,
+                            c := c.cid))).c AS cid
+         FROM v, $cin c GROUP BY v.id)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+         s$i AS (
+           SELECT a.cid AS cid, p.i AS pos,
+             CAST(sum(TRY_CAST(v.e[p.i+1] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+           FROM a$i a JOIN v USING (id), range(0, $dim) p(i)
+           GROUP BY 1, 2),
+         c$i AS (
+           SELECT cid, list(m ORDER BY pos) AS ce,
+             list_dot_product(list(m ORDER BY pos), list(m ORDER BY pos)) AS cc
+           FROM s$i GROUP BY cid)"""
+    }.mkString(",\n")
+    s"""WITH v AS (
+       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq
+       FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       c0 AS (SELECT id AS cid, e AS ce, sq AS cc FROM v ORDER BY id LIMIT $k),
+       $iterCtes,
+       ${assign("fin", s"c$iters")}
+       SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+       FROM fin GROUP BY cid ORDER BY cid"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -179,8 +230,11 @@ object Iterative {
     }, None),
 
     // ---- k-means over the embeddings (k=8, 5 iterations); emits the
-    // final cluster sizes. No SQL oracle; IterativeSpec asserts inertia
-    // monotonicity and nearest-centroid consistency.
+    // final cluster sizes. DECIMAL component sums make every centroid —
+    // and so the whole iterative pipeline — order-independent, which is
+    // what lets an unrolled DuckDB replay hash-match it exactly.
+    // IterativeSpec additionally asserts inertia monotonicity and
+    // nearest-centroid consistency.
     QueryDef("kmeans_clusters", (s, d) => {
       // NULL/empty vectors carry no position — exclude them up front, or
       // centroid init NPEs when one lands in the first k rows
@@ -192,7 +246,7 @@ object Iterative {
       val (assigned, _) = kMeans(v, k = 8, iters = 5)
       assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
         .orderBy("cid")
-    }, None),
+    }, Some(kmeansOracleSql(k = 8, dim = 64, iters = 5))),
 
     // ---- Gram matrix V'V of the first 100 embeddings — the matrix-
     // multiply kernel (ex/phoenix-matrix-multiply.c) as join+aggregate.
