@@ -20,13 +20,29 @@ object Dedup {
   import TextNorm.{toks, normSql}
 
   /** Distinct word 3-gram shingles per doc. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))")).as("gram"))
       .distinct()
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.load(s, d, "documents"))
+
+  /** Stop-gram guard for the exact-Jaccard inverted index: shingles
+    * shared by more than this many documents are dropped before the
+    * self-join. The join's cost is O(Σ df²) over shingle document
+    * frequencies, so ONE boilerplate gram shared by 10⁶ docs would
+    * create 10¹² candidate pairs — the standard fix (as in Mann et al.'s
+    * set-similarity join surveys) is to cap df: a gram that common
+    * carries ~no Jaccard signal for near-dup detection but all of the
+    * quadratic cost. 1000 is the production setting; the observed max
+    * df on the synthetic corpus is 25 (sf0.1), so at test scale the cap
+    * provably never fires and the DuckDB oracle (which replays the same
+    * guard) stays hash-identical to the uncapped form. */
+  val JaccardDfCap = 1000L
 
   private val shinglesSql =
     s"""WITH toks AS (SELECT doc_id, $normSql AS w FROM documents),
@@ -101,29 +117,21 @@ object Dedup {
 
     // ---- Near-dup by exact n-gram Jaccard over an inverted shingle
     // index: join docs that SHARE a shingle (shuffle key = shingle),
-    // count intersections, compute J = |∩|/|∪|. Exact but O(Σ df²) —
-    // the scale path for unbounded corpora is dedup_minhash below.
-    QueryDef("dedup_jaccard", (s, d) => {
-      val grams = shingles(s, d)
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = grams.as("a")
-        .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
-        .filter(col("jaccard") >= 0.6)
-        .select("id1", "id2", "jaccard")
-        .orderBy("id1", "id2")
-    }, Some(
+    // count intersections, compute J = |∩|/|∪|. Exact up to the
+    // [[JaccardDfCap]] stop-gram guard that bounds the O(Σ df²)
+    // self-join; the scale path for unbounded corpora is dedup_minhash
+    // below. The oracle replays the identical guard.
+    QueryDef("dedup_jaccard", (s, d) =>
+      jaccardPairs(Tables.load(s, d, "documents"), minJ = 0.6, dfCap = JaccardDfCap),
+    Some(
       shinglesSql +
-      """, sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+      s""", dfk AS (SELECT gram FROM grams GROUP BY gram
+           HAVING count(*) <= $JaccardDfCap),
+         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
          pairs AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-           FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id1, id2,
            round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) AS jaccard
@@ -301,6 +309,35 @@ object Dedup {
       .localCheckpoint(true)
     nodes.unpersist(false)
     out
+  }
+
+  /** Exact n-gram Jaccard pairs with similarity ≥ `minJ` over an
+    * inverted shingle index. `dfCap` is the stop-gram guard (see
+    * [[JaccardDfCap]]): grams shared by more than `dfCap` documents are
+    * dropped from the index BEFORE the self-join, bounding its cost at
+    * O(dfCap · Σ df). Document sizes (the Jaccard denominator) always
+    * use the FULL shingle set, so a capped run under-reports J only for
+    * pairs whose overlap includes dropped hot grams — never inflates
+    * it. Exposed for the recall spec and the stop-gram spec. */
+  def jaccardPairs(docs: DataFrame, minJ: Double, dfCap: Long): DataFrame = {
+    val grams = shinglesOf(docs)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val kept = grams.join(
+      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("gram"),
+      "gram")
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
   }
 
   /** MinHash-LSH candidate pairs whose signatures agree on at least

@@ -87,6 +87,29 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("jaccard df-cap prunes a synthetic hot shingle without touching cold pairs") {
+    import spark.implicits._
+    // docs 0 and 1 overlap ONLY on the boilerplate shingle "common header
+    // line", which also appears in 20 filler docs (df = 22); docs 100/101
+    // overlap on two rare shingles (df = 2).
+    val hot = "common header line"
+    val docs = (Seq(
+        (0L, s"$hot alpha beta gamma"),
+        (1L, s"$hot delta epsilon zeta")) ++
+      (2L to 21L).map(i => (i, s"$hot filler$i fillerx$i fillery$i")) ++
+      Seq((100L, "rare unique shingle pair one"),
+          (101L, "rare unique shingle pair two"))).toDF("doc_id", "text")
+    def pairsAt(cap: Long) = Dedup.jaccardPairs(docs, minJ = 0.01, dfCap = cap)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsAt(Long.MaxValue)
+    val capped = pairsAt(5L)
+    assert(uncapped.contains((0L, 1L)), "uncapped run must see the hot-gram-only pair")
+    assert(!capped.contains((0L, 1L)),
+      "the cap must prune the pair whose only overlap is the hot gram")
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)),
+      "a cold rare-gram pair must survive the cap")
+  }
+
   test("connectedComponents labels a hand graph correctly") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singleton 20 via self-pair
