@@ -45,6 +45,38 @@ class IterativeSpec extends SparkSuite {
     assert(clusters.values.toSet == Set(blobA.map(_._1).toSet, blobB.map(_._1).toSet))
   }
 
+  test("pageRank on the real trade graph tracks a sequential replay within 1e-9") {
+    // The gate is rows-only for pagerank (distributed float sums have no
+    // fixed order, so no DuckDB hash), which means a logic regression
+    // there would pass rows>0. This closes that hole: replay the SAME 5
+    // supersteps sequentially over the actual sf graph and require every
+    // pre-rounding rank to agree within a summation-noise band.
+    import org.apache.spark.sql.functions.col
+    val o = graft.Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val l = graft.Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edgeDf = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    val edgeList = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edgeList.length > 100, "gate graph unexpectedly small")
+    val got = Iterative.pageRank(edgeDf, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val outDeg = edgeList.groupBy(_._1).view.mapValues(_.length).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map(e => rank(e._1) / outDeg(e._1)).sum).toMap
+      rank = nodes.map(v => v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.size == n)
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - rank(v)) < 1e-9,
+        s"node $v: engine ${got(v)} vs sequential ${rank(v)}")
+    }
+  }
+
   test("pagerank gate query: mass conservation bound and positive ranks") {
     val df = graft.algos.Iterative.defs.find(_.name == "pagerank").get.fn(spark, sfDir)
     val rows = df.collect()
