@@ -2,42 +2,90 @@ package graft.llm
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
 
 /** Multimodal-column plumbing: treat media as opaque `binary` payloads
-  * with typed extracted metadata. The decode step is a clearly-marked
-  * deterministic STUB (this container has no image/audio codecs); the
-  * Spark-side shape — binary column, typed Dataset, per-partition batch
-  * processing with a reused native resource (here a MessageDigest), flat
-  * metadata schema out — is the real pattern a codec UDF would use.
+  * with typed extracted metadata. The container here is real BMP
+  * (Windows bitmap: 14-byte file header + 40-byte BITMAPINFOHEADER,
+  * little-endian fields) — a deterministic public format this
+  * codec-less container can both synthesize and parse byte-for-byte —
+  * so the decode step is genuine header parsing, not a stub. The
+  * Spark-side shape is the pattern any codec UDF would use: binary
+  * column in, per-partition batch processing with a reused native
+  * resource (here a MessageDigest standing in for a decoder handle),
+  * flat typed metadata schema out.
   */
 object MultiModal {
+
+  private val HeaderLen = 54 // 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER
+
+  /** Serialize a minimal valid 8-bpp BMP: magic "BM", file size, pixel
+    * offset at byte 10, width/height as little-endian int32 at bytes
+    * 18/22, pixel bytes appended at the declared offset. */
+  private[llm] def bmpEncode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(HeaderLen + pixels.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(HeaderLen + pixels.length) // file size
+      .putInt(0)                         // reserved
+      .putInt(HeaderLen)                 // pixel data offset
+      .putInt(40)                        // BITMAPINFOHEADER size
+      .putInt(width)
+      .putInt(height)
+      .putShort(1)                       // color planes
+      .putShort(8)                       // bits per pixel
+      .putInt(0)                         // compression (BI_RGB)
+      .putInt(pixels.length)             // image size
+      .putInt(2835).putInt(2835)         // 72 dpi resolutions
+      .putInt(0).putInt(0)               // palette counts
+      .put(pixels)
+    buf.array()
+  }
+
+  /** Parse (width, height, pixelOffset) out of the actual header bytes;
+    * throws on a payload that is not a BMP — a corrupt container must
+    * fail loudly, not emit garbage dimensions. */
+  private[llm] def bmpDecodeHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    require(bytes.length >= HeaderLen && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"not a BMP payload (${bytes.length} bytes)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (buf.getInt(18), buf.getInt(22), buf.getInt(10))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("multimodal_meta", (s, d) => {
       import s.implicits._
-      val bin = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // SYNTHESIZE: wrap each document's bytes as the pixel data of a
+      // real BMP whose dimensions derive from doc_id — the storage-side
+      // stand-in for images this container has no codecs to produce.
+      val files = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("px"))
         .as[(Long, Array[Byte])]
-      bin.mapPartitions { it =>
-        // per-partition "decoder" setup, reused across the batch — the
+        .map { case (id, px) =>
+          (id, bmpEncode((id % 1920L + 1L).toInt, (id * 7L % 1080L + 1L).toInt, px))
+        }
+      // DECODE: a separate pass that sees ONLY payload bytes — reads
+      // width/height/pixel-offset from the real header fields and
+      // checksums the pixel region the header points at. The oracle
+      // recomputes the dimensions from doc_id and the checksum from the
+      // raw document, so any synth/parse disagreement (wrong endianness,
+      // off-by-one offsets) breaks the hash compare.
+      files.mapPartitions { it =>
+        // per-partition decoder setup, reused across the batch — the
         // slot where a real image/audio codec handle would live
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, bytes) =>
-          val n = bytes.length.toLong
-          // STUB decode: deterministic fake dimensions derived from the
-          // payload (real codec would parse the container header)
-          val width = n % 640L
-          val height = (n * 31L) % 480L
-          val checksum = md.digest(bytes).map("%02x".format(_)).mkString
-          (id, n, width, height, checksum)
+          val (w, h, off) = bmpDecodeHeader(bytes)
+          val checksum = md.digest(java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+            .map("%02x".format(_)).mkString
+          (id, bytes.length.toLong, w.toLong, h.toLong, checksum)
         }
       }.toDF("doc_id", "n_bytes", "width", "height", "checksum")
         .orderBy("doc_id")
     }, Some(
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-      "CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width, " +
-      "CAST(octet_length(encode(text)) * 31 % 480 AS BIGINT) AS height, " +
+      "SELECT doc_id, CAST(octet_length(encode(text)) + 54 AS BIGINT) AS n_bytes, " +
+      "CAST(doc_id % 1920 + 1 AS BIGINT) AS width, " +
+      "CAST(doc_id * 7 % 1080 + 1 AS BIGINT) AS height, " +
       "sha256(text) AS checksum FROM documents ORDER BY doc_id")),
 
     // ---- Frame sampling: treat the payload as a stream, cut fixed-size
