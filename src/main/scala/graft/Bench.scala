@@ -7,8 +7,10 @@ import java.nio.file.{Files, Paths}
   * log prefixes can never corrupt it). Failures are recorded per-query in
   * "errors" and excluded from the total — a crashed query must never be
   * counted as ~0 s of work. Each query runs SPARK_GRAFT_BENCH_RUNS times
-  * (default 2) and reports the fastest — the host shows heavy co-tenant
-  * noise, and min-of-N isolates the engine's cost from interference. */
+  * (default 3: identical binaries still swung ±17% total / up to 6× per
+  * query under min-of-2 across the round-3/4 sessions — see BASELINE.md)
+  * and reports the fastest; min-of-N isolates the engine's cost from
+  * co-tenant interference. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,7 +28,7 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "nation").count()
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_BENCH_ONLY=pagerank,dedup_clusters (full run when unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
