@@ -132,12 +132,18 @@ object Iterative {
       // centroids — and therefore the final assignment — are identical
       // across partitionings and engines, which is what lets the gate
       // hash-compare this iterative pipeline against DuckDB at all.
+      // try_cast degrades NaN (and beyond-range magnitudes) to null, so
+      // the per-component denominator must count the SAME try_cast
+      // expression the sum consumed — counting raw non-null doubles
+      // would divide by members the sum skipped (and NPE on an all-NaN
+      // component whose sum is null but raw count is not).
       // (d2 stays a double sum: it only feeds the spec-level inertia
       // history, never the centroids or the gate output.)
       val aggCols = count(lit(1)).as("cnt") +: sum("d2").as("sd2") +:
         ((0 until dim).map(i =>
           sum(expr(s"try_cast(get(e, $i) AS DECIMAL(28,12))")).as(s"s$i")) ++
-          (0 until dim).map(i => count(get(col("e"), lit(i))).as(s"c$i")))
+          (0 until dim).map(i =>
+            count(expr(s"try_cast(get(e, $i) AS DECIMAL(28,12))")).as(s"c$i")))
       // stats row layout: cid(0), cnt(1), sd2(2), s0..s{dim-1} from 3,
       // c0..c{dim-1} from 3+dim
       val stats = assigned.groupBy("cid").agg(aggCols.head, aggCols.tail: _*).collect()
