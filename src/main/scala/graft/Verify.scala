@@ -19,7 +19,19 @@ object Verify {
     // queries are independent — run a few concurrently so the gate's
     // wall-clock is bounded by the slowest queries, not the sum
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for local iteration (driver runs the
+    // full set); same contract as SPARK_GRAFT_BENCH_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val tasks = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       new java.util.concurrent.Callable[Unit] {
         override def call(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

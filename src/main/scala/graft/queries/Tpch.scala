@@ -336,7 +336,182 @@ object Tpch {
       "WHERE o_orderstatus = 'F' AND NOT EXISTS (" +
       "SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
       "AND l2.l_suppkey <> l1.l_suppkey) " +
-      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"))
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100")),
+
+    // ---- Q6-shape: single-table filter + global aggregate, zero joins —
+    // the forecast-revenue-change scan. Every predicate reaches the
+    // parquet scan as a pushed filter; at 100 TB this reads only the four
+    // referenced columns and row-groups surviving the shipdate range.
+    QueryDef("q6_forecast", (s, d) => {
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+             count(lit(1)).as("n"))
+    }, Some(
+      s"SELECT ${dsumSql("l_extendedprice*l_discount")} AS revenue, count(*) AS n " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
+
+    // ---- Q4-shape: EXISTS with a correlated inequality — orders with a
+    // late-shipped line (no l_commitdate/l_receiptdate in the reduced
+    // schema, so "late" = shipped >60 days after the order date), counted
+    // by priority. Left-semi join carries the non-equi condition; both
+    // sides shuffle on orderkey only.
+    QueryDef("q4_priority", (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      "SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+      "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+      "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // ---- Q8-shape: national market share — a 7-table snowflake with a
+    // conditional-share ratio per year. Decimal-exact numerator and
+    // denominator, ONE double division (the q14 technique). Only O(1)
+    // dims (nation, region) are broadcast-hinted; supplier/part join by
+    // shuffle and AQE decides the rest.
+    QueryDef("q8_share", (s, d) => {
+      val n1 = Tables.load(s, d, "nation").select(
+        col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+      val n2 = Tables.load(s, d, "nation").select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      val p = Tables.load(s, d, "part").filter(col("p_type") === "PROMO")
+      val su = Tables.load(s, d, "supplier")
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+      val l = Tables.load(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("cn_region") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(
+            sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))
+              .try_cast(DecimalType(18, 6))).cast("double") * 100 /
+              sum(rev.try_cast(DecimalType(18, 6))).cast("double"), 4)
+            .as("mkt_share_pct"),
+          count(lit(1)).as("n"))
+        .orderBy("o_year")
+    }, Some(
+      "SELECT year(o_orderdate) AS o_year, " +
+      "round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2' " +
+      s"THEN TRY_CAST($revSql AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100 / " +
+      s"CAST(sum(TRY_CAST($revSql AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share_pct, " +
+      "count(*) AS n " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "JOIN part ON l_partkey = p_partkey " +
+      "WHERE r_name = 'ASIA' AND p_type = 'PROMO' " +
+      "GROUP BY o_year ORDER BY o_year")),
+
+    // ---- Q12-shape: join + conditional counts by line attribute (no
+    // l_shipmode in the reduced schema; l_returnflag takes its place) —
+    // high- vs low-priority line counts per flag, all-integer exact.
+    QueryDef("q12_priority", (s, d) => {
+      val l = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      val o = Tables.load(s, d, "orders")
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }, Some(
+      "SELECT l_returnflag, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // ---- Q15-shape: aggregate reused against its own global max (the
+    // CREATE VIEW revenue pattern). Per-supplier revenue in exact integer
+    // cents so the max-equality join is portable; the one-row max side is
+    // an equality BROADCAST hash join, not a nested loop.
+    QueryDef("q15_topsupp", (s, d) => {
+      val revCents = expr(
+        "try_cast(round(l_extendedprice * (1 - l_discount) * 100, 0) AS LONG)")
+      val revs = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1996-04-01 00:00:00"))
+        .groupBy("l_suppkey")
+        .agg(sum(revCents).as("total_rev_cents"))
+      val maxRev = revs.agg(max(col("total_rev_cents")).as("max_rev"))
+      val su = Tables.load(s, d, "supplier")
+      revs.join(broadcast(maxRev), col("total_rev_cents") === col("max_rev"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+        .orderBy("s_suppkey")
+    }, Some(
+      "WITH rev AS (SELECT l_suppkey, " +
+      "CAST(sum(TRY_CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS total_rev_cents " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, total_rev_cents FROM supplier " +
+      "JOIN rev ON s_suppkey = l_suppkey " +
+      "WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev) " +
+      "ORDER BY s_suppkey")),
+
+    // ---- Q22-shape: global-average threshold + anti join (no c_phone in
+    // the reduced schema: c_nationkey is the country code; "no orders"
+    // would be empty at this SF, so the anti side is URGENT orders). The
+    // threshold compare is division-free — cents*count > sum — so both
+    // engines evaluate it in exact BIGINT arithmetic; the one-row global
+    // aggregate rides a broadcast (the scalar-subquery shape, whitelisted
+    // like mix_weights).
+    QueryDef("q22_global", (s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val balCents = expr("try_cast(round(c_acctbal * 100, 0) AS LONG)")
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum(balCents).as("sum_pos_cents"))
+      val urgent = Tables.load(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(balCents * col("n_pos") > col("sum_pos_cents"))
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum(balCents).as("totacctbal_cents"))
+        .orderBy("cntrycode")
+    }, Some(
+      "SELECT c_nationkey AS cntrycode, count(*) AS numcust, " +
+      "CAST(sum(TRY_CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS totacctbal_cents " +
+      "FROM customer c " +
+      "WHERE TRY_CAST(round(c_acctbal*100,0) AS BIGINT) * " +
+      "(SELECT count(*) FROM customer WHERE c_acctbal > 0) > " +
+      "(SELECT CAST(sum(TRY_CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) " +
+      "FROM customer WHERE c_acctbal > 0) " +
+      "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+      "AND o.o_orderpriority = '1-URGENT') " +
+      "GROUP BY cntrycode ORDER BY cntrycode"))
   )
 
   /** Shared Q21 body: self semi/anti join on (same order, different

@@ -117,14 +117,14 @@ class PlanSpec extends SparkSuite {
     // queries deliberately broadcast the tiny query/centroid set against
     // the full scan — that IS the one-full-scan baseline — so
     // BroadcastNestedLoopJoin is whitelisted for exactly those two, plus
-    // mix_weights, whose build side is a ONE-ROW global aggregate (the
-    // scalar-subquery shape: broadcasting a single scalar row is O(1)
-    // data at any corpus size); dedup_embedding_lsh broadcasts its
+    // mix_weights and q22_global, whose build side is a ONE-ROW global
+    // aggregate (the scalar-subquery shape: broadcasting a single scalar
+    // row is O(1) data at any corpus size); dedup_embedding_lsh broadcasts its
     // 64-row constant hyperplane table (O(1) in the corpus) the same
     // way; anywhere else a nested-loop fallback is a planning
     // regression.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "mix_weights",
-      "dedup_embedding_lsh")
+      "dedup_embedding_lsh", "q22_global")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001
