@@ -79,6 +79,90 @@ object Iterative {
     ranks
   }
 
+  /** Fixed-point PageRank: the same superstep structure as [[pageRank]]
+    * but every rank is a BIGINT at scale 10^15 ("femto-rank"), per-edge
+    * contributions are `r div deg`, and the damping update is
+    * `base + (85*m) div 100` — integer sums are order-independent and
+    * Spark's `div` agrees with DuckDB's `//` on non-negative operands,
+    * so unlike the float variant this one is bit-reproducible across
+    * engines and gets a full hash oracle (the unrolled-CTE replay,
+    * [[pagerankOracleSql]] — the k-means oracle technique). The 10^15
+    * scale keeps `init = SCALE div n` nonzero up to 10^15 nodes while
+    * bounding every intermediate (85 * total mass ≈ 8.5e16) far inside
+    * BIGINT. Rounding bias: each div discards <1 femto of mass, so
+    * ranks drift low by at most iters*(deg+1) femtos — deterministic,
+    * identical on both engines, and irrelevant at ppm precision. */
+  def pageRankExact(edges: DataFrame, iters: Int): DataFrame = {
+    val SCALE = 1000000000000000L
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count()
+    val init = SCALE / n
+    val base = (15L * SCALE) / (100L * n)
+    val edgesW = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist()
+    edgesW.count()
+    e.unpersist(false)
+    val noIn = nodes
+      .join(edgesW.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), lit(base).as("r"))
+      .persist()
+    noIn.count()
+    var ranks = nodes.select(col("id"), lit(init).as("r")).persist()
+    val window = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
+    for (i <- 1 to iters) {
+      val contribs = edgesW
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("r div deg")).as("m"))
+      val next = contribs
+        .select(col("id"), (lit(base) + expr("(85 * m) div 100")).as("r"))
+        .union(noIn)
+      ranks =
+        if (i % 5 == 0 || i == iters) {
+          val m = next.localCheckpoint(true)
+          window.foreach(_.unpersist(false))
+          window.clear()
+          window += m
+          m
+        } else { val p = next.persist(); window += p; p }
+    }
+    edgesW.unpersist(false)
+    nodes.unpersist(false)
+    noIn.unpersist(false)
+    ranks
+  }
+
+  /** DuckDB oracle for [[pageRankExact]] over the trade graph: the
+    * supersteps unrolled as CTE pairs (contribution sum, damped update),
+    * replaying the engine's integer arithmetic exactly — `//` is floor
+    * division, `div` truncates toward zero, and the two agree because
+    * every operand is non-negative. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val S = "1000000000000000"
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         SELECT ew.dst AS id, CAST(sum(r.r // ew.deg) AS BIGINT) AS m
+         FROM ew JOIN r${i - 1} r ON ew.src = r.id GROUP BY ew.dst),
+         r$i AS (
+         SELECT n.id, CAST((SELECT (15 * $S) // (100 * count(*)) FROM nodes)
+           + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+         FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+       r0 AS (SELECT id, CAST($S // (SELECT count(*) FROM nodes) AS BIGINT) AS r FROM nodes),
+       $iterCtes
+       SELECT id, r AS rank_fp FROM r$iters ORDER BY rank_fp DESC, id LIMIT 100"""
+  }
+
   /** Lloyd's k-means (ex/kmeans-kmr.c, ex/phoenix-kmeans.c):
     * deterministic init (first k vectors by id); each iteration assigns
     * every vector to its nearest centroid (broadcast centroids, native
@@ -234,6 +318,23 @@ object Iterative {
         .orderBy(desc("rank_ppm"), col("id"))
         .limit(100)
     }, None),
+
+    // ---- Fixed-point PageRank over the same trade graph — the oracled
+    // twin of `pagerank`: BIGINT femto-ranks make the whole 5-superstep
+    // pipeline order-independent, so this one hash-compares against a
+    // full DuckDB CTE replay (closing the "iterative float has no
+    // oracle" gap the same way kmeans_clusters did).
+    QueryDef("pagerank_exact", (s, d) => {
+      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      pageRankExact(edges, iters = 5)
+        .select(col("id"), col("r").as("rank_fp"))
+        .orderBy(desc("rank_fp"), col("id"))
+        .limit(100)
+    }, Some(pagerankOracleSql(5))),
 
     // ---- k-means over the embeddings (k=8, 5 iterations); emits the
     // final cluster sizes. DECIMAL component sums make every centroid —

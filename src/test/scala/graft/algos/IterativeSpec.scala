@@ -77,6 +77,36 @@ class IterativeSpec extends SparkSuite {
     }
   }
 
+  test("pageRankExact equals a sequential integer replay bit-for-bit on the real graph") {
+    // The fixed-point variant claims bit-reproducibility — so the test
+    // demands EXACT equality with a sequential replay of the same
+    // integer arithmetic, no tolerance band.
+    import org.apache.spark.sql.functions.col
+    val o = graft.Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val l = graft.Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edgeDf = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    val edgeList = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Iterative.pageRankExact(edgeDf, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val SCALE = 1000000000000000L
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val base = (15L * SCALE) / (100L * n)
+    val outDeg = edgeList.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = nodes.map(_ -> SCALE / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map(e => rank(e._1) / outDeg(e._1)).sum).toMap
+      rank = nodes.map(v => v -> (base + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got.size == n)
+    nodes.foreach { v =>
+      assert(got(v) == rank(v), s"node $v: engine ${got(v)} vs replay ${rank(v)}")
+    }
+  }
+
   test("pagerank gate query: mass conservation bound and positive ranks") {
     val df = graft.algos.Iterative.defs.find(_.name == "pagerank").get.fn(spark, sfDir)
     val rows = df.collect()
