@@ -181,6 +181,35 @@ object TextOps {
       "WHEN 'fr' THEN 30 ELSE 80 END " +
       "GROUP BY lang ORDER BY lang")),
 
+    // ---- Top-k per group, skew-proof: the naive row_number() OVER
+    // (PARTITION BY lang) funnels an entire hot language through ONE
+    // task — the exact shape that dies on a 100 TB monolingual-heavy
+    // corpus. Two-phase instead: a deterministic salt splits each group
+    // 16 ways, phase 1 takes the local top-k inside each (lang, salt)
+    // slice (bounded partitions), phase 2 ranks only the <= 16k
+    // survivors per lang. The result is the true global top-k (any
+    // global top-k row is top-k within its slice), so the oracle is the
+    // plain single-window SQL — the salt never leaks into the answer.
+    QueryDef("topk_per_group", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 3
+      val docs = Tables.load(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val salted = docs.withColumn("salt", pmod(col("doc_id"), lit(16L)))
+      val w1 = Window.partitionBy("lang", "salt")
+        .orderBy(desc("n_chars"), col("doc_id"))
+      val local = salted
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") <= k)
+      val w2 = Window.partitionBy("lang")
+        .orderBy(desc("n_chars"), col("doc_id"))
+      local.select("doc_id", "lang", "n_chars")
+        .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+        .orderBy(col("lang"), col("rank"))
+    }, Some(
+      "SELECT doc_id, lang, n_chars, CAST(rank AS INTEGER) AS rank FROM (" +
+      "SELECT doc_id, lang, n_chars, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank " +
+      "FROM documents) WHERE rank <= 3 ORDER BY lang, rank")),
+
     // ---- Fuzzy matching: edit-distance near-dup over BLOCKED candidate
     // pairs — blocking key = first token, so the quadratic levenshtein
     // work is per-block, never corpus-wide (same scale shape as
