@@ -99,6 +99,32 @@ object Dedup {
          SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
        comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
 
+  /** Winnowing-fingerprint substring-overlap pairs (see the
+    * dedup_substring gate entry): (id1, id2, n_shared) for every doc
+    * pair sharing at least one winnowed 32-gram fingerprint, df-capped.
+    * Guarantee: any common substring of >= 32+16-1 = 47 chars shares a
+    * fingerprint (alignment-independent, unlike stride sampling). */
+  private[llm] def substringPairs(documents: org.apache.spark.sql.DataFrame,
+      dfCap: Long): org.apache.spark.sql.DataFrame = {
+    val docs = documents
+      .filter(length(col("text")) >= 47)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(text) - 31), i -> md5(substring(text, i, 32)))")
+        .as("hs"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(hs) - 15), j -> array_min(slice(hs, j, 16))))")
+        .as("fps"))
+    val fp = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("fp")
+    val kept = fp.join(rare, "fp")
+    val right = kept.select(col("fp").as("fp2"), col("doc_id").as("id2"))
+    kept.join(right, col("fp") === col("fp2") && col("doc_id") < col("id2"))
+      .groupBy(col("doc_id").as("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id1", "id2")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: hash-groupBy on a normalized content hash. The
@@ -140,6 +166,36 @@ object Dedup {
          JOIN sizes s2 ON s2.doc_id = pairs.id2
          WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.6
          ORDER BY id1, id2""".stripMargin)),
+
+    // ---- Exact-substring near-dup via winnowing fingerprints (Lee et
+    // al. "Deduplicating Training Data Makes Language Models Better" —
+    // substring-level duplication — detected with the MOSS winnowing
+    // scheme, Schleimer et al. SIGMOD'03): every 32-char window is
+    // md5'd, then each sliding window of 16 hashes keeps its minimum —
+    // positions are chosen by CONTENT, so two docs sharing any span of
+    // >= 32+16-1 = 47 chars pick at least one identical fingerprint
+    // regardless of alignment (the guarantee stride-sampling lacks).
+    // Winnowing keeps ~2/(w+1) of positions, so only ~12% of the hash
+    // stream — and never the text — reaches the shuffle; the
+    // document-frequency cap bounds the fingerprint self-join exactly
+    // like dedup_jaccard's stop-gram guard. md5 is computed identically
+    // by both engines, and hex strings compare lexicographically the
+    // same way, so the whole pipeline is hash-oracle-able.
+    QueryDef("dedup_substring", (s, d) =>
+      substringPairs(Tables.load(s, d, "documents"), dfCap = 50L),
+    Some(
+      """WITH h AS (SELECT doc_id,
+           list_transform(range(1, length(text) - 30), i -> md5(text[i:i+31])) AS hs
+           FROM documents WHERE length(text) >= 47),
+         f AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(hs) - 14), j -> list_min(hs[j:j+15]))) AS fps
+           FROM h),
+         g AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= 50),
+         kept AS (SELECT g.doc_id, g.fp FROM g JOIN dfk USING (fp))
+         SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- MinHash + LSH banding: 64 fixed-seed permutations over
     // md5-derived shingle hashes; 16 bands × 4 rows. Candidates =

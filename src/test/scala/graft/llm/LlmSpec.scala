@@ -110,6 +110,25 @@ class LlmSpec extends SparkSuite {
       "a cold rare-gram pair must survive the cap")
   }
 
+  test("winnowing substring dedup honors its 47-char guarantee and alignment independence") {
+    import spark.implicits._
+    val span = "X" * 20 + "shared-boilerplate-span-0123456789" // 54 chars, > 47
+    // doc 1 embeds the span at a DIFFERENT offset than doc 0 — stride
+    // sampling would miss this; winnowing must not.
+    val docs = Seq(
+      (0L, "prefix-a " * 10 + span + " tail-a " * 10),
+      (1L, "completely different lead-in text here! " + span + " other-tail " * 12),
+      (2L, "no overlap with anyone at all, just filler words repeated " * 5),
+      (3L, "another loner document with its own unique content stream " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(docs, dfCap = 50L)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)),
+      "docs sharing a 54-char span at different offsets must pair")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L),
+      s"disjoint docs must not pair: $pairs")
+  }
+
   test("connectedComponents labels a hand graph correctly") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singleton 20 via self-pair
