@@ -19,7 +19,7 @@ class HostileInputSpec extends SparkSuite {
     "filter_funnel", "seq_pack", "split_assign", "rep_tokens",
     "text_stats", "text_quality", "token_count", "lang_id",
     "tfidf_lang", "doc_fingerprint", "fuzzy_pairs", "sample_stratified",
-    "lm_bigram_score")
+    "lm_bigram_score", "dedup_substring", "topk_per_group")
 
   private lazy val hostileDir: String = {
     import spark.implicits._
