@@ -106,15 +106,38 @@ object Dedup {
     * fingerprint (alignment-independent, unlike stride sampling). */
   private[llm] def substringPairs(documents: org.apache.spark.sql.DataFrame,
       dfCap: Long): org.apache.spark.sql.DataFrame = {
-    val docs = documents
+    // Two structural constraints shape this:
+    // (1) greatest(...,1) makes the sequence bound total — Catalyst may
+    //     reorder a collapsed filter's conjuncts and evaluate the gram
+    //     expression BEFORE the length>=47 guard, where a short doc
+    //     would otherwise produce a DESCENDING sequence (and a
+    //     slice-start-0 error in a nested formulation). Identity for
+    //     every row the guard keeps.
+    // (2) The winnow min is a per-doc WINDOW over posexploded gram
+    //     hashes, NOT a nested transform-over-slice: higher-order
+    //     functions run interpreted (no codegen, no subexpression
+    //     elimination), so nesting the md5 transform inside the winnow
+    //     lambda re-evaluates the whole hash array per position —
+    //     O(len^2) md5s per doc. posexplode computes each md5 exactly
+    //     once; the window partition is one document (bounded by doc
+    //     length, never corpus-skewed), and only (doc_id, pos, 32-byte
+    //     md5) — never text — enters that shuffle.
+    val grams = documents
       .filter(length(col("text")) >= 47)
-      .select(col("doc_id"), expr(
-        "transform(sequence(1, length(text) - 31), i -> md5(substring(text, i, 32)))")
-        .as("hs"))
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, size(hs) - 15), j -> array_min(slice(hs, j, 16))))")
-        .as("fps"))
-    val fp = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), (length(col("text")) - 47).as("last_start"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(length(text) - 31, 1)), i -> md5(substring(text, i, 32)))")))
+      .toDF("doc_id", "last_start", "pos", "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
+    val fp = grams
+      // posexplode is 0-based: window start j covers grams [j, j+15]; the
+      // last full window starts at gram_count-16 = length-47
+      .select(col("doc_id"), min(col("h")).over(w).as("minh"),
+        col("pos"), col("last_start"))
+      .filter(col("pos") <= col("last_start"))
+      .select(col("doc_id"), col("minh").as("fp"))
+      .distinct()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("fp")
     val kept = fp.join(rare, "fp")
@@ -185,10 +208,10 @@ object Dedup {
       substringPairs(Tables.load(s, d, "documents"), dfCap = 50L),
     Some(
       """WITH h AS (SELECT doc_id,
-           list_transform(range(1, length(text) - 30), i -> md5(text[i:i+31])) AS hs
+           list_transform(range(1, greatest(length(text) - 30, 2)), i -> md5(text[i:i+31])) AS hs
            FROM documents WHERE length(text) >= 47),
          f AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, len(hs) - 14), j -> list_min(hs[j:j+15]))) AS fps
+           list_distinct(list_transform(range(1, greatest(len(hs) - 14, 2)), j -> list_min(hs[j:j+15]))) AS fps
            FROM h),
          g AS (SELECT doc_id, unnest(fps) AS fp FROM f),
          dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= 50),

@@ -119,14 +119,16 @@ class LlmSpec extends SparkSuite {
       (0L, "prefix-a " * 10 + span + " tail-a " * 10),
       (1L, "completely different lead-in text here! " + span + " other-tail " * 12),
       (2L, "no overlap with anyone at all, just filler words repeated " * 5),
-      (3L, "another loner document with its own unique content stream " * 5))
+      (3L, "another loner document with its own unique content stream " * 5),
+      (4L, "tiny doc under 47 chars"), // must be dropped, never error
+      (5L, "x" * 46)) // one char below the threshold boundary
       .toDF("doc_id", "text")
     val pairs = Dedup.substringPairs(docs, dfCap = 50L)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)),
       "docs sharing a 54-char span at different offsets must pair")
-    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L),
-      s"disjoint docs must not pair: $pairs")
+    assert(!pairs.exists(p => Set(p._1, p._2).exists(Set(2L, 3L, 4L, 5L))),
+      s"disjoint and sub-threshold docs must not pair: $pairs")
   }
 
   test("connectedComponents labels a hand graph correctly") {
