@@ -111,6 +111,46 @@ class PlanSpec extends SparkSuite {
       s"bucketed join re-shuffled its keys:\n$p")
   }
 
+  test("q6_forecast: all four predicates reach the scan; only referenced columns read") {
+    // formatted mode prints the scan's full PushedFilters list (the
+    // tree-string truncates it)
+    val p = q("q6_forecast").queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(f =>
+      assert(p.contains(f), s"predicate $f not pushed:\n$p"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan reads columns the query never references: $read")
+  }
+
+  test("q15_topsupp: the one-row max side joins by broadcast HASH join, not nested loop") {
+    val p = planString(q("q15_topsupp"))
+    assert(p.contains("BroadcastHashJoin"), s"max-equality join not a BHJ:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"nested-loop fallback for the scalar-max join:\n$p")
+  }
+
+  test("triangle_count: sparsification is TakeOrderedAndProject, co-occurrence a key join") {
+    val p = planString(q("triangle_count"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-2000 support cut compiles to a full global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair generation degenerated to a non-key join:\n$p")
+  }
+
+  test("topk_per_group: phase-1 window is salted; no window runs over the bare group key alone on the full input") {
+    val p = planString(q("topk_per_group"))
+    // two DISTINCT Window nodes (the AQE tree-string repeats each in its
+    // Initial and Final sections): (lang, salt) first, then lang over
+    // the <=16k survivors
+    val windows = "(?m)^.*\\+- Window .*$".r.findAllIn(p).map(_.trim).toSet
+    assert(windows.size == 2, s"expected 2 distinct window nodes:\n$p")
+    assert(windows.count(_.contains("salt")) == 1,
+      s"exactly one window must carry the salt key:\n$p")
+  }
+
   test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
     // The blanket scale rule: candidate generation must always be a key
     // join. CartesianProduct is banned with NO exceptions. The ANN
