@@ -46,6 +46,68 @@ object EventOps {
       "count(*) AS n, CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
 
+    // ---- Ordered conversion funnel view → click → purchase with a 24h
+    // step window: step N must follow step N-1 for the SAME user within
+    // a day (unbounded chains are degenerate on this corpus — every
+    // user eventually does everything). Three grouped min-aggregates
+    // chained by user-keyed joins — every shuffle is on user_id, so
+    // after the first exchange the joins and aggs reuse the
+    // partitioning; no window function, no per-user event collection (a
+    // hot user costs only its own rows in each pass). Times in integer
+    // µs (ts div 1000 ≡ epoch_us(ts): parquet nanos truncate
+    // identically on both engines).
+    QueryDef("funnel_steps", (s, d) => {
+      val dayUs = 86400000000L
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), Tables.tsUs.as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + dayUs)
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + dayUs)
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      s1.join(s2, Seq("user_id"), "left_outer")
+        .join(s3, Seq("user_id"), "left_outer")
+        .agg(count(col("t1")).as("step_view"),
+          count(col("t2")).as("step_click"),
+          count(col("t3")).as("step_purchase"))
+    }, Some(
+      "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+      "s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1), " +
+      "s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev JOIN s1 USING (user_id) " +
+      "WHERE event_type = 'click' AND ts_us > t1 AND ts_us <= t1 + 86400000000 GROUP BY 1), " +
+      "s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev JOIN s2 USING (user_id) " +
+      "WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us <= t2 + 86400000000 GROUP BY 1) " +
+      "SELECT count(t1) AS step_view, count(t2) AS step_click, " +
+      "count(t3) AS step_purchase " +
+      "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)")),
+
+    // ---- Daily cohort retention on the purchase stream: cohort = a
+    // user's first purchase day, counted at each day offset they buy
+    // again. Integer day indices (µs div µs-per-day — both engines
+    // floor identically on non-negative values); distinct (user, day)
+    // FIRST, so the per-(cohort, offset) count needs no count-distinct
+    // shuffle of raw events.
+    QueryDef("cohort_retention", (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("dy"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min("dy").as("cohort_dy"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_dy"), (col("dy") - col("cohort_dy")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_dy", "day_offset")
+    }, Some(
+      "WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts)//86400000000 AS dy " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "first AS (SELECT user_id, min(dy) AS cohort_dy FROM ev GROUP BY 1) " +
+      "SELECT cohort_dy, dy - cohort_dy AS day_offset, count(*) AS n_users " +
+      "FROM ev JOIN first USING (user_id) " +
+      "GROUP BY 1, 2 ORDER BY cohort_dy, day_offset")),
+
     // ---- Sketch surface: HyperLogLog++ approximate distincts — the
     // constant-memory path for cardinality at 100 TB (exact distinct
     // shuffles every key; the sketch shuffles one ~1.5KB buffer per
