@@ -36,6 +36,21 @@ object StreamOps {
       .withWatermark("ts_t", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join: pair each `right` row with the `left`
+    * rows of the same key whose event time precedes it by at most
+    * `window`. BOTH sides must already carry a watermark — that bound
+    * is what lets Spark evict join state for expired intervals, the
+    * only sustainable shape when both sides are unbounded (an
+    * un-watermarked stream-stream join buffers forever). Column names:
+    * left (`lKey`, `lTime`), right (`rKey`, `rTime`); the interval
+    * predicate rides the join condition so the state store indexes by
+    * key AND prunes by time. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lKey: String, lTime: String, rKey: String, rTime: String,
+      window: String): DataFrame =
+    right.join(left, expr(
+      s"$rKey = $lKey AND $rTime >= $lTime AND $rTime <= $lTime + interval $window"))
+
   /** Stream-static enrichment: join a streaming fact against a batch
     * dimension table. The static side is re-planned every micro-batch
     * (so a dim refresh is picked up without restarting the query);

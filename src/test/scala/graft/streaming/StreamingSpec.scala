@@ -121,8 +121,8 @@ class StreamingSpec extends SparkSuite {
       .withColumn("p_t", timestamp_micros(col("p_ts_us"))).withWatermark("p_t", "10 hours")
     // purchase within 1 hour AFTER the click — both sides watermarked so
     // state for expired intervals is eventually dropped
-    val joined = p.join(c,
-      expr("p_user = c_user AND p_t >= c_t AND p_t <= c_t + interval 1 hour"))
+    val joined = StreamOps.intervalJoin(c, p,
+      "c_user", "c_t", "p_user", "p_t", "1 hour")
     val q = joined.writeStream.format("memory").queryName("ssj_test")
       .outputMode("append").start()
     try {
