@@ -14,7 +14,7 @@ class HostileEventsSpec extends SparkSuite {
     "props_extract", "events_window", "approx_distinct", "distinct_exact",
     "salted_agg", "skew_level", "quantiles", "approx_quantiles",
     "window_analytics", "sessionize_batch", "pivot_events",
-    "asof_join", "range_join")
+    "asof_join", "range_join", "funnel_steps", "cohort_retention")
 
   private lazy val hostileDir: String = {
     import spark.implicits._
