@@ -104,7 +104,7 @@ object Dedup {
     * pair sharing at least one winnowed 32-gram fingerprint, df-capped.
     * Guarantee: any common substring of >= 32+16-1 = 47 chars shares a
     * fingerprint (alignment-independent, unlike stride sampling). */
-  private[llm] def substringPairs(documents: org.apache.spark.sql.DataFrame,
+  def substringPairs(documents: org.apache.spark.sql.DataFrame,
       dfCap: Long): org.apache.spark.sql.DataFrame = {
     // Two structural constraints shape this:
     // (1) greatest(...,1) makes the sequence bound total — Catalyst may
