@@ -95,6 +95,33 @@ object KvsOps {
       // data-independent by design (generator parity, not table I/O).
       val gen = KVS.generate(s, (0L until 100L).map(i => ("gen", i)), 4)
       Seq(gen.totalOnValues(0L)(_ + _)).toDF("total")
-    }, Some("SELECT CAST(4950 AS BIGINT) AS total"))
+    }, Some("SELECT CAST(4950 AS BIGINT) AS total")),
+
+    // ---- Monte Carlo pi (ex/pi.c — the reference's kmr_map_once
+    // sampling example), determinized: sample i's coordinates are Knuth
+    // multiplicative hashes of i in [0, 2^20), the in-circle test is
+    // exact integer arithmetic (xi² + yi² < 2^40 fits a long), and the
+    // estimate is an integer milli-ratio — so unlike rand()-based pi the
+    // whole computation is bit-identical on both engines AND at any
+    // parallelism (spark.range is the distributed generator; no data
+    // ever shuffles, the only exchange is the final 1-row aggregate).
+    QueryDef("pi_estimate", (s, d) => {
+      val n = 1000000L
+      s.range(n).toDF("i")
+        .select(
+          (pmod(col("i") * 2654435761L, lit(1048576L))).as("xi"),
+          (pmod(col("i") * 1500450271L, lit(1048576L))).as("yi"))
+        .agg(
+          sum(when(col("xi") * col("xi") + col("yi") * col("yi") <
+            lit(1048576L * 1048576L), 1L).otherwise(0L)).as("n_inside"),
+          count(lit(1)).as("n_total"))
+        .select(col("n_inside"), col("n_total"),
+          expr("(4000 * n_inside) div n_total").as("pi_milli"))
+    }, Some(
+      "WITH pts AS (SELECT (i * 2654435761) % 1048576 AS xi, " +
+      "(i * 1500450271) % 1048576 AS yi FROM range(0, 1000000) t(i)), " +
+      "agg AS (SELECT CAST(sum(CASE WHEN xi*xi + yi*yi < CAST(1099511627776 AS BIGINT) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_inside, count(*) AS n_total FROM pts) " +
+      "SELECT n_inside, n_total, (4000 * n_inside) // n_total AS pi_milli FROM agg"))
   )
 }
