@@ -15,7 +15,9 @@ class HostileTpchSpec extends SparkSuite {
     "q1_pricing", "q3_topk", "q5_local", "q7_volume", "q9_profit",
     "q10_returns", "q13_custdist", "q14_promo", "q17_avgqty", "q18_topq",
     "q19_disjunct", "q21_exists", "q21_sole", "rollup_stats",
-    "set_except", "set_intersect")
+    "set_except", "set_intersect",
+    "q4_priority", "q6_forecast", "q8_share", "q12_priority",
+    "q15_topsupp", "q22_global", "triangle_count")
 
   private lazy val hostileDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("hostile_tpch").toString
