@@ -180,6 +180,118 @@ object Analytics {
     }, Some(
       "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
       "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
-      "ORDER BY o_custkey"))
+      "ORDER BY o_custkey")),
+
+    // ---- Explicit GROUPING SETS (completes the cube/rollup family with
+    // the custom-set form): (type, day), (type), () — a report that
+    // wants per-day detail and per-type totals but NOT the per-day
+    // marginal a full cube would also pay for. One Expand + one shuffle,
+    // same as cube; the set list just prunes the replication factor from
+    // 4 to 3 — at 100 TB the skipped grouping set is a whole shuffle's
+    // worth of data not materialized.
+    QueryDef("grouping_sets", (s, d) => {
+      val day = expr("ts div 86400000000000").as("day_no") // nanos → days
+      Tables.load(s, d, "events")
+        .select(col("event_type"), day, cents.as("c"))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("day_no")), Seq(col("event_type")), Seq.empty),
+          col("event_type"), col("day_no"))
+        .agg(
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("day_no")).cast("long").as("g_day"),
+          count(lit(1)).as("n"),
+          sum("c").as("sum_cents"))
+        .orderBy(col("g_type"), col("g_day"),
+          asc_nulls_first("event_type"), asc_nulls_first("day_no"))
+    }, Some(
+      "SELECT event_type, epoch_us(ts) // 86400000000 AS day_no, " +
+      "CAST(grouping(event_type) AS BIGINT) AS g_type, " +
+      "CAST(grouping(day_no) AS BIGINT) AS g_day, count(*) AS n, " +
+      "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
+      "FROM events GROUP BY GROUPING SETS ((event_type, day_no), (event_type), ()) " +
+      "ORDER BY g_type, g_day, event_type NULLS FIRST, day_no NULLS FIRST")),
+
+    // ---- Exact distribution moments per group: n, sum, min, max in
+    // BIGINT and the sum of squares in DECIMAL(38,0) — decimal addition
+    // is order-independent (the matmul_gram technique), so the second
+    // moment is hash-exact across engines and partitionings where a
+    // double sum would not be. Variance/stddev derive client-side as
+    // (n·sumsq − sum²)/n² with zero additional passes. One map-side-
+    // partial hash aggregate; 5 groups out.
+    QueryDef("stats_moments", (s, d) => {
+      val sq = expr(
+        "cast(try_cast(round(value * 100, 0) AS DECIMAL(18,0)) * " +
+        "try_cast(round(value * 100, 0) AS DECIMAL(18,0)) AS DECIMAL(38,0))")
+      Tables.load(s, d, "events")
+        .select(col("event_type"), cents.as("c"), sq.as("sq"))
+        .groupBy("event_type")
+        .agg(
+          count(col("c")).as("n"),
+          sum("c").as("sum_cents"),
+          min("c").as("min_cents"),
+          max("c").as("max_cents"),
+          sum("sq").as("sumsq_cents"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, count(" + graft.Tables.centsSql + ") AS n, " +
+      "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents, " +
+      "min(" + graft.Tables.centsSql + ") AS min_cents, " +
+      "max(" + graft.Tables.centsSql + ") AS max_cents, " +
+      "CAST(sum(CAST(TRY_CAST(round(value*100,0) AS DECIMAL(18,0)) * " +
+      "TRY_CAST(round(value*100,0) AS DECIMAL(18,0)) AS DECIMAL(38,0))) " +
+      "AS DECIMAL(38,0)) AS sumsq_cents " +
+      "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // ---- Deterministic per-group mode: modal cents value with a total
+    // (count DESC, value ASC) tiebreak — built-in mode() has no defined
+    // tie order on either engine, so this is two hash aggregates
+    // instead: value counts, then a lexicographic struct-max argmax
+    // (the dedup_keep_best shape). No window, no sort — both shuffles
+    // key on the group (or group+value), so a hot group splits across
+    // its values in phase 1 rather than funneling one task.
+    QueryDef("mode_per_group", (s, d) => {
+      val counted = Tables.load(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy("event_type", "c")
+        .agg(count(lit(1)).as("cnt"))
+      counted
+        .groupBy("event_type")
+        .agg(max(struct(col("cnt"), (-col("c")).as("negc"))).as("m"))
+        .select(col("event_type"),
+          (-col("m.negc")).as("mode_cents"), col("m.cnt").as("mode_n"))
+        .orderBy("event_type")
+    }, Some(
+      "WITH cn AS (SELECT event_type, " + graft.Tables.centsSql + " AS c, " +
+      "count(*) AS cnt FROM events WHERE " + graft.Tables.centsSql +
+      " IS NOT NULL GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, c, cnt, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY cnt DESC, c ASC) AS rk FROM cn) " +
+      "SELECT event_type, c AS mode_cents, CAST(cnt AS BIGINT) AS mode_n " +
+      "FROM r WHERE rk = 1 ORDER BY event_type")),
+
+    // ---- Array aggregation surface (collect_list / sort_array / slice /
+    // array_join): the k smallest doc ids per language as a CSV string.
+    // Skew-proof min-k: phase 1 takes the local min-k inside each
+    // (lang, salt) slice — the topk_per_group two-phase shape — so the
+    // collect_list only ever sees <= 16k survivor rows per language,
+    // never the full group (an unbounded per-group collect is the array
+    // op that OOMs at corpus scale). The salt never changes the answer,
+    // so the oracle aggregates the raw table.
+    QueryDef("collect_topids", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val salted = Tables.load(s, d, "documents").select("doc_id", "lang")
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+      val w1 = Window.partitionBy("lang", "salt").orderBy("doc_id")
+      val local = salted
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") <= k)
+      local.groupBy("lang")
+        .agg(expr(s"array_join(transform(slice(sort_array(collect_list(doc_id)), 1, $k), " +
+          "x -> cast(x AS STRING)), ',')").as("min_ids"))
+        .orderBy("lang")
+    }, Some(
+      "SELECT lang, array_to_string(list_sort(list(doc_id))[1:5], ',') AS min_ids " +
+      "FROM documents GROUP BY lang ORDER BY lang"))
   )
 }
