@@ -293,6 +293,30 @@ object TextOps {
       "i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gram " +
       "FROM toks WHERE len(w) >= 5) " +
       "SELECT doc_id, min(sha256(gram)) AS fingerprint FROM grams " +
-      "GROUP BY doc_id ORDER BY doc_id"))
+      "GROUP BY doc_id ORDER BY doc_id")),
+
+    // ---- Global top-K n-grams: the corpus-vocabulary pass (stopword
+    // mining, tokenizer-merge candidates). Bigram generation is per-row,
+    // the count is one map-side-partial hash aggregate keyed by the
+    // gram, and the top-25 with a total (count DESC, gram) order
+    // compiles to TakeOrderedAndProject — per-partition heaps + a
+    // driver merge of K rows, never a global sort of the vocabulary
+    // (which at 100 TB is billions of distinct grams).
+    QueryDef("ngram_topk", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(toks.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("gram"))
+        .limit(25)
+    }, Some(
+      s"WITH t AS (SELECT $normSql AS w FROM documents), " +
+      "bg AS (SELECT unnest(list_transform(range(1, len(w)), " +
+      "i -> w[i]||' '||w[i+1])) AS gram FROM t WHERE len(w) >= 2) " +
+      "SELECT gram, count(*) AS n FROM bg GROUP BY gram " +
+      "ORDER BY n DESC, gram LIMIT 25"))
   )
 }
