@@ -151,6 +151,29 @@ class PlanSpec extends SparkSuite {
       s"exactly one window must carry the salt key:\n$p")
   }
 
+  test("ngram_topk: vocabulary top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planString(q("ngram_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-25 grams compiled to a full sort:\n$p")
+  }
+
+  test("grouping_sets: compiles to one Expand (replication factor 3, not cube's 4)") {
+    val p = planString(q("grouping_sets"))
+    assert(p.contains("Expand"), s"grouping sets did not plan an Expand:\n$p")
+  }
+
+  test("mode_per_group: two hash aggregates, no Window over the raw events") {
+    val p = planString(q("mode_per_group"))
+    assert(!p.contains("Window"), s"mode fell back to a window funnel:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
+  test("collect_topids: the only window carries the salt key (bounded partitions)") {
+    val p = planString(q("collect_topids"))
+    val windows = "(?m)^.*\\+- Window .*$".r.findAllIn(p).map(_.trim).toSet
+    assert(windows.size == 1 && windows.head.contains("salt"),
+      s"collect_topids must rank inside (lang, salt) slices only:\n$p")
+  }
+
   test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
     // The blanket scale rule: candidate generation must always be a key
     // join. CartesianProduct is banned with NO exceptions. The ANN

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{SparkSuite, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Semantic cross-checks for the round-5 analytics additions, computed
+  * independently (driver-side brute force at sf0.001) of both the
+  * DataFrame pipelines and the DuckDB oracles. */
+class AnalyticsSpec extends SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("grouping_sets: subtotals are consistent across grouping levels") {
+    val rows = q("grouping_sets").collect()
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1, "exactly one grand-total row")
+    val perType = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    val detail = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 0)
+    // n adds up: detail -> per-type -> grand
+    assert(perType.map(_.getLong(4)).sum == grand.head.getLong(4))
+    assert(detail.map(_.getLong(4)).sum == grand.head.getLong(4))
+    // the (day) marginal was genuinely skipped (cube would produce it)
+    assert(!rows.exists(r => r.getLong(2) == 1 && r.getLong(3) == 0))
+  }
+
+  test("stats_moments: moments match a sequential fold; variance numerator non-negative") {
+    val out = q("stats_moments").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDecimal(5)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    raw.groupBy(_._1).foreach { case (t, vs) =>
+      val cs = vs.map(_._2)
+      val (n, sum, mn, mx, sq) = out(t)
+      assert(n == cs.length && sum == cs.sum && mn == cs.min && mx == cs.max)
+      val sumsq = cs.map(c => BigInt(c) * BigInt(c)).sum
+      assert(BigInt(sq.toBigInteger) == sumsq, s"sumsq mismatch for $t")
+      // Var numerator n*sumsq - sum^2 >= 0 (Cauchy-Schwarz) — the
+      // client-side variance derivation is well-defined
+      assert(BigInt(n) * sumsq - BigInt(sum) * BigInt(sum) >= 0)
+    }
+  }
+
+  test("mode_per_group: argmax equals brute-force mode with (count desc, value asc) ties") {
+    val out = q("mode_per_group").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getLong(1)))
+    raw.groupBy(_._1).foreach { case (t, vs) =>
+      val counts = vs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (value, cnt) = counts.minBy { case (v, c) => (-c, v) }
+      assert(out(t) == ((value, cnt)), s"mode mismatch for $t")
+    }
+  }
+
+  test("collect_topids: the salted min-k equals the true per-lang k smallest ids") {
+    val out = q("collect_topids").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    raw.groupBy(_._1).foreach { case (lang, vs) =>
+      val expect = vs.map(_._2).sorted.take(5).mkString(",")
+      assert(out(lang) == expect, s"min-ids mismatch for $lang")
+    }
+  }
+
+  test("ngram_topk: descending counts, total tiebreak, and max-count agreement") {
+    val rows = q("ngram_topk").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 25)
+    // output order is (n desc, gram asc) — a total order
+    assert(rows.sameElements(rows.sortBy { case (g, n) => (-n, g) }))
+    // the top-1 count matches an independent full aggregation
+    val full = graft.Tables.load(spark, sfDir, "documents")
+      .select(graft.llm.TextNorm.toks.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("gram"))
+      .groupBy("gram").count().agg(max("count")).collect().head.getLong(0)
+    assert(rows.head._2 == full)
+  }
+}
