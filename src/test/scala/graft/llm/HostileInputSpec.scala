@@ -19,7 +19,8 @@ class HostileInputSpec extends SparkSuite {
     "filter_funnel", "seq_pack", "split_assign", "rep_tokens",
     "text_stats", "text_quality", "token_count", "lang_id",
     "tfidf_lang", "doc_fingerprint", "fuzzy_pairs", "sample_stratified",
-    "lm_bigram_score", "dedup_substring", "topk_per_group")
+    "lm_bigram_score", "dedup_substring", "topk_per_group",
+    "collect_topids", "ngram_topk")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

@@ -14,7 +14,8 @@ class HostileEventsSpec extends SparkSuite {
     "props_extract", "events_window", "approx_distinct", "distinct_exact",
     "salted_agg", "skew_level", "quantiles", "approx_quantiles",
     "window_analytics", "sessionize_batch", "pivot_events",
-    "asof_join", "range_join", "funnel_steps", "cohort_retention")
+    "asof_join", "range_join", "funnel_steps", "cohort_retention",
+    "grouping_sets", "stats_moments", "mode_per_group")
 
   private lazy val hostileDir: String = {
     import spark.implicits._
