@@ -230,6 +230,38 @@ object Ingest {
       "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
       "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // ---- Quoted-CSV round-trip with header: free text through the
+    // format corner cases plain .tbl never hits — embedded delimiters,
+    // quotes, escaped quotes. The re-read keeps the default
+    // line-per-record framing (splittable scans; multiLine=true would
+    // serialize each file through one task at 100 TB, so text with
+    // embedded newlines belongs in parquet/JSONL, not CSV). The min-md5
+    // per language makes the gate bitwise: one mangled character
+    // anywhere in the round-trip and the hash diverges from the
+    // parquet-original oracle.
+    QueryDef("ingest_csv", (s, d) => {
+      val dir = tmpDir(s, "csv", d)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(dir)
+      s.read
+        .option("header", "true").option("escape", "\"")
+        .schema(StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING"))
+        .csv(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          min(md5(col("text"))).as("min_md5"))
+        .orderBy("lang")
+    }, Some(
+      "SELECT lang, count(*) AS n, " +
+      "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+      "min(md5(text)) AS min_md5 " +
+      "FROM documents GROUP BY lang ORDER BY lang")),
+
     // ---- Partitioned sink + pruned scan: write hive-layout parquet
     // partitioned by lang, read back with a partition filter. At 100 TB
     // the filter prunes directories at PLAN time (PartitionPruneSpec

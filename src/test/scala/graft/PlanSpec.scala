@@ -186,8 +186,8 @@ class PlanSpec extends SparkSuite {
     // 64-row constant hyperplane table (O(1) in the corpus) the same
     // way; anywhere else a nested-loop fallback is a planning
     // regression.
-    val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "mix_weights",
-      "dedup_embedding_lsh", "q22_global")
+    val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_rerank",
+      "mix_weights", "dedup_embedding_lsh", "q22_global")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001

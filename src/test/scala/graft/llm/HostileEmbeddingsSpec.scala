@@ -9,7 +9,7 @@ import graft.SparkSuite
 class HostileEmbeddingsSpec extends SparkSuite {
 
   private val embeddingQueries = Seq(
-    "ann_cosine_topk", "ann_ivf_topk", "embed_quantize",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_rerank", "embed_quantize",
     "dedup_embedding", "dedup_embedding_lsh", "kmeans_clusters",
     "matmul_gram")
 

@@ -58,6 +58,27 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("quantized re-rank achieves >= 0.6 recall@10 vs brute force; scores are genuine") {
+    val exact = AnnOps.bruteForceTopk(spark, sfDir)
+      .select("qid", "vec_id", "cos_sim").collect()
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = graft.SparkEntry.queries("ann_rerank")(spark, sfDir)
+      .select("qid", "vec_id", "cos_sim").collect()
+    val rrSet = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & rrSet).size.toDouble / exactSet.size
+    // int8 quantization distorts the prefilter order, but a 50-candidate
+    // pool for a top-10 answer should keep well over half the true set
+    assert(recall >= 0.6, s"re-rank recall@10 = $recall")
+    // re-ranked cosines are exact — any (qid, vec_id) also in the brute
+    // set must carry the identical rounded score
+    val exactScore = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rr.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exactScore.get(k).foreach(s => assert(r.getDouble(2) == s,
+        s"re-ranked score differs from exact for $k"))
+    }
+  }
+
   test("RP-LSH near-dup pairs are a sound, non-empty subset of the exact cos>=0.4 pairs") {
     // Soundness: every emitted pair really has cosine >= 0.4 (the re-rank
     // is exact, so LSH can only lose pairs, never invent them). Recall is

@@ -75,4 +75,27 @@ class IngestSpec extends SparkSuite {
     val out = Ingest.pipeLines(ds, Seq("awk", "{print NF}")).collect().map(_.toInt).sorted
     assert(out.toSeq == Seq(1, 2, 3))
   }
+
+  test("CSV round-trip preserves embedded delimiters, quotes, and unicode exactly") {
+    // the ingest_csv writer/reader option pair, on text the gate data
+    // never contains: commas, double quotes, pipes, unicode
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain text", "en"),
+      (2L, "comma, inside, twice", "en"),
+      (3L, "a \"quoted\" word and a trailing quote\"", "de"),
+      (4L, "pipes | and ; semicolons", "es"),
+      (5L, "unicodé 中文 😀", "fr"))
+    val dir = "target/graft-tmp/csv_quoting_spec"
+    rows.toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      .csv(dir)
+    val back = spark.read
+      .option("header", "true").option("escape", "\"")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING"))
+      .csv(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(back.toSeq == rows.sorted)
+  }
 }
