@@ -214,6 +214,56 @@ object Curate {
            CAST(sum(CASE WHEN s1 AND s2 AND s3 AND NOT s4 THEN 1 ELSE 0 END) AS BIGINT) AS drop_shape,
            CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
            CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
-         FROM f GROUP BY source ORDER BY source"""))
+         FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- CDC compaction (the lakehouse MERGE shape): a change stream
+    // of upserts and deletes folds into the base corpus, latest version
+    // wins, tombstones drop the row. The change stream here is
+    // synthesized deterministically (doc_id % 7 → v2 rewrite,
+    // doc_id % 13 → delete) so the whole merge is oracle-able. One
+    // key-grouped lexicographic struct-max — version is unique per key,
+    // so the argmax is total — then a tombstone filter; no window, no
+    // sort. At scale the base side is bucketed by key so compaction
+    // re-shuffles only the (small) delta; the argmax shape is what
+    // keeps a hot key from funneling: map-side partials collapse its
+    // change rows per task.
+    QueryDef("merge_upsert", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("lang"), col("text"),
+        lit(1L).as("version"), lit("U").as("op"))
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          concat(lit("v2 "), col("text")).as("text"),
+          lit(2L).as("version"), lit("U").as("op"))
+      val deletes = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("lang"), lit(null).cast("string").as("text"),
+          lit(3L).as("version"), lit("D").as("op"))
+      val merged = base.union(updates).union(deletes)
+        .groupBy("doc_id")
+        .agg(max(struct(col("version"), col("op"), col("lang"), col("text"))).as("m"))
+        .filter(col("m.op") =!= "D")
+        .select(col("doc_id"), col("m.lang").as("lang"),
+          col("m.text").as("text"), col("m.version").as("version"))
+      merged.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("version") === 2L, 1L).otherwise(0L)).as("n_updated"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          min(md5(col("text"))).as("min_md5"))
+        .orderBy("lang")
+    }, Some(
+      """WITH chg AS (
+           SELECT doc_id, lang, text, 1 AS version, 'U' AS op FROM documents
+           UNION ALL
+           SELECT doc_id, lang, 'v2 ' || text, 2, 'U' FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, lang, NULL, 3, 'D' FROM documents WHERE doc_id % 13 = 0),
+         w AS (SELECT doc_id, lang, text, version, op,
+           row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rk FROM chg),
+         m AS (SELECT * FROM w WHERE rk = 1 AND op <> 'D')
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_md5
+         FROM m GROUP BY lang ORDER BY lang"""))
   )
 }

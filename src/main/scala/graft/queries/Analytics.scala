@@ -292,6 +292,58 @@ object Analytics {
         .orderBy("lang")
     }, Some(
       "SELECT lang, array_to_string(list_sort(list(doc_id))[1:5], ',') AS min_ids " +
-      "FROM documents GROUP BY lang ORDER BY lang"))
+      "FROM documents GROUP BY lang ORDER BY lang")),
+
+    // ---- Spearman rank correlation between document length (chars)
+    // and token count, per language — the monotone-association check a
+    // data-quality dashboard runs. Ranks are row_number with a total
+    // (value, doc_id) tiebreak, so both rank vectors are exact
+    // permutations of 1..n and the usual Spearman identity holds with
+    // den_x = den_y; every component (sxy, sx, sxx) is an exact
+    // DECIMAL(38,0) sum (order-independent, overflow-safe to n ~ 1e12),
+    // and rho is ONE fixed-order double expression over those exact
+    // integers — reproducible across engines. Per-group ranking is a
+    // window per lang; group count is O(langs), each partition is the
+    // corpus slice (the `ranking` operator's two-phase design is the
+    // fallback if one group dominates).
+    QueryDef("rank_corr", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          size(graft.llm.TextNorm.toks).cast("long").as("n_toks"))
+      val wx = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val wy = Window.partitionBy("lang").orderBy("n_toks", "doc_id")
+      val ranked = t
+        .withColumn("rx", row_number().over(wx).cast("long"))
+        .withColumn("ry", row_number().over(wy).cast("long"))
+      val agg = ranked.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("cast(rx AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("sxx"))
+      agg.select(col("lang"), col("n"), col("sxy"), col("sx"), col("sxx"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+            nullif(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"), lit(0.0)), 6)
+            .as("rho"))
+        .orderBy("lang")
+    }, Some(
+      s"""WITH t AS (SELECT lang, doc_id, n_chars,
+           CAST(len(${graft.llm.TextNorm.normSql}) AS BIGINT) AS n_toks FROM documents),
+         r AS (SELECT lang,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rx,
+           row_number() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS ry
+           FROM t),
+         a AS (SELECT lang, count(*) AS n,
+           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+           CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+           FROM r GROUP BY lang)
+         SELECT lang, n, sxy, sx, sxx,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS rho
+         FROM a ORDER BY lang"""))
   )
 }

@@ -174,6 +174,11 @@ class PlanSpec extends SparkSuite {
       s"collect_topids must rank inside (lang, salt) slices only:\n$p")
   }
 
+  test("merge_upsert: latest-wins is a key-grouped argmax, no Window over the change stream") {
+    val p = planString(q("merge_upsert"))
+    assert(!p.contains("Window"), s"merge fell back to a window funnel:\n$p")
+  }
+
   test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
     // The blanket scale rule: candidate generation must always be a key
     // join. CartesianProduct is banned with NO exceptions. The ANN

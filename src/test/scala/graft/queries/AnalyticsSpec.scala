@@ -69,6 +69,42 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("rank_corr: rho matches a driver-side Spearman computation and lies in [-1, 1]") {
+    val out = q("rank_corr").collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(graft.llm.TextNorm.toks).cast("long").as("n_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    raw.groupBy(_._1).foreach { case (lang, vs) =>
+      val rx = vs.sortBy(v => (v._3, v._2)).zipWithIndex
+        .map { case (v, i) => v._2 -> (i + 1L) }.toMap
+      val ry = vs.sortBy(v => (v._4, v._2)).zipWithIndex
+        .map { case (v, i) => v._2 -> (i + 1L) }.toMap
+      val n = vs.length.toDouble
+      val sxy = vs.map(v => rx(v._2).toDouble * ry(v._2)).sum
+      val sx = vs.map(v => rx(v._2).toDouble).sum
+      val sxx = vs.map(v => rx(v._2).toDouble * rx(v._2)).sum
+      val rho = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+      assert(math.abs(out(lang) - rho) < 1e-6, s"rho mismatch for $lang")
+      assert(out(lang) >= -1.0 && out(lang) <= 1.0)
+    }
+  }
+
+  test("merge_upsert: deletes are gone, updates applied, untouched rows intact") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = q("merge_upsert").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.groupBy(_._2).foreach { case (lang, vs) =>
+      val survivors = vs.filterNot(_._1 % 13 == 0)
+      val updated = survivors.count(_._1 % 7 == 0).toLong
+      assert(out(lang) == ((survivors.length.toLong, updated)),
+        s"merge census mismatch for $lang")
+    }
+  }
+
   test("ngram_topk: descending counts, total tiebreak, and max-count agreement") {
     val rows = q("ngram_topk").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rows.length == 25)
