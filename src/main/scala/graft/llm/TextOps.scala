@@ -317,6 +317,28 @@ object TextOps {
       "bg AS (SELECT unnest(list_transform(range(1, len(w)), " +
       "i -> w[i]||' '||w[i+1])) AS gram FROM t WHERE len(w) >= 2) " +
       "SELECT gram, count(*) AS n FROM bg GROUP BY gram " +
-      "ORDER BY n DESC, gram LIMIT 25"))
+      "ORDER BY n DESC, gram LIMIT 25")),
+
+    // ---- Sketch-path counterpart of ngram_topk for tokens: one-pass
+    // Misra-Gries heavy hitters (native TypedImperativeAggregate,
+    // graft.functions.FreqItemsAgg) — 256 counters per partial instead
+    // of a billions-of-keys vocabulary shuffle; partials merge with the
+    // Agarwal et al. rule, so this is the profile pass that still works
+    // when the vocabulary itself doesn't fit anywhere. Counts are
+    // guaranteed lower bounds (true - N/257 <= reported <= true) but
+    // the SURVIVOR SET depends on partition merge order ⇒ rows-only
+    // gate, like the HLL/quantile sketches; SketchSpec pins the
+    // guarantee adversarially.
+    QueryDef("approx_topk", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(explode(toks).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .agg(graft.functions.FreqItemsAgg.freqItems(col("tok"), 256).as("sketch"))
+        .select(posexplode(col("sketch")))
+        .select((col("pos") + 1).cast("long").as("rk"),
+          col("col.item").as("item"), col("col.min_count").as("min_count"))
+        .filter(col("rk") <= 20)
+        .orderBy("rk")
+    }, None)
   )
 }

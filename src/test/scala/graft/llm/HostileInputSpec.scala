@@ -20,7 +20,8 @@ class HostileInputSpec extends SparkSuite {
     "text_stats", "text_quality", "token_count", "lang_id",
     "tfidf_lang", "doc_fingerprint", "fuzzy_pairs", "sample_stratified",
     "lm_bigram_score", "dedup_substring", "topk_per_group",
-    "collect_topids", "ngram_topk", "merge_upsert", "rank_corr")
+    "collect_topids", "ngram_topk", "merge_upsert", "rank_corr",
+    "approx_topk")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

@@ -31,4 +31,43 @@ class SketchSpec extends SparkSuite {
         s"$k: approx ${approx(k)} vs exact $ex")
     }
   }
+
+  test("Misra-Gries guarantee: every item above N/(k+1) survives, counts are lower bounds") {
+    import spark.implicits._
+    import graft.functions.FreqItemsAgg
+    // adversarial stream: one heavy item drowned in unique noise, spread
+    // over 8 partitions so the merge path runs
+    val n = 10000
+    val rows = (0 until n).map(i => if (i % 5 == 0) "hot" else s"noise_$i")
+    val k = 16
+    val out = rows.toDF("tok").repartition(8)
+      .agg(FreqItemsAgg.freqItems(col("tok"), k).as("s"))
+      .select(explode(col("s")))
+      .select("col.item", "col.min_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= k, s"sketch exceeded $k counters: ${out.size}")
+    val trueHot = n / 5
+    val eps = n / (k + 1)
+    assert(trueHot > eps) // the premise: "hot" is guaranteed to survive
+    assert(out.contains("hot"), s"guaranteed heavy hitter evicted: $out")
+    assert(out("hot") <= trueHot && out("hot") >= trueHot - eps,
+      s"count ${out("hot")} outside [${trueHot - eps}, $trueHot]")
+  }
+
+  test("approx_topk on clean skew reports the exact top token first") {
+    // gate-data smoke: the most frequent document token must head the
+    // sketch (its margin over N/257 is huge on natural text)
+    val top = graft.llm.TextOps.defs.find(_.name == "approx_topk").get
+      .fn(spark, sfDir).collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 1L)
+    val exactTop = graft.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.llm.TextNorm.toks).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").count().orderBy(desc("count"), col("tok"))
+      .limit(1).collect().head
+    assert(top.head.getString(1) == exactTop.getString(0),
+      s"sketch top '${top.head.getString(1)}' != exact top '${exactTop.getString(0)}'")
+    assert(top.head.getLong(2) <= exactTop.getLong(1),
+      "reported count must be a lower bound")
+  }
 }
