@@ -21,6 +21,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
       builder))
+    // minhash_sig(h1, h2) and freq_items(item, k) — the native
+    // aggregates, callable from SQL like any built-in
+    val minhashBuilder: Seq[Expression] => Expression = {
+      case Seq(a, b) => MinHashAgg(a, b).toAggregateExpression()
+      case other =>
+        throw new IllegalArgumentException(
+          s"minhash_sig expects 2 arguments, got ${other.length}")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
+      minhashBuilder))
+    val freqBuilder: Seq[Expression] => Expression = {
+      case Seq(item, k) =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val integral = Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType)
+        val kv =
+          if (k.foldable && integral(k.dataType)) k.eval().toString.toInt
+          else throw new IllegalArgumentException(
+            "freq_items: k must be an integer literal")
+        FreqItemsAgg(item, kv).toAggregateExpression()
+      case other =>
+        throw new IllegalArgumentException(
+          s"freq_items expects 2 arguments, got ${other.length}")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items"),
+      freqBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.StrideSampleStrategy)
   }
 }

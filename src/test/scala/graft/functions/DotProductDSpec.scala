@@ -48,6 +48,15 @@ class DotProductDSpec extends SparkSuite {
       val r = s2.sql(
         "SELECT dot_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0).getDouble(0)
       assert(r == 11.0)
+      // the native aggregates are SQL-callable too
+      val sig = s2.sql(
+        "SELECT minhash_sig(h1, h2) AS s FROM VALUES (5L, 3L), (9L, 7L) t(h1, h2)")
+        .collect()(0).getSeq[Long](0)
+      assert(sig.length == 64 && sig.head == 5L) // min(5, 9)
+      val fi = s2.sql(
+        "SELECT freq_items(tok, 4) AS s FROM VALUES ('a'),('a'),('b'),('a') t(tok)")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(fi.head.getString(0) == "a" && fi.head.getLong(1) == 3L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
