@@ -17,7 +17,7 @@ class HostileTpchSpec extends SparkSuite {
     "q19_disjunct", "q21_exists", "q21_sole", "rollup_stats",
     "set_except", "set_intersect",
     "q4_priority", "q6_forecast", "q8_share", "q12_priority",
-    "q15_topsupp", "q22_global", "triangle_count")
+    "q15_topsupp", "q22_global", "triangle_count", "bfs_hops")
 
   private lazy val hostileDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("hostile_tpch").toString
