@@ -43,6 +43,8 @@ case class FreqItemsAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
+  require(k > 0, s"freq_items needs at least one counter, got k=$k")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

@@ -38,10 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
         val integral = Set[org.apache.spark.sql.types.DataType](
           ByteType, ShortType, IntegerType, LongType)
+        val kRaw = if (k.foldable && integral(k.dataType)) k.eval() else null
+        // the null check catches foldable-NULL literals (CAST(NULL AS
+        // INT)); k <= 0 would otherwise build a sketch that can never
+        // admit an item and silently returns empty
         val kv =
-          if (k.foldable && integral(k.dataType)) k.eval().toString.toInt
+          if (kRaw != null && kRaw.toString.toLong > 0) kRaw.toString.toInt
           else throw new IllegalArgumentException(
-            "freq_items: k must be an integer literal")
+            "freq_items: k must be a positive integer literal")
         FreqItemsAgg(item, kv).toAggregateExpression()
       case other =>
         throw new IllegalArgumentException(

@@ -26,6 +26,7 @@ object AnnOps {
 
   private val K = 16 // IVF centroids
   private val NPROBE = 4
+  private val CAND = 50 // ann_rerank prefilter pool per query
   private val TOPK = 5
   private val NQUERY = 10
   private val NPLANES = 64 // RP-LSH hyperplanes
@@ -237,7 +238,6 @@ object AnnOps {
     // (bucket pruning), SRP-LSH (hash blocking), quantized re-rank
     // (compressed-domain scan).
     QueryDef("ann_rerank", (s, d) => {
-      val CAND = 50
       val sc = vecs(s, d)
         .withColumn("scale",
           expr("aggregate(e, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
@@ -249,16 +249,23 @@ object AnnOps {
       val qset = sc.filter(col("vec_id") < NQUERY)
         .select(col("vec_id").as("qid"), col("e").as("qe"),
           col("nrm").as("qnrm"), col("q").as("qq"))
+      // only (qid, vec_id, qdot) — 3 longs — enters the prefilter's
+      // ranking shuffle; the float vectors rejoin AFTER the top-CAND
+      // cut, by broadcast (queries) and id-equality (candidates)
       val wPre = Window.partitionBy("qid").orderBy(desc("qdot"), col("vec_id"))
-      val cand = sc.crossJoin(broadcast(qset))
+      val cand = sc.select(col("vec_id"), col("q"))
+        .crossJoin(broadcast(qset.select(col("qid"), col("qq"))))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("qdot", expr(
-          "aggregate(zip_with(q, qq, (a, b) -> a*b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .select(col("qid"), col("vec_id"), expr(
+          "aggregate(zip_with(q, qq, (a, b) -> a*b), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("qdot"))
         .withColumn("prk", row_number().over(wPre))
         .filter(col("prk") <= CAND)
-        .select("qid", "qe", "qnrm", "vec_id")
+        .select("qid", "vec_id")
       val wRank = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-      cand.join(vecs(s, d), "vec_id")
+      cand
+        .join(broadcast(qset.select(col("qid"), col("qe"), col("qnrm"))), "qid")
+        .join(vecs(s, d), "vec_id")
         .withColumn("cos", cosCol("qe", "e", "qnrm", "nrm"))
         .withColumn("rk", row_number().over(wRank).cast("long"))
         .filter(col("rk") <= TOPK)
@@ -275,7 +282,7 @@ object AnnOps {
               row_number() OVER (PARTITION BY qid
                 ORDER BY list_dot_product(qq, q) DESC, vec_id) AS prk
             FROM qset, sc WHERE vec_id <> qid),
-          cand AS (SELECT qid, vec_id FROM pre WHERE prk <= 50),
+          cand AS (SELECT qid, vec_id FROM pre WHERE prk <= $CAND),
           rr AS (SELECT c.qid, c.vec_id,
               list_dot_product(a.e, b.e) /
                 nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0) AS cos

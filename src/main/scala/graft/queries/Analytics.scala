@@ -311,6 +311,10 @@ object Analytics {
       val t = Tables.load(s, d, "documents")
         .select(col("lang"), col("doc_id"), col("n_chars"),
           size(graft.llm.TextNorm.toks).cast("long").as("n_toks"))
+      // asc = NULLS FIRST in Spark but NULLS LAST in DuckDB — the oracle
+      // says NULLS FIRST explicitly so a null-text row (null n_toks)
+      // ranks identically on both engines instead of shifting every
+      // other rank in its language by one
       val wx = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
       val wy = Window.partitionBy("lang").orderBy("n_toks", "doc_id")
       val ranked = t
@@ -333,8 +337,8 @@ object Analytics {
       s"""WITH t AS (SELECT lang, doc_id, n_chars,
            CAST(len(${graft.llm.TextNorm.normSql}) AS BIGINT) AS n_toks FROM documents),
          r AS (SELECT lang,
-           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rx,
-           row_number() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS ry
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars NULLS FIRST, doc_id) AS rx,
+           row_number() OVER (PARTITION BY lang ORDER BY n_toks NULLS FIRST, doc_id) AS ry
            FROM t),
          a AS (SELECT lang, count(*) AS n,
            CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
