@@ -60,6 +60,23 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Streaming heavy hitters: per tumbling window, the Misra-Gries
+    * top-k over a token stream — the native [[graft.functions.FreqItemsAgg]]
+    * composed into a watermarked streaming aggregate. State per window
+    * is the k-counter sketch (constant, merge-safe across micro-batches
+    * because TypedImperativeAggregate partials merge exactly like
+    * map-side partials), so an unbounded vocabulary never accumulates
+    * in the state store — the streaming shape of `approx_topk`. */
+  def streamingTopK(toks: DataFrame, k: Int,
+      lateness: String = "1 hour"): DataFrame =
+    toks
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(graft.functions.FreqItemsAgg.freqItems(col("tok"), k).as("sketch"))
+      .select(col("window.start").as("win_start"), posexplode(col("sketch")))
+      .select(col("win_start"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("item"), col("col.min_count").as("min_count"))
+
   case class Ev(user_id: Long, ts_us: Long)
   case class Session(var start: Long, var last: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

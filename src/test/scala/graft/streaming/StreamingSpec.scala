@@ -221,4 +221,36 @@ class StreamingSpec extends SparkSuite {
         StreamOps.SessionOut(2L, 0L, 0L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming top-k: windowed Misra-Gries finalizes with the exact heavy hitter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)] // (ts_us, tok)
+    val toks = in.toDF().toDF("ts_us", "tok")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val q = StreamOps.streamingTopK(toks, k = 4).writeStream
+      .format("memory").queryName("topk_test").outputMode("append").start()
+    try {
+      // hour 0: 'hot' dominates over unique noise, split across two
+      // micro-batches so sketch partials merge across batches... except
+      // append-mode windows buffer until the watermark closes them, so
+      // both batches land in the same window's state
+      val batch1 = (0 until 30).map(i => (i * 1000L, if (i % 2 == 0) "hot" else s"n$i"))
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      val batch2 = (30 until 60).map(i => (i * 1000L, if (i % 2 == 0) "hot" else s"n$i"))
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      in.addData((100L * HourUs, "closer")) // advance watermark past hour 0
+      q.processAllAvailable()
+      val rows = spark.table("topk_test")
+        .select("rk", "item", "min_count")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.nonEmpty, "window never closed")
+      val head = rows.minBy(_._1)
+      assert(head._2 == "hot", s"expected 'hot' first, got $head")
+      // 30 true occurrences; MG lower bound within N/(k+1) = 60/5
+      assert(head._3 <= 30L && head._3 >= 30L - 12L, s"count bound violated: $head")
+    } finally q.stop()
+  }
 }
