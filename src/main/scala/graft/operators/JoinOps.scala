@@ -122,6 +122,44 @@ object JoinOps {
       "SELECT c_nationkey, count(*) AS n_orders, " +
       "CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents " +
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
-      "GROUP BY c_nationkey ORDER BY c_nationkey"))
+      "GROUP BY c_nationkey ORDER BY c_nationkey")),
+
+    // ---- Salted (replicated-build) skew join, by hand: when ONE fact
+    // key holds a disproportionate share of rows, a plain hash join
+    // funnels that key's entire partition through one task. The manual
+    // fix AQE generalizes: salt the fact side 8 ways and replicate
+    // every build row once per salt value, so the hot key's rows spread
+    // over 8 tasks while the join stays a pure (key, salt) hash
+    // equality. The replication factor costs 8x the (small) build side,
+    // not the fact side. The salt is pure bookkeeping — the result
+    // equals the plain join, which is exactly what the oracle runs.
+    // (AQE's skewJoin does this adaptively for sort-merge joins; the
+    // manual form is the one that works inside any composition and on
+    // any join type.)
+    QueryDef("salted_join", (s, d) => {
+      val SALT = 8
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      // derived user dimension: deterministic first event type per user
+      val dim = ev
+        .groupBy("user_id")
+        .agg(min(struct(col("event_id"), col("event_type"))).as("f"))
+        .select(col("user_id"), col("f.event_type").as("first_type"))
+      val salted = ev.withColumn("salt", pmod(col("event_id"), lit(SALT.toLong)))
+      val dimRep = dim.withColumn("salt",
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${SALT - 1} AS BIGINT))")))
+      salted.join(dimRep, Seq("user_id", "salt"))
+        .groupBy("first_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("first_type")
+    }, Some(
+      """WITH dim AS (
+           SELECT user_id, arg_min(event_type, event_id) AS first_type
+           FROM events GROUP BY user_id)
+         SELECT d.first_type, count(*) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM events e JOIN dim d USING (user_id)
+         GROUP BY d.first_type ORDER BY d.first_type"""))
   )
 }

@@ -174,6 +174,14 @@ class PlanSpec extends SparkSuite {
       s"collect_topids must rank inside (lang, salt) slices only:\n$p")
   }
 
+  test("salted_join: the join condition carries the salt key alongside the natural key") {
+    val qe = q("salted_join").queryExecution
+    val joinLine = qe.optimizedPlan.toString().linesIterator
+      .find(_.contains("Join Inner")).getOrElse("")
+    assert(joinLine.contains("user_id") && joinLine.contains("salt"),
+      s"salt not part of the join keys: $joinLine")
+  }
+
   test("merge_upsert: latest-wins is a key-grouped argmax, no Window over the change stream") {
     val p = planString(q("merge_upsert"))
     assert(!p.contains("Window"), s"merge fell back to a window funnel:\n$p")
