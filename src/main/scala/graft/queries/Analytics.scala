@@ -294,6 +294,51 @@ object Analytics {
       "SELECT lang, array_to_string(list_sort(list(doc_id))[1:5], ',') AS min_ids " +
       "FROM documents GROUP BY lang ORDER BY lang")),
 
+    // ---- Z-score anomaly counting: how many events sit more than 3
+    // standard deviations from their type's mean — the streaming-
+    // monitor staple, done in two passes: exact integer/DECIMAL moment
+    // components (the stats_moments sums), broadcast back onto the
+    // events (O(groups) rows — a one-row-per-type build side), then a
+    // per-row z computed by ONE fixed-order double expression, so both
+    // engines evaluate identical doubles and the >3 cut is
+    // engine-exact. Only integer counts leave the final aggregate.
+    QueryDef("anomaly_zscore", (s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .filter(col("c").isNotNull)
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum("c").as("sc"),
+        sum(expr("cast(cast(c AS DECIMAL(18,0)) * cast(c AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("sq"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("sc").cast("double") / col("cnt").cast("double"))
+        .withColumn("varr",
+          (col("cnt").cast("double") * col("sq").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double")) /
+          (col("cnt").cast("double") * col("cnt").cast("double")))
+        .withColumn("z",
+          (col("c").cast("double") - col("mean")) / sqrt(nullif(col("varr"), lit(0.0))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy("event_type")
+    }, Some(
+      "WITH e AS (SELECT event_type, " + graft.Tables.centsSql + " AS c " +
+      "FROM events WHERE " + graft.Tables.centsSql + " IS NOT NULL), " +
+      "st AS (SELECT event_type, count(*) AS cnt, sum(c) AS sc, " +
+      "sum(CAST(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sq " +
+      "FROM e GROUP BY event_type), " +
+      "j AS (SELECT e.event_type, e.c, " +
+      "CAST(st.sc AS DOUBLE) / CAST(st.cnt AS DOUBLE) AS mean, " +
+      "(CAST(st.cnt AS DOUBLE) * CAST(st.sq AS DOUBLE) - " +
+      "CAST(st.sc AS DOUBLE) * CAST(st.sc AS DOUBLE)) / " +
+      "(CAST(st.cnt AS DOUBLE) * CAST(st.cnt AS DOUBLE)) AS varr " +
+      "FROM e JOIN st USING (event_type)) " +
+      "SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CASE WHEN abs((CAST(c AS DOUBLE) - mean) / sqrt(nullif(varr, 0))) > 3.0 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies " +
+      "FROM j GROUP BY event_type ORDER BY event_type")),
+
     // ---- Spearman rank correlation between document length (chars)
     // and token count, per language — the monotone-association check a
     // data-quality dashboard runs. Ranks are row_number with a total

@@ -15,7 +15,8 @@ class HostileEventsSpec extends SparkSuite {
     "salted_agg", "skew_level", "quantiles", "approx_quantiles",
     "window_analytics", "sessionize_batch", "pivot_events",
     "asof_join", "range_join", "funnel_steps", "cohort_retention",
-    "grouping_sets", "stats_moments", "mode_per_group", "salted_join")
+    "grouping_sets", "stats_moments", "mode_per_group", "salted_join",
+    "anomaly_zscore")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

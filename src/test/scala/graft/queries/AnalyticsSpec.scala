@@ -69,6 +69,25 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("anomaly_zscore: counts match a driver-side replay of the identical arithmetic") {
+    val out = q("anomaly_zscore").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getLong(1)))
+    raw.groupBy(_._1).foreach { case (t, vs) =>
+      val cs = vs.map(_._2)
+      val n = cs.length.toDouble
+      val sc = cs.sum.toDouble
+      val sq = cs.map(c => BigDecimal(c) * BigDecimal(c)).sum.toDouble
+      val mean = sc / n
+      val varr = (n * sq - sc * sc) / (n * n)
+      val anomalies = cs.count(c => varr > 0 && math.abs((c - mean) / math.sqrt(varr)) > 3.0)
+      assert(out(t) == ((cs.length.toLong, anomalies.toLong)), s"anomaly census mismatch for $t")
+    }
+  }
+
   test("rank_corr: rho matches a driver-side Spearman computation and lies in [-1, 1]") {
     val out = q("rank_corr").collect()
       .map(r => r.getString(0) -> r.getDouble(5)).toMap
