@@ -393,6 +393,147 @@ object Analytics {
          SELECT lang, n, sxy, sx, sxx,
            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
              nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS rho
-         FROM a ORDER BY lang"""))
+         FROM a ORDER BY lang""")),
+
+    // ---- Robust statistics at scale: exact per-group median + MAD
+    // (median absolute deviation) via the HISTOGRAM method. A naive
+    // exact median sorts every group (one giant window per event_type —
+    // the monolingual-skew trap); instead we aggregate to a (type,
+    // cents) frequency table first. The histogram is bounded by the
+    // VALUE DOMAIN (~56k distinct cents here), not the row count, so
+    // the cumulative window runs over a few thousand rows per type no
+    // matter the SF — the same technique holds at 100 TB as long as the
+    // measure is bounded-domain (money, latencies, scores all are).
+    // Median = low median (smallest c with cum >= ceil(n/2)), an
+    // integer selection with zero float ops; MAD repeats the trick on
+    // |c - median| after broadcasting the O(groups) median table back.
+    QueryDef("median_mad", (s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .filter(col("c").isNotNull)
+      val hist = e.groupBy("event_type", "c").agg(count(lit(1)).as("f"))
+      val tot = hist.groupBy("event_type").agg(sum("f").as("n"))
+      val wc = Window.partitionBy("event_type").orderBy("c")
+      val med = hist.withColumn("cum", sum("f").over(wc))
+        .join(broadcast(tot), "event_type")
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("event_type").agg(min("c").as("median_cents"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("c") - col("median_cents")).as("dv"))
+      val dhist = dev.groupBy("event_type", "dv").agg(count(lit(1)).as("f"))
+      val wd = Window.partitionBy("event_type").orderBy("dv")
+      val mad = dhist.withColumn("cum", sum("f").over(wd))
+        .join(broadcast(tot), "event_type")
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("event_type").agg(min("dv").as("mad_cents"))
+      tot.join(med, "event_type").join(mad, "event_type")
+        .select(col("event_type"), col("n"), col("median_cents"), col("mad_cents"))
+        .orderBy("event_type")
+    }, Some(
+      "WITH e AS (SELECT event_type, " + graft.Tables.centsSql + " AS c " +
+      "FROM events WHERE " + graft.Tables.centsSql + " IS NOT NULL), " +
+      "h AS (SELECT event_type, c, count(*) AS f FROM e GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(f) AS BIGINT) AS n FROM h GROUP BY 1), " +
+      "cm AS (SELECT event_type, c, CAST(sum(f) OVER " +
+      "(PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum FROM h), " +
+      "med AS (SELECT event_type, min(c) AS median_cents FROM cm JOIN t USING (event_type) " +
+      "WHERE cum >= (n + 1) // 2 GROUP BY event_type), " +
+      "dv AS (SELECT e.event_type, abs(e.c - med.median_cents) AS dv " +
+      "FROM e JOIN med USING (event_type)), " +
+      "dh AS (SELECT event_type, dv, count(*) AS f FROM dv GROUP BY 1, 2), " +
+      "dc AS (SELECT event_type, dv, CAST(sum(f) OVER " +
+      "(PARTITION BY event_type ORDER BY dv) AS BIGINT) AS cum FROM dh), " +
+      "mad AS (SELECT event_type, min(dv) AS mad_cents FROM dc JOIN t USING (event_type) " +
+      "WHERE cum >= (n + 1) // 2 GROUP BY event_type) " +
+      "SELECT event_type, n, median_cents, mad_cents " +
+      "FROM t JOIN med USING (event_type) JOIN mad USING (event_type) " +
+      "ORDER BY event_type")),
+
+    // ---- 2-D skyline (pareto frontier): parts not dominated on
+    // (cheaper, bigger) by any other part. The classic formulation is a
+    // quadratic NOT EXISTS self-join — the DuckDB oracle states it that
+    // way, as an INDEPENDENT formulation of the semantics. The engine
+    // path is the scale-sound one: aggregate to min-price-per-size
+    // first (the p_size domain is ~50 values — bounded by the domain,
+    // not the row count), run the strict suffix-min test on that tiny
+    // table with one window, then join the surviving (size, price)
+    // pairs back by key equality. Ties on both dimensions are kept
+    // (non-strict dominance), matching the NOT EXISTS semantics.
+    QueryDef("skyline_parts", (s, d) => {
+      val p = Tables.load(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size").cast("long").as("p_size"),
+          expr("try_cast(round(p_retailprice * 100, 0) AS LONG)").as("price_cents"))
+        .filter(col("price_cents").isNotNull && col("p_size").isNotNull)
+      val minp = p.groupBy("p_size").agg(min("price_cents").as("mp"))
+      // window over the AGGREGATED table: <= |size domain| rows total,
+      // so the unpartitioned frame is O(50), never O(rows)
+      val wAbove = Window.orderBy(desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = minp
+        .withColumn("best_above", min("mp").over(wAbove))
+        .filter(col("best_above").isNull || col("mp") < col("best_above"))
+        .select(col("p_size").as("fs_size"), col("mp"))
+      p.join(broadcast(frontier),
+          col("p_size") === col("fs_size") && col("price_cents") === col("mp"))
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("price_cents"))
+        .orderBy("p_size", "p_partkey")
+    }, Some(
+      "WITH p AS (SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size, " +
+      "TRY_CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents FROM part " +
+      "WHERE TRY_CAST(round(p_retailprice * 100, 0) AS BIGINT) IS NOT NULL " +
+      "AND p_size IS NOT NULL) " +
+      "SELECT b.p_partkey, b.p_name, b.p_size, b.price_cents FROM p b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM p a WHERE a.p_size >= b.p_size " +
+      "AND a.price_cents <= b.price_cents " +
+      "AND (a.p_size > b.p_size OR a.price_cents < b.price_cents)) " +
+      "ORDER BY b.p_size, b.p_partkey")),
+
+    // ---- Time-series gap fill with forward fill (LOCF): the
+    // dashboard/feature-store staple. Per (user, hour): the measure of
+    // the LAST valid event in that hour (max_by on the unique (user,
+    // ts) key — NaN measures dropped up front so both engines agree on
+    // what "valid" means); then each user's hour range densified with
+    // sequence()/generate_series and holes carried forward with
+    // last(..., ignoreNulls) over the user's hour order. The grid is
+    // per-user (tens of rows per user-month), the window partitions by
+    // user — millions of small partitions at 100 TB, no global
+    // anything. Output aggregates to one row per user (hours, observed
+    // hours, filled-hour count, exact integer sum of the filled
+    // series), so the gate compares O(users) rows.
+    QueryDef("gap_fill", (s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"),
+          expr("ts div 3600000000000").as("h"), cents.as("c"))
+        .filter(col("c").isNotNull)
+      val hourly = e.groupBy("user_id", "h").agg(max_by(col("c"), col("ts")).as("c"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val wFill = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left_outer")
+        .withColumn("filled", last(col("c"), ignoreNulls = true).over(wFill))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_filled"),
+          sum("filled").as("sum_filled_cents"))
+        .orderBy("user_id")
+    }, Some(
+      "WITH e AS (SELECT user_id, ts, epoch_ns(ts) // 3600000000000 AS h, " +
+      graft.Tables.centsSql + " AS c FROM events " +
+      "WHERE " + graft.Tables.centsSql + " IS NOT NULL), " +
+      "hv AS (SELECT user_id, h, arg_max(c, ts) AS c FROM e GROUP BY 1, 2), " +
+      "b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hv GROUP BY 1), " +
+      "grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM b), " +
+      "f AS (SELECT g.user_id, g.h, hv.c, " +
+      "last_value(hv.c IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+      "FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.h = hv.h) " +
+      "SELECT user_id, count(*) AS n_hours, " +
+      "CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed, " +
+      "CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled, " +
+      "CAST(sum(filled) AS BIGINT) AS sum_filled_cents " +
+      "FROM f GROUP BY user_id ORDER BY user_id"))
   )
 }

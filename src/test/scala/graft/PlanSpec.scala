@@ -187,6 +187,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), s"merge fell back to a window funnel:\n$p")
   }
 
+  test("median_mad: cumulative windows keyed by event_type; stat tables return by broadcast") {
+    val p = planString(q("median_mad"))
+    val windows = "(?m)^.*\\+- Window .*$".r.findAllIn(p).map(_.trim).toSet
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      s"cumulative window not keyed by event_type:\n$p")
+    // the totals/median tables are O(groups) rows — they must come back
+    // as broadcast builds, not shuffle the full event stream again
+    assert(p.contains("BroadcastHashJoin"), s"stat tables not broadcast:\n$p")
+  }
+
+  test("skyline_parts: frontier rejoin is a broadcast HASH join (equality on size+price)") {
+    val p = planString(q("skyline_parts"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoop"),
+      s"skyline rejoin is not a broadcast hash join:\n$p")
+  }
+
+  test("gap_fill: LOCF window partitions by user_id; densify is a Generate, not a join") {
+    val p = planString(q("gap_fill"))
+    val windows = "(?m)^.*\\+- Window .*$".r.findAllIn(p).map(_.trim).toSet
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      s"fill window not user-partitioned:\n$p")
+    assert(p.contains("Generate"), s"hour grid not densified via explode:\n$p")
+  }
+
   test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
     // The blanket scale rule: candidate generation must always be a key
     // join. CartesianProduct is banned with NO exceptions. The ANN

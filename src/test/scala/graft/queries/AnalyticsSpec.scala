@@ -137,4 +137,59 @@ class AnalyticsSpec extends SparkSuite {
       .groupBy("gram").count().agg(max("count")).collect().head.getLong(0)
     assert(rows.head._2 == full)
   }
+
+  test("median_mad: histogram median/MAD equal brute-force low medians") {
+    val out = q("median_mad").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lowMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    raw.groupBy(_._1).foreach { case (t, vs) =>
+      val cs = vs.map(_._2)
+      val med = lowMedian(cs)
+      val mad = lowMedian(cs.map(c => math.abs(c - med)))
+      assert(out(t) == ((cs.length.toLong, med, mad)), s"median/MAD mismatch for $t")
+    }
+  }
+
+  test("skyline_parts: every output is undominated; every non-output is dominated") {
+    val parts = graft.Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_size").cast("long"),
+        expr("try_cast(round(p_retailprice * 100, 0) AS LONG)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(b: (Long, Long, Long)) = parts.exists(a =>
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3))
+    val out = q("skyline_parts").collect().map(_.getLong(0)).toSet
+    parts.foreach { p =>
+      assert(out.contains(p._1) == !dominated(p),
+        s"part ${p._1} skyline membership wrong (size=${p._2}, cents=${p._3})")
+    }
+  }
+
+  test("gap_fill: grid size, fill counts and LOCF sums match a sequential replay") {
+    val out = q("gap_fill").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), expr("ts div 3600000000000").as("h"),
+        graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    raw.groupBy(_._1).foreach { case (u, vs) =>
+      val hourly = vs.groupBy(_._3).view.mapValues(_.maxBy(_._2)._4).toMap
+      val hours = hourly.keys.min to hourly.keys.max
+      var lastSeen = Option.empty[Long]
+      var (nObs, nFill, sum) = (0L, 0L, 0L)
+      hours.foreach { h =>
+        hourly.get(h) match {
+          case Some(c) => lastSeen = Some(c); nObs += 1
+          case None    => nFill += 1
+        }
+        sum += lastSeen.getOrElse(0L)
+      }
+      assert(out(u) == ((hours.length.toLong, nObs, nFill, sum)),
+        s"gap_fill mismatch for user $u")
+    }
+  }
 }

@@ -17,7 +17,8 @@ class HostileTpchSpec extends SparkSuite {
     "q19_disjunct", "q21_exists", "q21_sole", "rollup_stats",
     "set_except", "set_intersect",
     "q4_priority", "q6_forecast", "q8_share", "q12_priority",
-    "q15_topsupp", "q22_global", "triangle_count", "bfs_hops")
+    "q15_topsupp", "q22_global", "triangle_count", "bfs_hops",
+    "skyline_parts", "degree_dist")
 
   private lazy val hostileDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("hostile_tpch").toString
@@ -40,6 +41,9 @@ class HostileTpchSpec extends SparkSuite {
           df.unionByName(df.limit(2).withColumn("o_custkey", lit(null).cast("long")))
             .unionByName(df.limit(2).withColumn("o_orderdate",
               lit(null).cast(df.schema("o_orderdate").dataType)))
+        case "part" =>
+          df.unionByName(df.limit(2).withColumn("p_retailprice", lit(Double.NaN)))
+            .unionByName(df.limit(2).withColumn("p_size", lit(null).cast("int")))
         case _ => df
       }
       out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
