@@ -181,6 +181,39 @@ object TextOps {
       "WHEN 'fr' THEN 30 ELSE 80 END " +
       "GROUP BY lang ORDER BY lang")),
 
+    // ---- Min-wise reservoir: EXACTLY k docs per language, uniform
+    // without replacement — the complement of sample_stratified's
+    // rate-based sampling (which can't promise a count). Keeping the k
+    // smallest md5-hashes of the id IS a uniform k-sample (min-wise
+    // hashing), is deterministic on every engine, and — unlike a true
+    // reservoir — needs no sequential pass: phase 1 keeps k per (lang,
+    // salt) inside bounded window partitions, so no monolingual group
+    // ever sorts its full corpus slice; phase 2 ranks the <= 16k
+    // survivors per language. Same two-phase skeleton as topk_per_group
+    // — this is how "give me 10k sample docs per language" runs on
+    // 100 TB without a giant per-group sort.
+    QueryDef("reservoir_sample", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 20
+      val hashed = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          Dedup.md5Long(concat(lit("rsvp:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+      val w1 = Window.partitionBy("lang", "salt").orderBy("h", "doc_id")
+      val survivors = hashed
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") <= k).drop("rn")
+      val w2 = Window.partitionBy("lang").orderBy("h", "doc_id")
+      survivors
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }, Some(
+      "WITH h AS (SELECT lang, doc_id, " +
+      Dedup.md5LongSql("'rsvp:' || doc_id") + " AS h FROM documents), " +
+      "r AS (SELECT lang, doc_id, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h) " +
+      "SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id")),
+
     // ---- Top-k per group, skew-proof: the naive row_number() OVER
     // (PARTITION BY lang) funnels an entire hot language through ONE
     // task — the exact shape that dies on a 100 TB monolingual-heavy

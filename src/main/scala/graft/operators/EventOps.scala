@@ -171,6 +171,51 @@ object EventOps {
     }, Some(
       "SELECT user_id, count(*) AS n_events, " +
       "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
-      "FROM events GROUP BY user_id ORDER BY n_events DESC, user_id"))
+      "FROM events GROUP BY user_id ORDER BY n_events DESC, user_id")),
+
+    // ---- Z-order (Morton) layout: the multi-dimensional clustering
+    // that makes file-level data skipping work on TWO query dimensions
+    // at once (Delta/Iceberg OPTIMIZE ZORDER). Interleaving the bits of
+    // (user bucket, hour bucket) and range-bucketing the curve value
+    // gives files where BOTH dimensions are tightly bounded — each
+    // 8-bits-of-z bucket pins the high 4 bits of each dimension, so
+    // min/max pruning cuts ~15/16 of files for a point query on EITHER
+    // column. The query emits per-bucket (count, umin..umax, hmin..hmax)
+    // — the layout manifest a table format would persist as file stats;
+    // ZorderSpec asserts the <=16-wide span bound that naive
+    // single-column sorting cannot give the second dimension. Bit math
+    // is identical integer arithmetic on both engines → hash-exact.
+    QueryDef("zorder_layout", (s, d) => {
+      val z = zInterleave("ub", "hb", 8, sparkDialect = true)
+      Tables.load(s, d, "events")
+        .selectExpr("user_id % 256 AS ub", "(ts div 3600000000000) % 256 AS hb")
+        .selectExpr(s"($z) div 256 AS bucket", "ub", "hb")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("ub").as("umin"), max("ub").as("umax"),
+          min("hb").as("hmin"), max("hb").as("hmax"))
+        .orderBy("bucket")
+    }, Some(
+      "WITH b AS (SELECT user_id % 256 AS ub, " +
+      "(epoch_ns(ts) // 3600000000000) % 256 AS hb FROM events), " +
+      "z AS (SELECT (" + zInterleave("ub", "hb", 8, sparkDialect = false) +
+      ") // 256 AS bucket, ub, hb FROM b) " +
+      "SELECT bucket, count(*) AS n, " +
+      "min(ub) AS umin, max(ub) AS umax, min(hb) AS hmin, max(hb) AS hmax " +
+      "FROM z GROUP BY bucket ORDER BY bucket"))
   )
+
+  /** Morton interleave of two `bits`-bit non-negative ints as a SQL
+    * expression string — generated once for both dialects so the bit
+    * structure can never drift between engine and oracle (Spark spells
+    * shifts shiftleft/shiftright; DuckDB uses << / >>). */
+  private def zInterleave(u: String, h: String, bits: Int, sparkDialect: Boolean): String =
+    (0 until bits).flatMap { i =>
+      if (sparkDialect)
+        Seq(s"shiftleft(shiftright($u, $i) & 1, ${2 * i + 1})",
+          s"shiftleft(shiftright($h, $i) & 1, ${2 * i})")
+      else
+        Seq(s"((($u >> $i) & 1) << ${2 * i + 1})",
+          s"((($h >> $i) & 1) << ${2 * i})")
+    }.mkString(" + ")
 }

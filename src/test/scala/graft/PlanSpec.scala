@@ -211,6 +211,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), s"hour grid not densified via explode:\n$p")
   }
 
+  test("reservoir_sample: phase-1 window carries the salt; phase 2 ranks survivors only") {
+    val p = planString(q("reservoir_sample"))
+    val windows = "(?m)^.*\\+- Window .*$".r.findAllIn(p).map(_.trim).toSet
+    assert(windows.size == 2, s"expected 2 distinct window nodes:\n$p")
+    assert(windows.count(_.contains("salt")) == 1,
+      s"exactly one window must carry the salt key:\n$p")
+  }
+
+  test("zorder_layout: map-only bit math + one hash aggregate — no join, no window") {
+    val p = planString(q("zorder_layout"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"z-order layout must be a pure scan+aggregate:\n$p")
+  }
+
   test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
     // The blanket scale rule: candidate generation must always be a key
     // join. CartesianProduct is banned with NO exceptions. The ANN

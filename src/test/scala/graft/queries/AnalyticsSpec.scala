@@ -192,4 +192,43 @@ class AnalyticsSpec extends SparkSuite {
         s"gap_fill mismatch for user $u")
     }
   }
+
+  test("reservoir_sample: the salted two-phase pick equals the true k smallest hashes per lang") {
+    val out = q("reservoir_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        conv(substring(md5(concat(lit("rsvp:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (lang, vs) =>
+      val expect = vs.sortBy(v => (v._3, v._2)).take(20).map(_._2).toSet
+      assert(out(lang) == expect, s"reservoir mismatch for $lang")
+      assert(out(lang).size == math.min(20, vs.length), s"wrong sample size for $lang")
+    }
+  }
+
+  test("zorder_layout: every bucket bounds BOTH dimensions to a 16-wide span; counts total") {
+    val rows = q("zorder_layout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = graft.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._2).sum == total, "bucket counts must partition the table")
+    rows.foreach { case (b, _, umin, umax, hmin, hmax) =>
+      // a z >> 8 bucket fixes the top 4 bits of each 8-bit dimension,
+      // so each dim spans at most 16 values — the two-dimensional
+      // skipping property a single-column sort cannot provide
+      assert(umax - umin < 16, s"bucket $b user span too wide: $umin..$umax")
+      assert(hmax - hmin < 16, s"bucket $b hour span too wide: $hmin..$hmax")
+    }
+    // cross-check one bucket assignment against a driver-side interleave
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id % 256 AS ub", "(ts div 3600000000000) % 256 AS hb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def z(u: Long, h: Long): Long = (0 until 8).map { i =>
+      (((u >> i) & 1L) << (2 * i + 1)) + (((h >> i) & 1L) << (2 * i))
+    }.sum
+    val expect = ev.groupBy { case (u, h) => z(u, h) / 256 }.view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == expect, "bucket census mismatch vs driver replay")
+  }
 }
