@@ -214,6 +214,61 @@ object TextOps {
       "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h) " +
       "SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id")),
 
+    // ---- BM25 top-k retrieval for a 3-term query — the search-side
+    // primitive of a RAG/data-curation stack. One map-only scan computes
+    // per-doc term frequencies (HOF filter over the token array; text
+    // never shuffles); ONE aggregate pass yields all global stats
+    // (N, Σdl, per-term df via array_contains) as a single row that
+    // broadcasts back (the scalar-subquery shape, whitelisted like
+    // mix_weights); top-k is TakeOrderedAndProject. Scoring uses the
+    // log-free rational-idf BM25 variant, idf = (N - df + ½)/(df + ½)
+    // (same df-monotonicity as Robertson's log form): every op in the
+    // score is IEEE +,-,*,/ in ONE fixed parenthesization, so both
+    // engines produce bit-identical doubles — a log() would differ in
+    // the last ulp between libm and the JVM. k1 = 1.2, b = 0.75.
+    QueryDef("bm25_topk", (s, d) => {
+      val terms = Seq("spark", "merge", "window")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextNorm.normText.as("nt"))
+        .filter(col("nt").isNotNull && length(col("nt")) > 0)
+        .select(col("doc_id"), split(col("nt"), " ").as("w"))
+        .withColumn("dl", size(col("w")).cast("long"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        sum(when(array_contains(col("w"), terms(0)), 1L).otherwise(0L)).as("df1"),
+        sum(when(array_contains(col("w"), terms(1)), 1L).otherwise(0L)).as("df2"),
+        sum(when(array_contains(col("w"), terms(2)), 1L).otherwise(0L)).as("df3"))
+      val tf = docs.select(col("doc_id"), col("dl"),
+          expr(s"cast(size(filter(w, x -> x = '${terms(0)}')) AS LONG)").as("tf1"),
+          expr(s"cast(size(filter(w, x -> x = '${terms(1)}')) AS LONG)").as("tf2"),
+          expr(s"cast(size(filter(w, x -> x = '${terms(2)}')) AS LONG)").as("tf3"))
+        .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+      def term(tfc: String, dfc: String): String = bm25Term(tfc, dfc)
+      tf.crossJoin(broadcast(stats))
+        .withColumn("score", expr(
+          s"round(${term("tf1", "df1")} + ${term("tf2", "df2")} + ${term("tf3", "df3")}, 6)"))
+        .select(col("doc_id"), col("dl"), col("tf1"), col("tf2"), col("tf3"), col("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+    }, Some {
+      val nt = TextNorm.normTextSql
+      def t(tfc: String, dfc: String) = bm25Term(tfc, dfc)
+      s"WITH n AS (SELECT doc_id, $nt AS nt FROM documents " +
+      s"WHERE $nt IS NOT NULL AND length($nt) > 0), " +
+      "d AS (SELECT doc_id, string_split(nt, ' ') AS w FROM n), " +
+      "dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, " +
+      "CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf1, " +
+      "CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf2, " +
+      "CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf3 FROM d), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, " +
+      "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1, " +
+      "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2, " +
+      "CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3 FROM dd) " +
+      "SELECT doc_id, dl, tf1, tf2, tf3, " +
+      s"round(${t("tf1", "df1")} + ${t("tf2", "df2")} + ${t("tf3", "df3")}, 6) AS score " +
+      "FROM dd, st WHERE tf1 + tf2 + tf3 > 0 " +
+      "ORDER BY score DESC, doc_id LIMIT 20"
+    }),
+
     // ---- Top-k per group, skew-proof: the naive row_number() OVER
     // (PARTITION BY lang) funnels an entire hot language through ONE
     // task — the exact shape that dies on a 100 TB monolingual-heavy
@@ -374,4 +429,15 @@ object TextOps {
         .orderBy("rk")
     }, None)
   )
+
+  /** One BM25 term as a SQL string valid in BOTH dialects (plain CAST +
+    * arithmetic parses identically in Spark SQL and DuckDB): rational
+    * idf × saturated tf, k1 = 1.2, b = 0.75. A single shared generator
+    * so parenthesization — and hence the IEEE evaluation order that
+    * makes the score bit-exact — can never drift between engines.
+    * Expects columns n_docs, sum_dl, dl in scope. */
+  private def bm25Term(tf: String, df: String): String =
+    s"(((CAST(n_docs AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5)) * " +
+    s"((CAST($tf AS DOUBLE) * 2.2) / (CAST($tf AS DOUBLE) + 1.2 * " +
+    s"(0.25 + 0.75 * ((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(sum_dl AS DOUBLE))))))"
 }

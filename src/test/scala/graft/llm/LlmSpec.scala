@@ -206,4 +206,33 @@ class LlmSpec extends SparkSuite {
     val total = df.agg(sum("n_dups")).collect()(0).getLong(0)
     assert(total == graft.Tables.load(spark, sfDir, "documents").count())
   }
+
+  test("bm25_topk: scores match a driver-side replay; ranking is score-desc with id tiebreak") {
+    val out = graft.SparkEntry.queries("bm25_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty, "query terms must hit the corpus")
+    // replay the aggregate + formula sequentially with the same IEEE ops
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(graft.llm.TextNorm.normText.as("nt"), col("doc_id"))
+      .collect().filter(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
+      .map(r => (r.getLong(1), r.getString(0).split(" ", -1)))
+    val nDocs = docs.length.toDouble
+    val sumDl = docs.map(_._2.length.toLong).sum.toDouble
+    val terms = Seq("spark", "merge", "window")
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toDouble)
+    def score(ws: Array[String]): Double = {
+      val dl = ws.length.toDouble
+      terms.zip(dfs).map { case (t, df) =>
+        val tf = ws.count(_ == t).toDouble
+        ((nDocs - df + 0.5) / (df + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((dl * nDocs) / sumDl))))
+      }.sum
+    }
+    val expect = docs.map { case (id, ws) => (id, score(ws)) }
+      .filter(_._2 > 0).map { case (id, sc) =>
+        (id, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(out.map(r => (r._1, r._6)).toSeq == expect.toSeq,
+      s"bm25 ranking mismatch:\nengine=${out.map(r => (r._1, r._6)).mkString(",")}\nreplay=${expect.mkString(",")}")
+  }
 }
