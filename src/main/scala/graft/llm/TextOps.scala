@@ -407,6 +407,53 @@ object TextOps {
       "SELECT gram, count(*) AS n FROM bg GROUP BY gram " +
       "ORDER BY n DESC, gram LIMIT 25")),
 
+    // ---- PMI collocations: bigrams whose parts co-occur far more than
+    // independence predicts — the phrase-mining / tokenizer-merge-rule
+    // primitive. PMI is computed WITHOUT log as an exact integer odds
+    // ratio in ppm: 10^6 · N·c(xy) / (c(x)·c(y)), DECIMAL(38,0)
+    // arithmetic then one integer division — same ranking as log-PMI
+    // (log is monotone), zero float ops, overflow-safe past 10^12
+    // tokens. Unigram/bigram counts are plain hash aggregates; the
+    // bigram→unigram joins key on the token (vocabulary-sized, AQE may
+    // broadcast); the global token count is a one-row broadcast
+    // (whitelisted scalar shape); min-count >= 5 applies the standard
+    // sparse-PMI guard before ranking; top-25 is TakeOrderedAndProject.
+    QueryDef("collocations", (s, d) => {
+      val docs = Tables.load(s, d, "documents").select(toks.as("w"))
+      val uni = docs.select(explode(col("w")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val ntok = uni.agg(sum("c").as("n_tok"))
+      val bgc = docs.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      bgc
+        .join(uni.select(col("tok").as("w1"), col("c").as("cx")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("cy")), "w2")
+        .crossJoin(broadcast(ntok))
+        .withColumn("pmi_ppm", expr(
+          "cast((cast(1000000 AS DECIMAL(38,0)) * cast(n_tok AS DECIMAL(38,0)) * cast(cxy AS DECIMAL(38,0))) " +
+          "div (cast(cx AS DECIMAL(38,0)) * cast(cy AS DECIMAL(38,0))) AS LONG)"))
+        .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"), col("pmi_ppm"))
+        .orderBy(desc("pmi_ppm"), col("w1"), col("w2")).limit(25)
+    }, Some(
+      s"WITH t AS (SELECT $normSql AS w FROM documents), " +
+      "uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM " +
+      "(SELECT unnest(w) AS tok FROM t) WHERE length(tok) > 0 GROUP BY tok), " +
+      "nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc), " +
+      "bg AS (SELECT unnest(list_transform(range(1, len(w)), " +
+      "i -> w[i]||' '||w[i+1])) AS gram FROM t WHERE len(w) >= 2), " +
+      "bgc AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2, " +
+      "CAST(count(*) AS BIGINT) AS cxy FROM bg GROUP BY 1, 2 HAVING count(*) >= 5) " +
+      "SELECT bgc.w1, bgc.w2, bgc.cxy, ux.c AS cx, uy.c AS cy, " +
+      "CAST((CAST(1000000 AS HUGEINT) * CAST(n_tok AS HUGEINT) * CAST(cxy AS HUGEINT)) " +
+      "// (CAST(ux.c AS HUGEINT) * CAST(uy.c AS HUGEINT)) AS BIGINT) AS pmi_ppm " +
+      "FROM bgc JOIN uc ux ON bgc.w1 = ux.tok JOIN uc uy ON bgc.w2 = uy.tok, nt " +
+      "ORDER BY pmi_ppm DESC, w1, w2 LIMIT 25")),
+
     // ---- Sketch-path counterpart of ngram_topk for tokens: one-pass
     // Misra-Gries heavy hitters (native TypedImperativeAggregate,
     // graft.functions.FreqItemsAgg) — 256 counters per partial instead

@@ -238,7 +238,8 @@ class PlanSpec extends SparkSuite {
     // way; anywhere else a nested-loop fallback is a planning
     // regression.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_rerank",
-      "mix_weights", "dedup_embedding_lsh", "q22_global", "bm25_topk")
+      "mix_weights", "dedup_embedding_lsh", "q22_global", "bm25_topk",
+      "collocations")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001

@@ -235,4 +235,23 @@ class LlmSpec extends SparkSuite {
     assert(out.map(r => (r._1, r._6)).toSeq == expect.toSeq,
       s"bm25 ranking mismatch:\nengine=${out.map(r => (r._1, r._6)).mkString(",")}\nreplay=${expect.mkString(",")}")
   }
+
+  test("collocations: PMI ppm matches an exact BigInt replay; ranking total-ordered") {
+    val out = graft.SparkEntry.queries("collocations")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(out.nonEmpty)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(graft.llm.TextNorm.normText.as("nt")).collect()
+      .filter(!_.isNullAt(0)).map(_.getString(0).split(" ", -1).filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = uni.values.sum
+    val bg = docs.flatMap(ws => ws.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).filter(_._2 >= 5L)
+    val expect = bg.map { case ((w1, w2), cxy) =>
+      val pmi = (BigInt(1000000) * BigInt(nTok) * BigInt(cxy) /
+        (BigInt(uni(w1)) * BigInt(uni(w2)))).toLong
+      ((w1, w2), (cxy, uni(w1), uni(w2), pmi))
+    }.toSeq.sortBy { case ((w1, w2), v) => (-v._4, w1, w2) }.take(25)
+    assert(out.toSeq == expect, s"collocation mismatch:\n${out.toSeq}\nvs\n$expect")
+  }
 }
