@@ -202,7 +202,32 @@ object EventOps {
       ") // 256 AS bucket, ub, hb FROM b) " +
       "SELECT bucket, count(*) AS n, " +
       "min(ub) AS umin, max(ub) AS umax, min(hb) AS hmin, max(hb) AS hmax " +
-      "FROM z GROUP BY bucket ORDER BY bucket"))
+      "FROM z GROUP BY bucket ORDER BY bucket")),
+
+    // ---- Unpivot (melt): the inverse of pivot_events — wide back to
+    // long via the stack() generator. Pivot-then-melt is the identity
+    // on present (user, type) pairs, so the oracle is simply the direct
+    // long-form aggregate: a strong end-to-end check that BOTH
+    // reshaping directions preserve every cell. stack() is a generator
+    // (one output row per branch, evaluated inline) — no shuffle beyond
+    // the pivot's own aggregate, no explode of arrays built per-row.
+    QueryDef("unpivot_events", (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.load(s, d, "events")
+        .groupBy("user_id").pivot("event_type", types)
+        .agg(sum(Tables.cents))
+        .select(col("user_id"), expr(
+          s"stack(${types.length}, " +
+          types.map(t => s"'$t', `$t`").mkString(", ") +
+          ") AS (event_type, sum_cents)"))
+        .filter(col("sum_cents").isNotNull)
+        .orderBy("user_id", "event_type")
+    }, Some(
+      "SELECT user_id, event_type, CAST(sum(" + graft.Tables.centsSql +
+      ") AS BIGINT) AS sum_cents FROM events " +
+      "WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view') " +
+      "GROUP BY user_id, event_type HAVING sum(" + graft.Tables.centsSql +
+      ") IS NOT NULL ORDER BY user_id, event_type"))
   )
 
   /** Morton interleave of two `bits`-bit non-negative ints as a SQL
