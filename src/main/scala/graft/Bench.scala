@@ -64,7 +64,12 @@ object Bench {
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a
     // comma-decimal default locale would render 0,123 — unparseable JSON.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    // Per-query values at 2 decimals: every query runs >= 0.1 s, so 10 ms
+    // resolution loses nothing the noise floor hasn't already taken, and
+    // the ~1 char/query saved keeps the line inside the driver's ~3 KB
+    // stdout tail as the census grows past 128 queries.
+    def fmt2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${fmt2(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum

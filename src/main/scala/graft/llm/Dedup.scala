@@ -190,6 +190,34 @@ object Dedup {
          WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.6
          ORDER BY id1, id2""".stripMargin)),
 
+    // ---- Asymmetric containment dedup: |A∩B| / min(|A|,|B|) >= 0.8.
+    // Catches the subset-duplication shape Jaccard structurally misses
+    // (a short doc fully quoted inside a long one scores J ≈ |A|/|B| ≈ 0
+    // but containment 1.0) — the quote-expansion / boilerplate-wrapped
+    // duplication a crawl corpus is full of. Same inverted shingle
+    // index and stop-gram guard as dedup_jaccard; the score is a single
+    // integer division (milli-units), so the gate is float-free.
+    QueryDef("dedup_containment", (s, d) =>
+      containmentPairs(Tables.load(s, d, "documents"), minMilli = 800L,
+        dfCap = JaccardDfCap),
+    Some(
+      shinglesSql +
+      s""", dfk AS (SELECT gram FROM grams GROUP BY gram
+           HAVING count(*) <= $JaccardDfCap),
+         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram)),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS inter
+           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2, s1.n AS n1, s2.n AS n2,
+           (1000 * inter) // least(s1.n, s2.n) AS c_milli
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = pairs.id1
+         JOIN sizes s2 ON s2.doc_id = pairs.id2
+         WHERE (1000 * inter) // least(s1.n, s2.n) >= 800
+         ORDER BY id1, id2""".stripMargin)),
+
     // ---- Exact-substring near-dup via winnowing fingerprints (Lee et
     // al. "Deduplicating Training Data Makes Language Models Better" —
     // substring-level duplication — detected with the MOSS winnowing
@@ -416,6 +444,34 @@ object Dedup {
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jaccard") >= minJ)
       .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** Containment pairs: |A∩B| / min(|A|,|B|) in exact milli-units —
+    * the ASYMMETRIC near-dup measure. A 100-shingle doc fully embedded
+    * in a 10000-shingle doc has Jaccard ≈ 0.01 (invisible to
+    * [[jaccardPairs]]) but containment 1.0 — the quote-expansion /
+    * template-wrapping duplication shape Jaccard structurally misses
+    * (Broder's resemblance-vs-containment distinction). Same inverted
+    * index, same df cap; the score is one integer division, so the
+    * gate hash needs no float at all. */
+  def containmentPairs(docs: DataFrame, minMilli: Long, dfCap: Long): DataFrame = {
+    val grams = shinglesOf(docs)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val kept = grams.join(
+      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("gram"),
+      "gram")
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("c_milli", expr("(1000 * inter) div least(n1, n2)"))
+      .filter(col("c_milli") >= minMilli)
+      .select("id1", "id2", "n1", "n2", "c_milli")
       .orderBy("id1", "id2")
   }
 

@@ -534,6 +534,54 @@ object Analytics {
       "CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed, " +
       "CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled, " +
       "CAST(sum(filled) AS BIGINT) AS sum_filled_cents " +
-      "FROM f GROUP BY user_id ORDER BY user_id"))
+      "FROM f GROUP BY user_id ORDER BY user_id")),
+
+    // ---- Pearson correlation between two metric series (hourly click
+    // vs purchase revenue) — the metrics-dashboard staple, computed the
+    // engine-exact way: align on the hour bucket with conditional sums
+    // (one aggregate — no self-join), accumulate all five moment
+    // components as order-independent integer/DECIMAL sums, then derive
+    // r as ONE fixed-order double expression (+,-,*,/,sqrt are all
+    // correctly-rounded IEEE ops, so both engines produce the identical
+    // double). Native corr() on either engine sums floats in partition
+    // order — unusable for a cross-engine hash gate.
+    QueryDef("corr_hourly", (s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(expr("ts div 3600000000000").as("h"), col("event_type"), cents.as("c"))
+        .filter(col("c").isNotNull && col("event_type").isin("click", "purchase"))
+      val hourly = e.groupBy("h").agg(
+        sum(when(col("event_type") === "click", col("c")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("y"))
+      val m = hourly.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("cast(cast(x AS DECIMAL(18,0)) * cast(y AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("cast(cast(x AS DECIMAL(18,0)) * cast(x AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("cast(cast(y AS DECIMAL(18,0)) * cast(y AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("syy"))
+      m.select(col("n"), col("sx"), col("sy"),
+        round(expr(
+          "(cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / " +
+          "(sqrt(cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * " +
+          "sqrt(cast(n AS DOUBLE) * cast(syy AS DOUBLE) - cast(sy AS DOUBLE) * cast(sy AS DOUBLE)))"), 6)
+          .as("r"))
+    }, Some(
+      "WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type, " +
+      graft.Tables.centsSql + " AS c FROM events " +
+      "WHERE " + graft.Tables.centsSql + " IS NOT NULL " +
+      "AND event_type IN ('click', 'purchase')), " +
+      "hourly AS (SELECT h, " +
+      "CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS x, " +
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS y " +
+      "FROM e GROUP BY h), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(CAST(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy, " +
+      "CAST(sum(CAST(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx, " +
+      "CAST(sum(CAST(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy " +
+      "FROM hourly) " +
+      "SELECT n, sx, sy, " +
+      "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r " +
+      "FROM m"))
   )
 }

@@ -21,7 +21,8 @@ class HostileInputSpec extends SparkSuite {
     "tfidf_lang", "doc_fingerprint", "fuzzy_pairs", "sample_stratified",
     "lm_bigram_score", "dedup_substring", "topk_per_group",
     "collect_topids", "ngram_topk", "merge_upsert", "rank_corr",
-    "approx_topk", "reservoir_sample", "bm25_topk", "collocations")
+    "approx_topk", "reservoir_sample", "bm25_topk", "collocations",
+    "dedup_containment")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

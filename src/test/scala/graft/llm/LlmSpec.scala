@@ -254,4 +254,24 @@ class LlmSpec extends SparkSuite {
     }.toSeq.sortBy { case ((w1, w2), v) => (-v._4, w1, w2) }.take(25)
     assert(out.toSeq == expect, s"collocation mismatch:\n${out.toSeq}\nvs\n$expect")
   }
+
+  test("dedup_containment: catches a fully-embedded doc that Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 5).map(i => s"token$i").mkString(" ")
+    val big = small + " " + (6 to 80).map(i => s"filler$i").mkString(" ")
+    val distinctDoc = (100 to 180).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, distinctDoc))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, minMilli = 800L, dfCap = 1000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    // every shingle of the small doc appears in the big one -> containment 1.0
+    assert(cont.get((1L, 2L)).contains(1000L),
+      s"embedded doc not caught: $cont")
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must produce no containment pair")
+    // ...while symmetric Jaccard at the dedup_jaccard threshold is blind to it
+    val jac = Dedup.jaccardPairs(docs, minJ = 0.6, dfCap = 1000L).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "precondition broken: Jaccard should score the embedding far below 0.6")
+  }
 }

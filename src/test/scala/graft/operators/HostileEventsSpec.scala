@@ -16,7 +16,8 @@ class HostileEventsSpec extends SparkSuite {
     "window_analytics", "sessionize_batch", "pivot_events",
     "asof_join", "range_join", "funnel_steps", "cohort_retention",
     "grouping_sets", "stats_moments", "mode_per_group", "salted_join",
-    "anomaly_zscore", "median_mad", "gap_fill", "zorder_layout", "unpivot_events")
+    "anomaly_zscore", "median_mad", "gap_fill", "zorder_layout", "unpivot_events",
+    "corr_hourly")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

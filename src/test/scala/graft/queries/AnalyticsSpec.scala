@@ -193,6 +193,31 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("corr_hourly: r matches a sequential replay of the identical IEEE arithmetic; |r| <= 1") {
+    val row = q("corr_hourly").collect().head
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(expr("ts div 3600000000000").as("h"), col("event_type"), graft.Tables.cents.as("c"))
+      .collect().filter(r => !r.isNullAt(2) && Set("click", "purchase")(r.getString(1)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // .toSeq BEFORE .map: mapping a Map to (x, y) tuples would rebuild
+    // a Map and silently deduplicate hours with equal sums
+    val hourly = raw.groupBy(_._1).toSeq.map { case (_, vs) =>
+      (vs.filter(_._2 == "click").map(_._3).sum, vs.filter(_._2 == "purchase").map(_._3).sum)
+    }
+    val n = hourly.length.toDouble
+    val sx = hourly.map(_._1).sum.toDouble
+    val sy = hourly.map(_._2).sum.toDouble
+    val sxy = hourly.map(v => BigDecimal(v._1) * BigDecimal(v._2)).sum.toDouble
+    val sxx = hourly.map(v => BigDecimal(v._1) * BigDecimal(v._1)).sum.toDouble
+    val syy = hourly.map(v => BigDecimal(v._2) * BigDecimal(v._2)).sum.toDouble
+    val r = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val expected = BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) == hourly.length)
+    assert(row.getDouble(3) == expected, s"r mismatch: ${row.getDouble(3)} vs $expected")
+    assert(math.abs(row.getDouble(3)) <= 1.0)
+  }
+
   test("reservoir_sample: the salted two-phase pick equals the true k smallest hashes per lang") {
     val out = q("reservoir_sample").collect()
       .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
