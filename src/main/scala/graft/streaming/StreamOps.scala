@@ -77,6 +77,46 @@ object StreamOps {
       .select(col("win_start"), (col("pos") + 1).cast("long").as("rk"),
         col("col.item").as("item"), col("col.min_count").as("min_count"))
 
+  case class Ev2(user_id: Long, cents: Long)
+  case class Tot(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Per-user running totals on the transformWithState API — Spark 4's
+    * arbitrary-state v2 (SPARK-46815), the successor to
+    * mapGroupsWithState: typed ValueState lives in the state store
+    * across micro-batches (requires the RocksDB provider), Update mode
+    * re-emits the refreshed total for every user a batch touches.
+    * TTLConfig.NONE keeps the demo deterministic; a production deploy
+    * bounds per-key state with a TTL instead of a watermark — the
+    * right contract for keyed RUNNING state, which no watermark can
+    * expire (totals never become "late", they just go cold). */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev2, Tot] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Tot] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Tot]("tot",
+        org.apache.spark.sql.Encoders.product[Tot],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev2],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Tot] = {
+      val prev = if (state.exists()) state.get() else Tot(key, 0L, 0L)
+      val upd = rows.foldLeft(prev) { (t, e) =>
+        Tot(key, t.n_events + 1L, t.sum_cents + e.cents)
+      }
+      state.update(upd)
+      Iterator.single(upd)
+    }
+  }
+
+  /** The keyed-running-state streaming shape of `skew_level`'s batch
+    * aggregate: same per-user (n, sum) totals, maintained incrementally. */
+  def runningTotals(events: Dataset[Ev2]): Dataset[Tot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class Session(var start: Long, var last: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

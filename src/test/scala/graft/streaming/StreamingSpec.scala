@@ -253,4 +253,33 @@ class StreamingSpec extends SparkSuite {
       assert(head._3 <= 30L && head._3 >= 30L - 12L, s"count bound violated: $head")
     } finally q.stop()
   }
+
+  test("transformWithState running totals accumulate across micro-batches (RocksDB state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider;
+    // scope the conf to this query and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamOps.Ev2]
+    val q = StreamOps.runningTotals(in.toDS()).writeStream
+      .format("memory").queryName("tot_test").outputMode("update").start()
+    try {
+      in.addData(StreamOps.Ev2(1L, 100L), StreamOps.Ev2(1L, 50L), StreamOps.Ev2(2L, 10L))
+      q.processAllAvailable()
+      // second batch must see batch-1 state from the store, not restart at 0
+      in.addData(StreamOps.Ev2(1L, 25L), StreamOps.Ev2(3L, 7L))
+      q.processAllAvailable()
+      val latest = spark.table("tot_test").as[StreamOps.Tot].collect()
+        .groupBy(_.user_id).map { case (u, ts) => u -> ts.maxBy(_.n_events) }
+      assert(latest(1L) == StreamOps.Tot(1L, 3L, 175L), s"user 1: ${latest(1L)}")
+      assert(latest(2L) == StreamOps.Tot(2L, 1L, 10L))
+      assert(latest(3L) == StreamOps.Tot(3L, 1L, 7L))
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
