@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties for the round-5 robust-stats additions,
+  * independent of the fixed test corpus: the PRODUCTION gate queries
+  * run over arbitrary generated tables and must agree with brute-force
+  * definitions (sorted low-median / quadratic dominance scan) that
+  * share no code with the histogram / suffix-min implementations. */
+class AnalyticsPropertySpec extends SparkSuite {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def lowMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+
+  test("median_mad equals brute-force low medians on arbitrary event streams") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-500L, 500L)))
+    samples(gen, 4).foreach { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("mm_prop").toString
+      rows.zipWithIndex.map { case ((t, cents), i) =>
+        (i.toLong, i.toLong * 1000L, 1L, t, cents.toDouble / 100.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = graft.SparkEntry.queries("median_mad")(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      rows.groupBy(_._1).foreach { case (t, vs) =>
+        val cs = vs.map(_._2)
+        val med = lowMedian(cs)
+        val mad = lowMedian(cs.map(c => math.abs(c - med)))
+        assert(out(t) == ((cs.length.toLong, med, mad)), s"median/MAD mismatch for $t")
+      }
+    }
+  }
+
+  test("skyline_parts equals the quadratic dominance scan on arbitrary part tables") {
+    import spark.implicits._
+    val gen = Gen.listOfN(120, Gen.zip(Gen.chooseNum(1, 12), Gen.chooseNum(100L, 2000L)))
+    samples(gen, 4).foreach { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("sky_prop").toString
+      val parts = rows.zipWithIndex.map { case ((size, cents), i) =>
+        (i.toLong, s"part$i", "B", "T", size, cents.toDouble / 100.0)
+      }
+      parts.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val out = graft.SparkEntry.queries("skyline_parts")(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      val pts = parts.map(p => (p._1, p._5.toLong, Math.round(p._6 * 100.0)))
+      def dominated(b: (Long, Long, Long)) = pts.exists(a =>
+        a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3))
+      pts.foreach { p =>
+        assert(out.contains(p._1) == !dominated(p),
+          s"part ${p._1} membership wrong (size=${p._2}, cents=${p._3})")
+      }
+    }
+  }
+}
