@@ -51,6 +51,42 @@ object MultiModal {
     (buf.getInt(18), buf.getInt(22), buf.getInt(10))
   }
 
+  private val WavHeaderLen = 44 // canonical RIFF/WAVE PCM header
+
+  /** Serialize a minimal valid 16-bit PCM WAV: RIFF/WAVE + "fmt " chunk
+    * (format 1, little-endian rate/byte-rate/block-align) + "data"
+    * chunk with the sample bytes appended. */
+  private[llm] def wavEncode(rate: Int, channels: Int, samples: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val buf = ByteBuffer.allocate(WavHeaderLen + samples.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + samples.length)            // RIFF chunk size
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII"))
+      .putInt(16)                             // fmt chunk size
+      .putShort(1)                            // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * blockAlign)              // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16)                           // bits per sample
+      .put("data".getBytes("US-ASCII"))
+      .putInt(samples.length)
+      .put(samples)
+    buf.array()
+  }
+
+  /** Parse (sampleRate, channels, bitsPerSample, dataLen) from the
+    * actual header bytes; throws on a non-WAV payload. */
+  private[llm] def wavDecodeHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    require(bytes.length >= WavHeaderLen &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"not a WAV payload (${bytes.length} bytes)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (buf.getInt(24), buf.getShort(22).toInt, buf.getShort(34).toInt, buf.getInt(40))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("multimodal_meta", (s, d) => {
@@ -86,6 +122,43 @@ object MultiModal {
       "SELECT doc_id, CAST(octet_length(encode(text)) + 54 AS BIGINT) AS n_bytes, " +
       "CAST(doc_id % 1920 + 1 AS BIGINT) AS width, " +
       "CAST(doc_id * 7 % 1080 + 1 AS BIGINT) AS height, " +
+      "sha256(text) AS checksum FROM documents ORDER BY doc_id")),
+
+    // ---- Audio metadata: the WAV (RIFF) sibling of multimodal_meta —
+    // a second real public container, so the binary-column pattern is
+    // demonstrated across modalities, not specialized to one header
+    // layout. Synthesis derives format parameters from doc_id (sample
+    // rate 8–24 kHz, 1–2 channels, 16-bit PCM) and wraps the document
+    // bytes as sample data; decode reads rate/channels/bits/data-length
+    // from the actual little-endian header fields, derives duration in
+    // exact integer microseconds, and checksums the data region the
+    // header locates. The oracle recomputes everything from doc_id and
+    // the raw text — any synth/parse disagreement breaks the hash.
+    QueryDef("multimodal_audio", (s, d) => {
+      import s.implicits._
+      val files = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("samples"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, samples) =>
+          (id, wavEncode((8000 + (id % 5L) * 4000L).toInt, (1 + id % 2L).toInt, samples))
+        }
+      files.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val (rate, channels, bits, dataLen) = wavDecodeHeader(bytes)
+          val durationUs = dataLen.toLong * 1000000L / (rate.toLong * channels * (bits / 8))
+          val checksum = md.digest(java.util.Arrays.copyOfRange(bytes, WavHeaderLen, bytes.length))
+            .map("%02x".format(_)).mkString
+          (id, bytes.length.toLong, rate.toLong, channels.toLong, durationUs, checksum)
+        }
+      }.toDF("doc_id", "n_bytes", "sample_rate", "channels", "duration_us", "checksum")
+        .orderBy("doc_id")
+    }, Some(
+      "SELECT doc_id, CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes, " +
+      "CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate, " +
+      "CAST(1 + doc_id % 2 AS BIGINT) AS channels, " +
+      "(CAST(octet_length(encode(text)) AS BIGINT) * 1000000) // " +
+      "((8000 + (doc_id % 5) * 4000) * (1 + doc_id % 2) * 2) AS duration_us, " +
       "sha256(text) AS checksum FROM documents ORDER BY doc_id")),
 
     // ---- Frame sampling: treat the payload as a stream, cut fixed-size

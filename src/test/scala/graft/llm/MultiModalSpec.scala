@@ -23,6 +23,33 @@ class MultiModalSpec extends SparkSuite {
     }
   }
 
+  test("WAV encode/decode round-trips format fields and sample bytes") {
+    val samples = "pcm sample payload".getBytes("UTF-8")
+    val bytes = MultiModal.wavEncode(16000, 2, samples)
+    assert(bytes.length == 44 + samples.length)
+    val (rate, ch, bits, dataLen) = MultiModal.wavDecodeHeader(bytes)
+    assert((rate, ch, bits, dataLen) == (16000, 2, 16, samples.length))
+    assert(java.util.Arrays.copyOfRange(bytes, 44, bytes.length).sameElements(samples))
+    intercept[IllegalArgumentException] {
+      MultiModal.wavDecodeHeader("OggS definitely not riff audio data here".getBytes("UTF-8"))
+    }
+  }
+
+  test("multimodal_audio derives duration from the parsed header, exactly") {
+    val rows = MultiModal.defs.find(_.name == "multimodal_audio").get
+      .fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, rate, ch, durUs) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rate == 8000 + (id % 5) * 4000, s"doc $id: rate $rate")
+      assert(ch == 1 + id % 2, s"doc $id: channels $ch")
+      val dataLen = n - 44
+      assert(durUs == dataLen * 1000000L / (rate * ch * 2), s"doc $id: duration $durUs")
+      assert(r.getString(5).length == 64)
+    }
+  }
+
   test("multimodal_meta parses the header fields the synthesizer wrote") {
     val rows = MultiModal.defs.find(_.name == "multimodal_meta").get
       .fn(spark, sfDir).collect()
