@@ -38,4 +38,31 @@ class GraphSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == dist, s"BFS mismatch: engine ${out.size} rows, replay ${dist.size}")
   }
+
+  test("clustering_coeff: corner counts sum to 3x the triangle total; coeffs in [0, 1000]") {
+    val rows = SparkEntry.queries("clustering_coeff")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val nTriangles = SparkEntry.queries("triangle_count")(spark, sfDir)
+      .collect().head.getLong(1)
+    // each triangle contributes one count to each of its three corners
+    assert(rows.map(_._3).sum == 3L * nTriangles,
+      s"corner sum ${rows.map(_._3).sum} != 3 * $nTriangles")
+    rows.foreach { case (id, deg, nTri, coeff) =>
+      if (deg <= 1) assert(coeff.isEmpty, s"vertex $id: deg-$deg coeff must be NULL")
+      else {
+        assert(coeff.exists(c => c >= 0L && c <= 1000L), s"vertex $id: coeff $coeff")
+        // a vertex's triangles cannot exceed its wedge count
+        assert(nTri <= deg * (deg - 1) / 2, s"vertex $id: $nTri triangles, deg $deg")
+      }
+    }
+    // independent brute-force triangle count per vertex on the replayed edges
+    val e = edges()
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = rows.map { case (id, _, _, _) =>
+      val ns = adj.getOrElse(id, Set.empty).toSeq
+      id -> ns.combinations(2).count(p => adj.getOrElse(p(0), Set.empty)(p(1))).toLong
+    }.toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == expect, "per-vertex triangle census mismatch")
+  }
 }

@@ -18,7 +18,7 @@ class HostileTpchSpec extends SparkSuite {
     "set_except", "set_intersect",
     "q4_priority", "q6_forecast", "q8_share", "q12_priority",
     "q15_topsupp", "q22_global", "triangle_count", "bfs_hops",
-    "skyline_parts", "degree_dist")
+    "skyline_parts", "degree_dist", "clustering_coeff")
 
   private lazy val hostileDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("hostile_tpch").toString
