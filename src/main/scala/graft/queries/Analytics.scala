@@ -449,6 +449,49 @@ object Analytics {
       "FROM t JOIN med USING (event_type) JOIN mad USING (event_type) " +
       "ORDER BY event_type")),
 
+    // ---- Equi-depth binning: exact decile thresholds per group from
+    // the same bounded-domain cumulative histogram as median_mad (the
+    // p=0.5 special case generalized to a threshold LATERAL over nine
+    // probabilities). Each threshold is percentile_disc semantics —
+    // smallest c with cum >= ceil(p·n) — an integer selection, so the
+    // feature-binning cut points a training pipeline persists are
+    // bit-identical on every engine and at any parallelism. One
+    // histogram aggregate + one window + a 9-way explode of the tiny
+    // cumulative table; never a per-group sort of raw rows.
+    QueryDef("equidepth_bins", (s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(col("event_type"), cents.as("c"))
+        .filter(col("c").isNotNull)
+      val hist = e.groupBy("event_type", "c").agg(count(lit(1)).as("f"))
+      val tot = hist.groupBy("event_type").agg(sum("f").as("n"))
+      val wc = Window.partitionBy("event_type").orderBy("c")
+      hist.withColumn("cum", sum("f").over(wc))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("c"), col("cum"), col("n"),
+          explode(expr("sequence(1L, 9L)")).as("decile"))
+        .filter(col("cum") * 10 >= col("decile") * col("n"))
+        .groupBy("event_type", "decile")
+        .agg(min("c").as("threshold_cents"))
+        .orderBy("event_type", "decile")
+    }, Some(
+      "WITH e AS (SELECT event_type, " + graft.Tables.centsSql + " AS c " +
+      "FROM events WHERE " + graft.Tables.centsSql + " IS NOT NULL), " +
+      "h AS (SELECT event_type, c, count(*) AS f FROM e GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(f) AS BIGINT) AS n FROM h GROUP BY 1), " +
+      "cm AS (SELECT event_type, c, CAST(sum(f) OVER " +
+      "(PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum FROM h), " +
+      // unnest must live in its OWN cte: DuckDB's binder hits an
+      // internal error when the unnest column feeds a later GROUP BY
+      // through a windowed CTE join (reproduced on 1.x) — a standalone
+      // deciles relation cross-joined in sidesteps it
+      "ds AS (SELECT unnest(generate_series(1, 9)) AS decile), " +
+      "x AS (SELECT cm.event_type, cm.c, cm.cum, t.n, ds.decile " +
+      "FROM cm JOIN t USING (event_type) CROSS JOIN ds) " +
+      "SELECT event_type, CAST(decile AS BIGINT) AS decile, " +
+      "min(c) AS threshold_cents FROM x " +
+      "WHERE cum * 10 >= decile * n GROUP BY event_type, decile " +
+      "ORDER BY event_type, decile")),
+
     // ---- 2-D skyline (pareto frontier): parts not dominated on
     // (cheaper, bigger) by any other part. The classic formulation is a
     // quadratic NOT EXISTS self-join — the DuckDB oracle states it that

@@ -154,6 +154,28 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("equidepth_bins: thresholds equal brute-force percentile_disc; monotone; d5 = median") {
+    val out = q("equidepth_bins").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val med = q("median_mad").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(1)).map(r => (r.getString(0), r.getLong(1)))
+    raw.groupBy(_._1).foreach { case (t, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      (1 to 9).foreach { d =>
+        // smallest c with cum >= ceil(d*n/10) == element at that rank
+        val rank = (d * n + 9) / 10
+        assert(out((t, d.toLong)) == sorted(rank - 1), s"$t decile $d")
+      }
+      val ts = (1 to 9).map(d => out((t, d.toLong)))
+      assert(ts == ts.sorted, s"$t thresholds not monotone: $ts")
+      assert(out((t, 5L)) == med(t), s"$t: decile 5 must equal the low median")
+    }
+  }
+
   test("skyline_parts: every output is undominated; every non-output is dominated") {
     val parts = graft.Tables.load(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_size").cast("long"),
