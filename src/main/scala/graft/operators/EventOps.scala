@@ -227,7 +227,39 @@ object EventOps {
       ") AS BIGINT) AS sum_cents FROM events " +
       "WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view') " +
       "GROUP BY user_id, event_type HAVING sum(" + graft.Tables.centsSql +
-      ") IS NOT NULL ORDER BY user_id, event_type"))
+      ") IS NOT NULL ORDER BY user_id, event_type")),
+
+    // ---- Per-user EWMA (α = 0.3) — the time-decayed baseline a
+    // monitoring/feature pipeline keeps per entity. EWMA is inherently
+    // a SEQUENTIAL fold (order-dependent, so no distributive aggregate
+    // exists); the scalable shape is fold-within-group: each user's
+    // events collect into one in-memory array (bounded by per-entity
+    // activity, never corpus-sized) and fold in (ts, event_id) order
+    // via aggregate()/list_reduce. Fixed-point integer arithmetic —
+    // next = (7·acc + 3·x) div 10, seeded with the first observation
+    // (list_reduce semantics, mirrored with slice + explicit init on
+    // the Spark side) — keeps every step exact on both engines where
+    // float EWMA would accumulate rounding skew. div/`//` agree on
+    // non-negative operands (the measure here); signed measures would
+    // need the pmod adjustment pagerank_exact documents.
+    QueryDef("ewma_user", (s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), Tables.cents.as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("sort_array(collect_list(struct(ts, event_id, c)))").as("arr"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(slice(transform(arr, x -> x.c), 2, size(arr) - 1), " +
+            "arr[0].c, (acc, x) -> (7 * acc + 3 * x) div 10)").as("ewma_cents"))
+        .orderBy("user_id")
+    }, Some(
+      "WITH e AS (SELECT user_id, ts, event_id, " + graft.Tables.centsSql +
+      " AS c FROM events WHERE " + graft.Tables.centsSql + " IS NOT NULL) " +
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+      "list_reduce(list(c ORDER BY ts, event_id), " +
+      "(acc, x) -> (7 * acc + 3 * x) // 10) AS ewma_cents " +
+      "FROM e GROUP BY user_id ORDER BY user_id"))
   )
 
   /** Morton interleave of two `bits`-bit non-negative ints as a SQL

@@ -240,6 +240,25 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(row.getDouble(3)) <= 1.0)
   }
 
+  test("ewma_user: fold matches a sequential replay; result bounded by observed extremes") {
+    val out = q("ewma_user").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    raw.groupBy(_._1).foreach { case (u, vs) =>
+      val cs = vs.sortBy(v => (v._2, v._3)).map(_._4)
+      // plain / = truncation toward zero, matching Spark's div (the
+      // gate corpus is non-negative, where div and DuckDB's floor //
+      // agree — the same operand-sign caveat pagerank_exact documents)
+      val ewma = cs.tail.foldLeft(cs.head)((acc, x) => (7 * acc + 3 * x) / 10)
+      assert(out(u) == ((cs.length.toLong, ewma)), s"ewma mismatch for user $u")
+      assert(ewma >= cs.min - 1 && ewma <= cs.max + 1,
+        s"user $u: ewma $ewma outside observed range")
+    }
+  }
+
   test("reservoir_sample: the salted two-phase pick equals the true k smallest hashes per lang") {
     val out = q("reservoir_sample").collect()
       .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
