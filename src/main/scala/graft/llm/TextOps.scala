@@ -407,6 +407,36 @@ object TextOps {
       "SELECT gram, count(*) AS n FROM bg GROUP BY gram " +
       "ORDER BY n DESC, gram LIMIT 25")),
 
+    // ---- Source diversity per language: Gini–Simpson index in exact
+    // ppm — 10⁶·(1 − Σᵢ pᵢ²) — the "is this slice dominated by one
+    // crawl source?" diagnostic a mixing pipeline checks before
+    // weighting (entropy would need log; Gini is the standard
+    // log-free diversity measure and stays in integers). Two hash
+    // aggregates: (lang, source) counts, then per-lang moments; the
+    // square sum rides DECIMAL/HUGEINT so 10¹² docs per source cannot
+    // overflow, and the single integer division makes the gate
+    // float-free.
+    QueryDef("source_diversity", (s, d) => {
+      val counts = Tables.load(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      counts.groupBy("lang").agg(
+          sum("c").as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(expr("cast(cast(c AS DECIMAL(18,0)) * cast(c AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("ssq"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          expr("1000000 - cast((cast(1000000 AS DECIMAL(38,0)) * ssq) div " +
+            "(cast(n_docs AS DECIMAL(19,0)) * cast(n_docs AS DECIMAL(19,0))) AS LONG)")
+            .as("gini_ppm"))
+        .orderBy("lang")
+    }, Some(
+      "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c " +
+      "FROM documents GROUP BY 1, 2) " +
+      "SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs, " +
+      "CAST(count(*) AS BIGINT) AS n_sources, " +
+      "1000000 - CAST((CAST(1000000 AS HUGEINT) * sum(CAST(c AS HUGEINT) * c)) // " +
+      "(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT)) AS BIGINT) AS gini_ppm " +
+      "FROM c GROUP BY lang ORDER BY lang")),
+
     // ---- PMI collocations: bigrams whose parts co-occur far more than
     // independence predicts — the phrase-mining / tokenizer-merge-rule
     // primitive. PMI is computed WITHOUT log as an exact integer odds

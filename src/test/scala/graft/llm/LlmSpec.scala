@@ -255,6 +255,21 @@ class LlmSpec extends SparkSuite {
     assert(out.toSeq == expect, s"collocation mismatch:\n${out.toSeq}\nvs\n$expect")
   }
 
+  test("source_diversity: Gini ppm matches a BigInt replay and sits in [0, 1e6)") {
+    val out = graft.SparkEntry.queries("source_diversity")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+      .select("lang", "source").collect().map(r => (r.getString(0), r.getString(1)))
+    raw.groupBy(_._1).foreach { case (lang, vs) =>
+      val counts = vs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val n = counts.sum
+      val ssq = counts.map(c => BigInt(c) * BigInt(c)).sum
+      val gini = 1000000L - (BigInt(1000000) * ssq / (BigInt(n) * BigInt(n))).toLong
+      assert(out(lang) == ((n, counts.length.toLong, gini)), s"diversity mismatch for $lang")
+      assert(gini >= 0L && gini < 1000000L)
+    }
+  }
+
   test("dedup_containment: catches a fully-embedded doc that Jaccard misses") {
     import spark.implicits._
     val small = (1 to 5).map(i => s"token$i").mkString(" ")
