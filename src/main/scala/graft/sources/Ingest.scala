@@ -281,6 +281,35 @@ object Ingest {
       "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
       "FROM documents WHERE lang IN ('en','de') GROUP BY lang ORDER BY lang")),
 
+    // ---- Schema evolution: two parquet generations of the same table
+    // (v2 adds a column), read back as ONE dataset with mergeSchema —
+    // the steady-state lakehouse reality where a 100 TB corpus is never
+    // rewritten when the schema grows. The aggregate separates rows by
+    // generation via the evolved column's nullness, and the oracle
+    // recomputes from the ORIGINAL table, so both the split and the
+    // merged read must be lossless for the hash to match. pmod keeps
+    // the generation assignment total for any id sign.
+    QueryDef("ingest_evolve", (s, d) => {
+      val dir = tmpDir(s, "evolve", d)
+      val docs = Tables.load(s, d, "documents")
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }, Some(
+      "SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN (doc_id % 2 + 2) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved, " +
+      "CAST(sum(CASE WHEN (doc_id % 2 + 2) % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY lang ORDER BY lang")),
+
     // ---- ORC round-trip: the other columnar format the reference's
     // users would bring; oracle still reads the parquet original, so any
     // encode/decode drift fails the hash.

@@ -98,4 +98,18 @@ class IngestSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
     assert(back.toSeq == rows.sorted)
   }
+
+  test("mergeSchema read surfaces the evolved column as nullable, old rows as NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve_spec").toString
+    Seq((1L, "en")).toDF("doc_id", "lang").write.parquet(s"$dir/v1")
+    Seq((2L, "en", 40L)).toDF("doc_id", "lang", "n_chars").write.parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.schema.fieldNames.contains("n_chars"))
+    val rows = merged.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(40L))))
+    // without mergeSchema, footer sampling may drop the evolved column —
+    // the default is NOT safe for evolved tables, which is the point
+  }
 }
