@@ -55,6 +55,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items"),
       freqBuilder))
+    // bloom_agg(key, numBits, numHashes) — the Bloom build side; probe
+    // with plain built-ins (see BloomAgg.mightContain)
+    val bloomBuilder: Seq[Expression] => Expression = {
+      case Seq(key, bits, hashes) =>
+        def intLit(e: Expression, what: String): Int = {
+          import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+          val integral = Set[org.apache.spark.sql.types.DataType](
+            ByteType, ShortType, IntegerType, LongType)
+          val raw = if (e.foldable && integral(e.dataType)) e.eval() else null
+          if (raw != null && raw.toString.toLong > 0) raw.toString.toInt
+          else throw new IllegalArgumentException(
+            s"bloom_agg: $what must be a positive integer literal")
+        }
+        BloomAgg(key, intLit(bits, "numBits"), intLit(hashes, "numHashes"))
+          .toAggregateExpression()
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloom_agg expects 3 arguments, got ${other.length}")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      bloomBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.StrideSampleStrategy)
   }
 }

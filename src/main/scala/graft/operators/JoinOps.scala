@@ -160,6 +160,41 @@ object JoinOps {
          SELECT d.first_type, count(*) AS n_events,
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          FROM events e JOIN dim d USING (user_id)
-         GROUP BY d.first_type ORDER BY d.first_type"""))
+         GROUP BY d.first_type ORDER BY d.first_type""")),
+
+    // ---- Bloom semi-join reduction: at 100 TB the dominant cost of a
+    // selective fact⋈dim join is shuffling the fact side. Build a Bloom
+    // filter over the dim keys (graft.functions.BloomAgg — one mergeable
+    // 128 KiB bit array), broadcast the one-row result to the fact scan,
+    // and drop ~(1 − FPR) of the non-matching fact rows BEFORE the
+    // shuffle; the exact join that follows removes the false positives,
+    // so the composed operator is exact and the oracle is the plain SQL
+    // join. The membership test is pure built-ins
+    // (xxhash64/pmod/element_at/shiftright) — whole-stage codegen, no
+    // custom scalar. The one-row bloom broadcast is the same whitelisted
+    // scalar-subquery shape as mix_weights/q22_global.
+    QueryDef("bloom_join", (s, d) => {
+      val NumBits = 1 << 20
+      val K = 5
+      val urgent = Tables.load(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloomRow = urgent
+        .agg(graft.functions.BloomAgg.bloomAgg(col("o_orderkey"), NumBits, K).as("bf"))
+      val pref = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), Tables.priceCents.as("price_cents"))
+        .join(broadcast(bloomRow))
+        .filter(graft.functions.BloomAgg.mightContain("bf", "l_orderkey", NumBits, K))
+        .drop("bf")
+      pref.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum("price_cents").as("sum_cents"))
+        .orderBy("l_returnflag")
+    }, Some(
+      "SELECT l_returnflag, count(*) AS n_items, " +
+      s"CAST(sum(${Tables.priceCentsSql}) AS BIGINT) AS sum_cents " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE o_orderpriority = '1-URGENT' " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag"))
   )
 }

@@ -225,6 +225,26 @@ class PlanSpec extends SparkSuite {
       s"z-order layout must be a pure scan+aggregate:\n$p")
   }
 
+  test("bloom_join: prefilter runs map-side before the exact join's shuffle") {
+    // AQE's toString renders Final + Initial sections; audit the final one
+    val full = planString(q("bloom_join"))
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // the one-row bloom broadcast is the only nested-loop; the exact join
+    // stays a hash join on the (prefiltered) key
+    val bnl = "BroadcastNestedLoop".r.findAllIn(p).length
+    assert(bnl == 1, s"expected exactly the one-row bloom broadcast, got $bnl:\n$p")
+    assert(p.contains("shiftright"), s"bloom membership test missing from the plan:\n$p")
+    // the membership probe must sit BELOW the exact equi-join (prefilter
+    // before the join) — deeper nodes print later
+    val joinPos = p.indexOf("HashJoin")
+    val probePos = p.indexOf("shiftright")
+    assert(joinPos >= 0 && probePos > joinPos,
+      s"bloom probe is not below the exact join in the plan:\n$p")
+  }
+
   test("global sweep: no cartesian anywhere; nested-loop joins only in the deliberate ANN scans") {
     // The blanket scale rule: candidate generation must always be a key
     // join. CartesianProduct is banned with NO exceptions. The ANN
@@ -239,7 +259,7 @@ class PlanSpec extends SparkSuite {
     // regression.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_rerank",
       "mix_weights", "dedup_embedding_lsh", "q22_global", "bm25_topk",
-      "collocations")
+      "collocations", "bloom_join")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001

@@ -57,6 +57,10 @@ class DotProductDSpec extends SparkSuite {
         "SELECT freq_items(tok, 4) AS s FROM VALUES ('a'),('a'),('b'),('a') t(tok)")
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
       assert(fi.head.getString(0) == "a" && fi.head.getLong(1) == 3L)
+      val bf = s2.sql(
+        "SELECT bloom_agg(k, 4096, 3) AS bf FROM VALUES (1L), (2L) t(k)")
+        .collect()(0).getSeq[Long](0)
+      assert(bf.length == 64 && bf.map(java.lang.Long.bitCount).sum > 0)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
