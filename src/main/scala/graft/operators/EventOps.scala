@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operators over the `events` table: JSON property extraction, tumbling
@@ -259,7 +260,43 @@ object EventOps {
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
       "list_reduce(list(c ORDER BY ts, event_id), " +
       "(acc, x) -> (7 * acc + 3 * x) // 10) AS ewma_cents " +
-      "FROM e GROUP BY user_id ORDER BY user_id"))
+      "FROM e GROUP BY user_id ORDER BY user_id")),
+
+    // ---- SCD Type-2 dimension build: collapse each user's event stream
+    // into versioned attribute history — one row per run of equal
+    // consecutive event_type, with [valid_from, valid_to) bounds and the
+    // open version carrying NULL valid_to. The warehouse-standard change
+    // tracking shape (Kimball SCD2), built from two user-partitioned
+    // windows: lag() finds change points, lead() over the SURVIVING
+    // change rows closes each version. Both windows partition by
+    // user_id — bounded by per-user event counts, never global — and the
+    // (ts_us, event_id) order is total, so ties are deterministic.
+    // Output capped to the first 10k (user, version) rows via
+    // TakeOrderedAndProject, like window_analytics/scan_prefix.
+    QueryDef("scd2_build", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), graft.Tables.tsUs.as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      ev.withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "version")
+        .limit(10000)
+    }, Some(
+      "WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events), " +
+      "c AS (SELECT *, lag(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM ev), " +
+      "v AS (SELECT user_id, event_type, ts_us, event_id FROM c " +
+      "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+      "SELECT user_id, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version, " +
+      "event_type, ts_us AS valid_from_us, " +
+      "lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us " +
+      "FROM v ORDER BY user_id, version LIMIT 10000"))
   )
 
   /** Morton interleave of two `bits`-bit non-negative ints as a SQL

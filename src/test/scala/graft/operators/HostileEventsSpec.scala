@@ -17,7 +17,7 @@ class HostileEventsSpec extends SparkSuite {
     "asof_join", "range_join", "funnel_steps", "cohort_retention",
     "grouping_sets", "stats_moments", "mode_per_group", "salted_join",
     "anomaly_zscore", "median_mad", "gap_fill", "zorder_layout", "unpivot_events",
-    "corr_hourly", "equidepth_bins", "ewma_user")
+    "corr_hourly", "equidepth_bins", "ewma_user", "scd2_build")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

@@ -297,4 +297,33 @@ class AnalyticsSpec extends SparkSuite {
     val expect = ev.groupBy { case (u, h) => z(u, h) / 256 }.view.mapValues(_.size.toLong).toMap
     assert(rows.map(r => r._1 -> r._2).toMap == expect, "bucket census mismatch vs driver replay")
   }
+
+  test("scd2_build: versions tile each user's timeline with no no-op versions") {
+    // SCD2 invariants, independent of the oracle: within a user,
+    // valid_from is strictly increasing by version, each version's
+    // valid_to equals the next version's valid_from (half-open tiling),
+    // exactly the last version is open (NULL valid_to), and consecutive
+    // versions never repeat the same attribute value (each version is a
+    // real change). sf0.001 output (~800 rows) is under the 10k cap, so
+    // the invariants are checked on complete user histories.
+    val rows = graft.SparkEntry.queries("scd2_build")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    rows.groupBy(_._1).foreach { case (user, hist0) =>
+      val hist = hist0.sortBy(_._2)
+      assert(hist.map(_._2).toSeq == (1L to hist.length).toSeq,
+        s"user $user: versions not dense from 1")
+      hist.sliding(2).foreach {
+        case Array((_, v, t1, from1, to1), (_, _, t2, from2, _)) =>
+          assert(from1 < from2, s"user $user v$v: valid_from not increasing")
+          assert(to1.contains(from2), s"user $user v$v: gap or overlap in tiling")
+          assert(t1 != t2, s"user $user v$v: consecutive versions share a value")
+        case _ =>
+      }
+      assert(hist.last._5.isEmpty, s"user $user: last version not open")
+      assert(hist.init.forall(_._5.nonEmpty), s"user $user: non-final open version")
+    }
+    assert(rows.nonEmpty)
+  }
 }
