@@ -65,4 +65,42 @@ class GraphSpec extends SparkSuite {
     }.toMap
     assert(rows.map(r => r._1 -> r._3).toMap == expect, "per-vertex triangle census mismatch")
   }
+
+  test("link_predict: matches a sequential common-neighbor replay; never predicts an edge") {
+    // sf0.001's co-purchase graph is near-complete (suppliers overlap
+    // heavily in so few orders), so run at sf0.01 where non-adjacent
+    // distance-2 pairs actually exist — the replay must agree on the
+    // full top-100 under the same total order.
+    val dir = "/root/testdata/sf0.01"
+    val l = graft.Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val pairSet = l
+      .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") < col("s2"))
+      .groupBy(col("l_suppkey").as("u"), col("s2").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(desc("support"), col("u"), col("v")).limit(2000)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = pairSet.flatMap(p => Seq(p, p.swap))
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // sequential wedge census → common neighbors per non-adjacent pair
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    adj.foreach { case (_, ns) =>
+      ns.toSeq.sorted.combinations(2).foreach { case Seq(a, b) =>
+        common((a, b)) = common.getOrElse((a, b), 0L) + 1
+      }
+    }
+    val replay = common.toSeq
+      .filterNot { case ((a, b), _) => pairSet((a, b)) }
+      .map { case ((a, b), c) =>
+        (a, b, c, 1000000L * c / (deg(a) + deg(b) - c)) }
+      .sortBy { case (a, b, c, j) => (-c, -j, a, b) }
+      .take(100)
+    val out = SparkEntry.queries("link_predict")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == replay, s"top-100 mismatch: engine ${out.take(3)} vs replay ${replay.take(3)}")
+    out.foreach { case (a, b, _, _) =>
+      assert(!pairSet((a, b)), s"predicted an existing edge ($a, $b)")
+    }
+  }
 }
