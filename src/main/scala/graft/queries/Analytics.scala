@@ -626,5 +626,71 @@ object Analytics {
       "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
       "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r " +
       "FROM m"))
+  ) ++ Seq(
+
+    // ---- Data-quality constraint audit (the Deequ/great-expectations
+    // shape): one summary row per declared constraint — completeness
+    // (NULL/NaN), domain ranges, primary-key uniqueness, referential
+    // integrity — so a 100 TB ingest can gate promotion on `WHERE
+    // n_violations > 0`. Scan-side checks fold into ONE conditional
+    // aggregate per table (a single pass, map-side combined) and unpivot
+    // via stack(); uniqueness is a key-grouped count; referential checks
+    // are left-anti joins (never EXISTS-per-row). NaN membership is
+    // tested with explicit isnan() on both engines, so no check depends
+    // on either engine's NaN ordering. The driver's generated lineitem
+    // genuinely contains duplicate (l_orderkey, l_linenumber) pairs, so
+    // dup_pk reports real violations at every SF.
+    QueryDef("dq_audit", (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val ord = Tables.load(s, d, "orders")
+      val liScan = li.agg(
+        coalesce(sum(when(col("l_quantity").isNull || isnan(col("l_quantity")), 1L)
+          .otherwise(0L)), lit(0L)).as("null_or_nan_qty"),
+        coalesce(sum(when(!isnan(col("l_quantity")) && col("l_quantity") <= 0, 1L)
+          .otherwise(0L)), lit(0L)).as("nonpositive_qty"),
+        coalesce(sum(when(isnan(col("l_discount")) ||
+          col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)), lit(0L)).as("discount_range"))
+        .selectExpr("stack(3, " +
+          "'lineitem_null_or_nan_qty', null_or_nan_qty, " +
+          "'lineitem_nonpositive_qty', nonpositive_qty, " +
+          "'lineitem_discount_range', discount_range) AS (check_name, n_violations)")
+      val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_dup_pk").as("check_name"), col("n_violations"))
+      val orphanLi = li.select("l_orderkey")
+        .join(ord.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_orphan_orderkey").as("check_name"), col("n_violations"))
+      val ordScan = ord.agg(
+        coalesce(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("null_date"))
+        .selectExpr("stack(1, 'orders_null_date', null_date) AS (check_name, n_violations)")
+      val orphanOrd = ord.select("o_custkey")
+        .join(Tables.load(s, d, "customer").select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_orphan_custkey").as("check_name"), col("n_violations"))
+      liScan.unionByName(dupPk).unionByName(orphanLi)
+        .unionByName(ordScan).unionByName(orphanOrd)
+        .orderBy("check_name")
+    }, Some(
+      "SELECT * FROM (" +
+      "SELECT 'lineitem_null_or_nan_qty' AS check_name, " +
+      "CAST(COALESCE(sum(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM lineitem " +
+      "UNION ALL SELECT 'lineitem_nonpositive_qty', " +
+      "CAST(COALESCE(sum(CASE WHEN NOT isnan(l_quantity) AND l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem " +
+      "UNION ALL SELECT 'lineitem_discount_range', " +
+      "CAST(COALESCE(sum(CASE WHEN isnan(l_discount) OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem " +
+      "UNION ALL SELECT 'lineitem_dup_pk', CAST(count(*) AS BIGINT) FROM " +
+      "(SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1) " +
+      "UNION ALL SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT) FROM lineitem l " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+      "UNION ALL SELECT 'orders_null_date', " +
+      "CAST(COALESCE(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders " +
+      "UNION ALL SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT) FROM orders o " +
+      "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)" +
+      ") ORDER BY check_name"))
   )
 }

@@ -56,4 +56,23 @@ class HostileTpchSpec extends SparkSuite {
       graft.SparkEntry.queries(name)(spark, hostileDir).collect()
     }
   }
+
+  test("dq_audit counts every class of spliced corruption") {
+    val audit = graft.SparkEntry.queries("dq_audit")(spark, hostileDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the splices above: 2 NaN l_quantity, 2 negative l_quantity, 2 NULL
+    // l_orderkey (orphans — a NULL key matches nothing), 2 NULL
+    // o_custkey, 2 NULL o_orderdate; clean-data checks stay zero
+    assert(audit("lineitem_null_or_nan_qty") >= 2, audit.toString)
+    assert(audit("lineitem_nonpositive_qty") >= 2, audit.toString)
+    assert(audit("lineitem_orphan_orderkey") >= 2, audit.toString)
+    assert(audit("orders_orphan_custkey") >= 2, audit.toString)
+    assert(audit("orders_null_date") == 2, audit.toString)
+    assert(audit("lineitem_discount_range") == 0, audit.toString)
+    // the splices duplicate existing pk pairs, so dup_pk must rise
+    // strictly above the clean baseline
+    val clean = graft.SparkEntry.queries("dq_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("lineitem_dup_pk") > clean("lineitem_dup_pk"), s"$audit vs $clean")
+  }
 }
