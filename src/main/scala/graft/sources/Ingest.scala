@@ -262,6 +262,37 @@ object Ingest {
       "min(md5(text)) AS min_md5 " +
       "FROM documents GROUP BY lang ORDER BY lang")),
 
+    // ---- XML round-trip on Spark 4's built-in XML source (the donated
+    // spark-xml): write documents as <doc> rows, read back with an
+    // explicit schema, and prove byte-identity per language via the same
+    // min-md5 the CSV round-trip uses. rowTag files split by row
+    // boundaries, and entity escaping (&lt;/&amp;) makes arbitrary
+    // markup in text reversible; ignoreSurroundingSpaces stays OFF so
+    // the reader cannot silently trim payloads. Same oracle as
+    // ingest_csv: the aggregate straight off the parquet originals.
+    QueryDef("ingest_xml", (s, d) => {
+      val dir = tmpDir(s, "xml", d)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite")
+        .option("rowTag", "doc").option("rootTag", "docs")
+        .xml(dir)
+      s.read
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING"))
+        .xml(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          min(md5(col("text"))).as("min_md5"))
+        .orderBy("lang")
+    }, Some(
+      "SELECT lang, count(*) AS n, " +
+      "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+      "min(md5(text)) AS min_md5 " +
+      "FROM documents GROUP BY lang ORDER BY lang")),
+
     // ---- Partitioned sink + pruned scan: write hive-layout parquet
     // partitioned by lang, read back with a partition filter. At 100 TB
     // the filter prunes directories at PLAN time (PartitionPruneSpec

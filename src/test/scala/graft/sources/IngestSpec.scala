@@ -99,6 +99,31 @@ class IngestSpec extends SparkSuite {
     assert(back.toSeq == rows.sorted)
   }
 
+  test("XML round-trip preserves markup, entities, whitespace and unicode exactly") {
+    // the ingest_xml writer/reader option pair, on text the gate data
+    // never contains: angle brackets, ampersands, CDATA-looking spans,
+    // leading/trailing spaces (ignoreSurroundingSpaces=false), unicode
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain text", "en"),
+      (2L, "<tag> markup & entities &amp; raw", "en"),
+      (3L, "nested <doc>fake row tag</doc> inside", "de"),
+      (4L, "  leading and trailing spaces  ", "es"),
+      (5L, "unicodé 中文 😀 ]]> bracket", "fr"))
+    val dir = "target/graft-tmp/xml_escaping_spec"
+    rows.toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .option("rowTag", "doc").option("rootTag", "docs")
+      .xml(dir)
+    val back = spark.read
+      .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING"))
+      .xml(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(back.toSeq == rows.sorted)
+  }
+
   test("mergeSchema read surfaces the evolved column as nullable, old rows as NULL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve_spec").toString
