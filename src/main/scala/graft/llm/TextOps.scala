@@ -504,7 +504,28 @@ object TextOps {
           col("col.item").as("item"), col("col.min_count").as("min_count"))
         .filter(col("rk") <= 20)
         .orderBy("rk")
-    }, None)
+    }, None),
+
+    // ---- Lexical diversity: per-document type-token ratio in exact ppm
+    // — the classic degenerate-text signal (template spam and keyword
+    // stuffing score low; natural prose high; the MTLD/TTR family of
+    // quality filters). Pure map-side projection over the shared
+    // TextNorm tokenizer: distinct count is array_distinct INSIDE the
+    // row (no shuffle — the per-doc vocabulary is bounded by doc
+    // length), integer ppm keeps the gate float-free. At 100 TB this is
+    // a scan-only pass like text_stats/rep_tokens.
+    QueryDef("lexical_diversity", (s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_types"))
+        .withColumn("ttr_ppm", expr("(1000000 * n_types) div n_toks"))
+        .orderBy("doc_id")
+    }, Some(
+      s"SELECT doc_id, CAST(len($normSql) AS BIGINT) AS n_toks, " +
+      s"CAST(len(list_distinct($normSql)) AS BIGINT) AS n_types, " +
+      s"(1000000 * len(list_distinct($normSql))) // len($normSql) AS ttr_ppm " +
+      "FROM documents ORDER BY doc_id"))
   )
 
   /** One BM25 term as a SQL string valid in BOTH dialects (plain CAST +

@@ -270,6 +270,30 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("lexical_diversity: TTR matches a driver-side replay; degenerate text scores low") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("lexical_diversity")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    raw.foreach { case (id, text) =>
+      val t = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      val expect = (t.length.toLong, t.distinct.length.toLong,
+        1000000L * t.distinct.length / t.length)
+      assert(out(id) == expect, s"doc $id: ${out(id)} != $expect")
+      assert(out(id)._3 > 0 && out(id)._3 <= 1000000L)
+    }
+    // a pure template (one token repeated) must floor the score
+    val dir = java.nio.file.Files.createTempDirectory("ttr_spec").toString
+    Seq((1L, ("spam " * 50).trim, "en", "web", 249L),
+      (2L, (1 to 50).map(i => s"w$i").mkString(" "), "en", "web", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = graft.SparkEntry.queries("lexical_diversity")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(1L) == 1000000L / 50 && m(2L) == 1000000L, m.toString)
+  }
+
   test("dedup_containment: catches a fully-embedded doc that Jaccard misses") {
     import spark.implicits._
     val small = (1 to 5).map(i => s"token$i").mkString(" ")
