@@ -293,6 +293,36 @@ object Ingest {
       "min(md5(text)) AS min_md5 " +
       "FROM documents GROUP BY lang ORDER BY lang")),
 
+    // ---- Small-file compaction: the table-maintenance pass every
+    // long-lived 100 TB table needs — streaming/micro-batch ingest
+    // leaves thousands of KB-sized files per partition, and scan cost
+    // becomes dominated by file-open overhead (plus driver memory for
+    // the file index). Rewrite many small files into few large ones
+    // with coalesce() — a NARROW dependency that concatenates partitions
+    // without a shuffle (repartition would shuffle every byte; only
+    // needed when the layout must also change). The gate proves row
+    // fidelity (count + two independent sums per language) against the
+    // original table; IngestSpec pins the actual file counts.
+    QueryDef("sink_compact", (s, d) => {
+      val dir = tmpDir(s, "compact", d)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(64) // simulate a fragmented micro-batch landing
+        .write.mode("overwrite").parquet(s"$dir/small")
+      s.read.parquet(s"$dir/small")
+        .coalesce(2) // the compaction pass: no shuffle, 64 -> 2 files
+        .write.mode("overwrite").parquet(s"$dir/compacted")
+      s.read.parquet(s"$dir/compacted")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }, Some(
+      "SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY lang ORDER BY lang")),
+
     // ---- Partitioned sink + pruned scan: write hive-layout parquet
     // partitioned by lang, read back with a partition filter. At 100 TB
     // the filter prunes directories at PLAN time (PartitionPruneSpec

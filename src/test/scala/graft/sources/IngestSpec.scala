@@ -124,6 +124,15 @@ class IngestSpec extends SparkSuite {
     assert(back.toSeq == rows.sorted)
   }
 
+  test("sink_compact actually compacts: 64 small files in, at most 2 data files out") {
+    graft.SparkEntry.queries("sink_compact")(spark, sfDir).collect()
+    def parts(p: String): Int =
+      new java.io.File(p).listFiles().count(f => f.getName.startsWith("part-"))
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    assert(parts(s"target/graft-tmp/compact_$sf/small") == 64, "fragmentation fixture wrong")
+    assert(parts(s"target/graft-tmp/compact_$sf/compacted") <= 2, "compaction did not reduce files")
+  }
+
   test("mergeSchema read surfaces the evolved column as nullable, old rows as NULL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve_spec").toString
