@@ -123,6 +123,28 @@ object EventOps {
         .orderBy("event_type")
     }, None),
 
+    // ---- Mergeable HLL sketches (Datasketches hll_sketch_agg): the
+    // INCREMENTAL distinct-count pattern — sketch each (event_type, day)
+    // partition once when it lands, persist the binary sketch, and
+    // answer any later rollup by hll_union_agg over the tiny sketch
+    // table, never rescanning the raw events. That union is the whole
+    // point: approx_count_distinct folds one query's worth of state,
+    // while a stored sketch column composes across days/backfills/
+    // engines (frozen Datasketches wire format). Approximate ⇒
+    // rows-only gate; SketchSpec pins the 2-level == 1-level identity
+    // (lossless merge) and the error band vs the exact count.
+    QueryDef("hll_partitioned", (s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+          col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+        .orderBy("event_type")
+    }, None),
+
     // ---- Exact per-group distinct count — the expensive cousin the HLL
     // sketch above replaces at scale: Catalyst plans it as a two-phase
     // Expand + partial-distinct aggregation (each (group, user) pair

@@ -19,6 +19,31 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("hll_partitioned: per-day sketch union is lossless and error-banded") {
+    val out = EventOps.defs.find(_.name == "hll_partitioned").get
+      .fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // (1) the mergeability identity: unioning the per-day sketches must
+    // give EXACTLY the estimate of one sketch over all rows at the same
+    // lgK — HLL register merge is max(), which loses nothing
+    val oneLevel = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (2) error band vs exact (lgK=14 => rse ~0.8%; allow 5%)
+    val exact = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (et, nDays, est) =>
+      assert(nDays > 1, s"$et: single-day fixture defeats the merge test")
+      assert(est == oneLevel(et), s"$et: 2-level $est != 1-level ${oneLevel(et)}")
+      assert(math.abs(est.toDouble - exact(et)) / exact(et) <= 0.05,
+        s"$et: est $est vs exact ${exact(et)}")
+    }
+  }
+
   test("approx median is within 5% of the exact median per event type") {
     val exact = graft.queries.Analytics.defs.find(_.name == "quantiles").get
       .fn(spark, sfDir)
