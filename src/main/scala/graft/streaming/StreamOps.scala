@@ -24,6 +24,24 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_cents"))
 
+  /** Declarative session windows via the built-in `session_window`
+    * grouping — the native alternative to [[sessionize]]'s custom
+    * flatMapGroupsWithState: Catalyst merges overlapping [ts, ts+gap)
+    * spans per key, the state store holds only open sessions, and a
+    * session emits exactly once when the watermark passes its end
+    * (Append mode). Use this form when "gap timeout" is the whole
+    * requirement; drop to [[sessionize]] only for semantics the built-in
+    * cannot express (per-event session mutation, custom close rules).
+    * Expects `ts_t` (timestamp) and `user_id`. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_t", lateness)
+      .groupBy(col("user_id"), session_window(col("ts_t"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
   /** Streaming exact dedup: drop rows whose `content_hash` was already
     * seen, with state bounded by the watermark (a duplicate arriving
     * later than `lateness` after the original is out of scope — the

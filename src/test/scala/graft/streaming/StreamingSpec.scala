@@ -222,6 +222,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("built-in session_window merges bursts, closes on watermark, agrees with custom state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    val events = in.toDF().toDF("user_id", "ts_us")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val q = StreamOps.sessionWindows(events, gap = "1 second", lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sw_test").outputMode("append").start()
+    try {
+      // same fixture as the flatMapGroupsWithState test: user 1 has two
+      // bursts split by >1s, user 2 one burst
+      in.addData((1L, 0L), (1L, 500000L), (1L, 900000L),
+        (1L, 10000000L), (1L, 10500000L), (2L, 0L))
+      q.processAllAvailable()
+      // advance the watermark far past every session end to close all
+      in.addData((9L, 3600L * 1000000L))
+      q.processAllAvailable()
+      val rows = spark.table("sw_test")
+        .select(col("user_id"), col("sess_start").cast("long").as("s"),
+          col("sess_end").cast("long").as("e"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // session end = last event + gap (the built-in's half-open span)
+      assert(rows == Seq(
+        (1L, 0L, 1L, 3L),       // 0..900ms burst -> ends 0.9+1 = 1.9s, floor-cast 1
+        (1L, 10L, 11L, 2L),     // 10..10.5s burst -> ends 11.5s, floor-cast 11
+        (2L, 0L, 1L, 1L)),
+        s"unexpected sessions: $rows")
+      // cross-check the SPLITS (not the gap-padded ends) against the
+      // custom-state sessionize on the same data: same session count and
+      // same per-session event counts per user
+      // user 9 (the watermark driver) stays OPEN — the watermark reaches
+      // its session start, never past its end — so it must not appear
+      val custom = Seq((1L, 0L), (1L, 500000L), (1L, 900000L),
+        (1L, 10000000L), (1L, 10500000L), (2L, 0L))
+      val expected = custom.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        ts.foldLeft(List.empty[List[Long]]) {
+          case (acc, t) if acc.nonEmpty && t - acc.head.head <= 1000000L =>
+            (t :: acc.head) :: acc.tail
+          case (acc, t) => List(t) :: acc
+        }.map(sess => (u, sess.size.toLong))
+      }.sorted
+      val got = spark.table("sw_test")
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected, s"$got != $expected")
+    } finally q.stop()
+  }
+
   test("streaming top-k: windowed Misra-Gries finalizes with the exact heavy hitter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
