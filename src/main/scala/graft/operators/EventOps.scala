@@ -30,6 +30,36 @@ object EventOps {
       "count(CAST(json_extract(props,'$.k') AS BIGINT)) AS n_with_k " +
       "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // ---- Semi-structured extraction through Spark 4's VARIANT type:
+    // try_parse_json parses each payload ONCE into the binary variant
+    // encoding (malformed → NULL instead of a job-killing throw), and
+    // every field access is try_variant_get on the parsed value — at
+    // 100 TB this is the parse-once/extract-many layout (and the form
+    // shredded-variant storage accelerates), vs get_json_object
+    // re-parsing the string per path (props_extract shows that form).
+    // Malformed payloads are COUNTED per group, the DQ posture a crawl
+    // pipeline needs; clean gate data pins n_malformed = 0 while the
+    // hostile net proves broken JSON degrades to the counter.
+    QueryDef("variant_extract", (s, d) => {
+      Tables.load(s, d, "events")
+        .select(col("event_type"), expr("try_parse_json(props)").as("v"))
+        .select(col("event_type"),
+          expr("try_variant_get(v, '$.k', 'bigint')").as("k"),
+          col("v").isNull.as("bad"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+          count(col("k")).as("n_with_k"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_malformed"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, " +
+      "CAST(sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+      "CAST(min(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
+      "CAST(max(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS max_k, " +
+      "count(CAST(json_extract(props,'$.k') AS BIGINT)) AS n_with_k, " +
+      "CAST(sum(CASE WHEN props IS NULL OR NOT json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed " +
+      "FROM events GROUP BY event_type ORDER BY event_type")),
+
     // ---- Tumbling 1-hour window per event type — the batch shape of a
     // Structured Streaming windowed aggregation (value in exact cents).
     QueryDef("events_window", (s, d) => {

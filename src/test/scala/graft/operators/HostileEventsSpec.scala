@@ -17,7 +17,8 @@ class HostileEventsSpec extends SparkSuite {
     "asof_join", "range_join", "funnel_steps", "cohort_retention",
     "grouping_sets", "stats_moments", "mode_per_group", "salted_join",
     "anomaly_zscore", "median_mad", "gap_fill", "zorder_layout", "unpivot_events",
-    "corr_hourly", "equidepth_bins", "ewma_user", "scd2_build")
+    "corr_hourly", "equidepth_bins", "ewma_user", "scd2_build",
+    "variant_extract")
 
   private lazy val hostileDir: String = {
     import spark.implicits._
@@ -44,5 +45,20 @@ class HostileEventsSpec extends SparkSuite {
     test(s"$name survives the hostile event stream") {
       graft.SparkEntry.queries(name)(spark, hostileDir).collect()
     }
+  }
+
+  test("variant_extract counts malformed JSON instead of dying; arrays are not malformed") {
+    val out = graft.SparkEntry.queries("variant_extract")(spark, hostileDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4) /* n_with_k */, r.getLong(5) /* n_malformed */)).toMap
+    // "{not json" (error) and NULL props (click) must land in the
+    // malformed counter; "[1,2]" (click) is VALID json with no $.k —
+    // extraction yields NULL, not a malformed count
+    assert(out("error")._2 == 1, out.toString)
+    assert(out("click")._2 == 1, out.toString)
+    // clicks: {"k":1} has k; null props is malformed; [1,2] parses but
+    // has no $.k — so exactly 1 of 3 clicks carries k
+    assert(out("click")._1 == 1, out.toString)
+    assert(out("purchase") == ((2L, 0L)), out.toString)
   }
 }
