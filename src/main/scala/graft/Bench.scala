@@ -64,20 +64,41 @@ object Bench {
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a
     // comma-decimal default locale would render 0,123 — unparseable JSON.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // Per-query values at 2 decimals: every query runs >= 0.1 s, so 10 ms
-    // resolution loses nothing the noise floor hasn't already taken, and
-    // the ~1 char/query saved keeps the line inside the driver's ~3 KB
-    // stdout tail as the census grows past 128 queries.
-    def fmt2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
-    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${fmt2(v)}" }.mkString("{", ",", "}")
+    // Per-query precision is relative, sized to the ~20% host-noise
+    // floor (BASELINE.md): sub-second queries keep 2 decimals (10 ms),
+    // multi-second queries 1 decimal (100 ms <= 10% of the value), and
+    // trailing zeros are trimmed ("0.50" -> "0.5" — still valid JSON).
+    // At 145 queries the fixed-width form crossed the driver's ~3 KB
+    // stdout tail window (truncated line -> unparseable, the round-2
+    // failure mode); this keeps ~150 chars of headroom.
+    def fmt2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, if (v < 1) "%.2f" else "%.1f", v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    // The per-query map lists the slowest 100 queries only — the driver
+    // parses a bounded stdout tail (historically ~2.3 KB lines; a
+    // 145-query full map crossed 2.9 KB and the census keeps growing),
+    // and per-query ratios below ~0.3 s are session overhead, not
+    // engine cost. The omitted fast queries are NOT silently dropped:
+    // they are counted in "fast_omitted", their time in "fast_total",
+    // and every query still contributes to value/n_ok/errors.
+    val byCost = ok.sortBy { case (_, v, _) => -v }
+    val (slow, fast) = byCost.splitAt(100)
+    val qs = slow.sortBy(_._1)
+      .map { case (k, v, _) => s"${jstr(k)}:${fmt2(v)}" }.mkString("{", ",", "}")
+    val fastFields =
+      if (fast.isEmpty) ""
+      else s""","fast_omitted":${fast.size},"fast_total":${fmt(fast.map(_._2).sum)}"""
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     // subset runs are marked so a partial total can never be mistaken
     // for a full-run baseline
     val subset = if (only.isDefined) ""","subset":true""" else ""
+    // sf as basename and no separate n_failed (= size of "errors"):
+    // every byte here trades against per-query map capacity
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_failed":${results.size - ok.size},"runs_per_query":$runs$subset,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout
