@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
       bloomBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.StrideSampleStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushProjectBelowStrideSample)
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.SqlShim
 
@@ -65,6 +66,27 @@ case class StrideSampleExec(from: Long, stride: Long, child: SparkPlan)
     copy(child = c)
 }
 
+/** Optimizer rule (the 4th Catalyst extension point, after the native
+  * Expression, the TypedImperativeAggregates and the plan-node/strategy
+  * pair): StrideSample selects rows by GLOBAL POSITION, and a Project
+  * never changes row positions — so `StrideSample(Project(c))` can
+  * always become `Project(StrideSample(c))` when the projection is
+  * deterministic. The projection's expressions (md5, regex, variant
+  * parses…) then run only on the 1-in-stride kept rows instead of every
+  * row, and the two-pass physical node persists the child's (usually
+  * narrower) raw columns instead of computed ones. Nondeterministic
+  * projections are left in place: relocating them would change how many
+  * times they evaluate. Catalyst's own pushdown rules skip unknown
+  * nodes, which is exactly why the custom operator must bring its own
+  * rule. */
+object PushProjectBelowStrideSample extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case StrideSample(f, s, Project(projList, child))
+        if projList.forall(_.deterministic) =>
+      Project(projList, StrideSample(f, s, child))
+  }
+}
+
 object StrideSampleStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case StrideSample(f, s, child) =>
@@ -84,6 +106,9 @@ object StrideSample {
       if (!spark.experimental.extraStrategies.contains(StrideSampleStrategy))
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ StrideSampleStrategy
+      if (!spark.experimental.extraOptimizations.contains(PushProjectBelowStrideSample))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ PushProjectBelowStrideSample
     }
     SqlShim.ofRows(spark, StrideSample(from, stride, SqlShim.logicalPlan(df)))
   }

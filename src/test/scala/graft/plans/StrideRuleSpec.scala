@@ -1,0 +1,46 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.functions._
+
+/** PushProjectBelowStrideSample: the optimizer rule must relocate
+  * deterministic projections below the sampler (their expressions then
+  * run on 1-in-stride rows only), must NOT touch nondeterministic ones,
+  * and must never change results — position-based sampling commutes
+  * with Project because a projection never changes row positions. */
+class StrideRuleSpec extends SparkSuite {
+
+  private def docs = graft.Tables.load(spark, sfDir, "documents")
+
+  test("deterministic projection is pushed below the sampler") {
+    val sampled = StrideSample.sample(
+      docs.select(md5(col("text")).as("h"), col("doc_id")), from = 2, stride = 10)
+    val opt = sampled.queryExecution.optimizedPlan
+    val nodes = opt.collect { case ss: StrideSample => ss }
+    assert(nodes.size == 1, s"expected one StrideSample node:\n$opt")
+    assert(!nodes.head.child.isInstanceOf[Project],
+      s"projection not pushed below StrideSample:\n$opt")
+    assert(opt.isInstanceOf[Project], s"projection must sit on top:\n$opt")
+  }
+
+  test("pushdown preserves results exactly (sample-then-project equality)") {
+    val viaRule = StrideSample.sample(
+      docs.select(md5(col("text")).as("h"), col("doc_id")), from = 2, stride = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val reference = StrideSample.sample(docs, from = 2, stride = 10)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(viaRule.nonEmpty && viaRule.toSeq == reference.toSeq)
+  }
+
+  test("nondeterministic projection is NOT relocated") {
+    val sampled = StrideSample.sample(
+      docs.select(col("doc_id"), rand(42).as("r")), from = 0, stride = 7)
+    val opt = sampled.queryExecution.optimizedPlan
+    val nodes = opt.collect { case ss: StrideSample => ss }
+    assert(nodes.size == 1)
+    assert(nodes.head.child.isInstanceOf[Project],
+      s"nondeterministic projection must stay below the sampler:\n$opt")
+  }
+}
