@@ -122,6 +122,77 @@ object KvsOps {
       "(i * 1500450271) % 1048576 AS yi FROM range(0, 1000000) t(i)), " +
       "agg AS (SELECT CAST(sum(CASE WHEN xi*xi + yi*yi < CAST(1099511627776 AS BIGINT) " +
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_inside, count(*) AS n_total FROM pts) " +
-      "SELECT n_inside, n_total, (4000 * n_inside) // n_total AS pi_milli FROM agg"))
+      "SELECT n_inside, n_total, (4000 * n_inside) // n_total AS pi_milli FROM agg")),
+
+    // ---- R-MAT power-law graph generation (ex/mrmpi-crmat.c — the
+    // reference's last example program; Chakrabarti et al.'s recursive
+    // quadrant model with the canonical a,b,c,d = .57/.19/.19/.05),
+    // determinized the pi_estimate way: each edge's 12 quadrant choices
+    // are Knuth multiplicative hashes of (edge, level) in [0, 100), so
+    // the edge list — and hence the exact out-degree histogram — is
+    // bit-identical on both engines at any parallelism. The 12 levels
+    // unroll into one closed-form codegen'd projection per endpoint (no
+    // per-level explode: a 12x row blowup at generation time would be
+    // pure shuffle-side waste); the only exchanges are the two tiny
+    // degree aggregates. The generated histogram shows the power law
+    // (GraphSpec pins hub-vs-median skew). Simplification vs crmat: raw
+    // multi-edges are counted rather than re-drawn (crmat's dedup
+    // iterations exist to satisfy exact-Nz-per-row; a degree profile
+    // does not need them).
+    QueryDef("rmat_graph", (s, d) => {
+      s.range(RmatEdges).toDF("i")
+        .selectExpr((0 until RmatScale).map(l =>
+          s"${rmatHash(l, sparkDialect = true)} AS r$l"): _*)
+        .selectExpr(s"${rmatEndpoint(srcSide = true)} AS src",
+          s"${rmatEndpoint(srcSide = false)} AS dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("deg")
+    }, Some(
+      "WITH rv AS (SELECT " +
+      (0 until RmatScale).map(l =>
+        s"${rmatHash(l, sparkDialect = false)} AS r$l").mkString(", ") +
+      s" FROM range(0, $RmatEdges) t(i)), " +
+      s"e AS (SELECT ${rmatEndpoint(srcSide = true)} AS src, " +
+      s"${rmatEndpoint(srcSide = false)} AS dst FROM rv), " +
+      "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src) " +
+      "SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_vertices " +
+      "FROM d GROUP BY deg ORDER BY deg"))
   )
+
+  // defs, not vals: the `defs` query list above initializes first and
+  // already calls the rmat generators — a val here would still be 0 then
+  private def RmatScale = 12 // 4096 vertices
+  private def RmatEdges = 200000L
+
+  /** Level-l quadrant hash for edge i, in [0, 100): multiply-xor-shift-
+    * multiply — a plain Knuth multiply mod 100 is LINEAR in (i, l), so
+    * its residues cycle and the quadrant stream degenerates (observed: a
+    * 3-bucket degree histogram); the xor-shift breaks the linearity.
+    * One template emitted in both dialects (Spark: pmod/shiftright/^ is
+    * xor; DuckDB: %/>>/xor() — its ^ is POWER, the trap the dialect
+    * flag exists for). All intermediates stay under 2^62: j*K1 < 2^52,
+    * h < 2^31, h2 < 2^31, h2*K2 < 2^62. */
+  private def rmatHash(l: Int, sparkDialect: Boolean): String = {
+    // every operand is non-negative, so plain % == pmod — spelled per
+    // dialect (DuckDB has no pmod)
+    val h = s"(((i * $RmatScale + $l) * 2654435761) % 2147483648)"
+    val h2 =
+      if (sparkDialect) s"($h ^ shiftright($h, 15))"
+      else s"xor($h, $h >> 15)"
+    val h3 = s"($h2 * 1500450271)"
+    if (sparkDialect) s"((shiftright(($h3 % 2147483648), 7)) % 100)"
+    else s"((($h3 % 2147483648) >> 7) % 100)"
+  }
+
+  /** rmat_graph's closed-form endpoint assembly over the per-level hash
+    * columns r0..r11 (thresholds 57/76/95 ≈ the canonical a/b/c/d
+    * split) — dialect-independent, so it is shared verbatim. Level l:
+    * r < 57 → a (src 0, dst 0), < 76 → b (0,1), < 95 → c (1,0),
+    * else d (1,1). */
+  private def rmatEndpoint(srcSide: Boolean): String =
+    (0 until RmatScale).map { l =>
+      if (srcSide) s"(CASE WHEN r$l >= 76 THEN ${1L << l} ELSE 0 END)"
+      else s"(CASE WHEN (r$l >= 57 AND r$l < 76) OR r$l >= 95 THEN ${1L << l} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

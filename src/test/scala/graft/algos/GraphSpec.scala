@@ -66,6 +66,23 @@ class GraphSpec extends SparkSuite {
     assert(rows.map(r => r._1 -> r._3).toMap == expect, "per-vertex triangle census mismatch")
   }
 
+  test("rmat_graph: the generated graph is genuinely power-law, not a degenerate lattice") {
+    // the failure mode this pins: a LINEAR quadrant hash cycles and
+    // collapses the histogram to ~3 buckets. A real R-MAT at
+    // a=.57 must show a hub far above the median and a long tail.
+    val hist = SparkEntry.queries("rmat_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVertices = hist.map(_._2).sum
+    val nEdges = hist.map(t => t._1 * t._2).sum
+    assert(nEdges == 200000L, s"edge count drifted: $nEdges")
+    assert(hist.length > 50, s"degenerate histogram: ${hist.length} buckets")
+    val maxDeg = hist.map(_._1).max
+    val avgDeg = nEdges / nVertices
+    assert(maxDeg > 20 * avgDeg,
+      s"no hub: max $maxDeg vs avg $avgDeg — quadrant hash looks uniform")
+    assert(hist.head._1 <= 2, s"no leaf tail: min degree ${hist.head._1}")
+  }
+
   test("link_predict: matches a sequential common-neighbor replay; never predicts an edge") {
     // sf0.001's co-purchase graph is near-complete (suppliers overlap
     // heavily in so few orders), so run at sf0.01 where non-adjacent
