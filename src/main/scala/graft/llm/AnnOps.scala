@@ -131,6 +131,38 @@ object AnnOps {
            CAST(coalesce(list_sum(list_transform(e, x -> abs(TRY_CAST(round((x*127)/scale, 0) AS BIGINT)))), 0) AS BIGINT) AS l1_q
          FROM sc WHERE scale > 0 ORDER BY vec_id""")),
 
+    // ---- Per-label embedding centroids in EXACT integer micro-units:
+    // the mean-pool / class-prototype primitive (label prototypes,
+    // cluster summaries, distillation targets). Components quantize to
+    // BIGINT micro-units BEFORE the shuffle (float→double is exact and
+    // round() is engine-portable — the embed_quantize precedent), so
+    // the per-(label, dim) sums are order-independent integers: the
+    // same trick that made kmeans/matmul oracle-able. posexplode fans
+    // each vector into 64 (label, dim, q) rows that partial-aggregate
+    // map-side; only O(labels × dims) partials cross the wire. The mean
+    // divides with TRUNCATION toward zero on both engines: Spark's
+    // `div` truncates, and so does DuckDB's integer `//` (measured here
+    // on the negative sums — a floor-division assumption was off by one
+    // on every negative mean).
+    QueryDef("label_centroids", (s, d) => {
+      Tables.load(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+          expr("try_cast(round(CAST(col AS DOUBLE) * 1000000, 0) AS BIGINT)").as("q"))
+        .groupBy("label", "dim")
+        .agg(count(col("q")).as("n_vecs"), sum("q").as("sum_micro"))
+        .select(col("label"), col("dim"), col("n_vecs"), col("sum_micro"),
+          expr("sum_micro div n_vecs").as("mean_micro"))
+        .orderBy("label", "dim")
+    }, Some(
+      "WITH x AS (SELECT label, r.i AS dim, " +
+      "TRY_CAST(round(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q " +
+      "FROM embeddings CROSS JOIN range(0, 64) r(i)) " +
+      "SELECT label, CAST(dim AS BIGINT) AS dim, count(q) AS n_vecs, " +
+      "CAST(sum(q) AS BIGINT) AS sum_micro, " +
+      "CAST(sum(q) AS BIGINT) // count(q) AS mean_micro " +
+      "FROM x GROUP BY label, dim ORDER BY label, dim")),
+
     // ---- Embedding-cosine near-dup with metadata BLOCKING: candidate
     // pairs come from an equality self-join on the blocking key (label),
     // so the quadratic cost is per-block, not corpus-wide — the classic

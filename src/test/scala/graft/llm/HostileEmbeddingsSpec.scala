@@ -11,7 +11,7 @@ class HostileEmbeddingsSpec extends SparkSuite {
   private val embeddingQueries = Seq(
     "ann_cosine_topk", "ann_ivf_topk", "ann_rerank", "embed_quantize",
     "dedup_embedding", "dedup_embedding_lsh", "kmeans_clusters",
-    "matmul_gram")
+    "matmul_gram", "label_centroids")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

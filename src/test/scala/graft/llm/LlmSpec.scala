@@ -270,6 +270,30 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("label_centroids: sums match a BigInt replay; NaN components shrink n_vecs, not the sum") {
+    val out = graft.SparkEntry.queries("label_centroids")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val raw = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    raw.groupBy(_._1).foreach { case (label, vs) =>
+      val dims = vs.head._2.length
+      (0 until dims).foreach { dim =>
+        // float->double is exact; HALF_UP (away from zero) mirrors
+        // Spark/DuckDB round(); math.round would differ on negative .5
+        val valid = vs.map(_._2(dim)).filterNot(_.isNaN).map { x =>
+          new java.math.BigDecimal(x.toDouble * 1000000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        }
+        val sum = valid.map(BigInt(_)).sum
+        val expect = (valid.size.toLong, sum.toLong, (sum / valid.size).toLong)
+        assert(out((label, dim.toLong)) == expect,
+          s"($label, $dim): ${out((label, dim.toLong))} != $expect")
+      }
+    }
+    assert(out.size == 640)
+  }
+
   test("lexical_diversity: TTR matches a driver-side replay; degenerate text scores low") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("lexical_diversity")(spark, sfDir).collect()
