@@ -506,6 +506,40 @@ object TextOps {
         .orderBy("rk")
     }, None),
 
+    // ---- OOV rate: per-document out-of-vocabulary fraction against
+    // the corpus's own top-1000 vocabulary — the tokenizer-coverage /
+    // domain-shift signal (a doc whose tokens mostly miss the head
+    // vocabulary is boilerplate, code, or another language; fertility
+    // and OOV are the first checks before committing a tokenizer).
+    // Two phases, both scale-shaped: the vocabulary is a global top-k
+    // under a TOTAL order (count desc, token — engine-independent at
+    // the rank-1000 tie) via TakeOrderedAndProject, then broadcast
+    // (O(k) rows) against the token stream, so the only real shuffle
+    // is the doc_id count aggregate with map-side combine. Integer ppm
+    // keeps the gate float-free.
+    QueryDef("oov_rate", (s, d) => {
+      val toks2 = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val vocab = toks2.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("tok")).limit(1000)
+        .select(col("tok"), lit(1).as("inv"))
+      toks2.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          expr("(1000000 * n_oov) div n_toks").as("oov_ppm"))
+        .orderBy("doc_id")
+    }, Some(
+      s"WITH t AS (SELECT doc_id, unnest($normSql) AS tok FROM documents), " +
+      "vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t " +
+      "GROUP BY tok ORDER BY c DESC, tok LIMIT 1000)) " +
+      "SELECT t.doc_id, count(*) AS n_toks, " +
+      "CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "(1000000 * CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS oov_ppm " +
+      "FROM t LEFT JOIN vocab v ON t.tok = v.tok " +
+      "GROUP BY t.doc_id ORDER BY t.doc_id")),
+
     // ---- Lexical diversity: per-document type-token ratio in exact ppm
     // — the classic degenerate-text signal (template spam and keyword
     // stuffing score low; natural prose high; the MTLD/TTR family of

@@ -22,7 +22,8 @@ class HostileInputSpec extends SparkSuite {
     "lm_bigram_score", "dedup_substring", "topk_per_group",
     "collect_topids", "ngram_topk", "merge_upsert", "rank_corr",
     "approx_topk", "reservoir_sample", "bm25_topk", "collocations",
-    "dedup_containment", "source_diversity", "lexical_diversity")
+    "dedup_containment", "source_diversity", "lexical_diversity",
+    "oov_rate")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

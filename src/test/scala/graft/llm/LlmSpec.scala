@@ -270,6 +270,26 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("oov_rate: in-vocab mass equals the independent top-1000 head mass; ppm bounded") {
+    val out = graft.SparkEntry.queries("oov_rate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (id, nToks, nOov, ppm) =>
+      assert(nOov <= nToks && ppm >= 0 && ppm <= 1000000L, s"doc $id out of range")
+      assert(ppm == 1000000L * nOov / nToks, s"doc $id ppm inconsistent")
+    }
+    // conservation: tokens NOT counted as OOV must equal the total
+    // occurrence count of the top-1000 vocabulary, rebuilt independently
+    val tokCounts = graft.Tables.load(spark, sfDir, "documents")
+      .select("text").collect()
+      .flatMap(r => r.getString(0).toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val headMass = tokCounts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(1000).map(_._2).sum
+    val inVocabMass = out.map(t => t._2 - t._3).sum
+    assert(inVocabMass == headMass, s"$inVocabMass != head mass $headMass")
+    assert(out.map(_._2).sum == tokCounts.values.sum, "token totals drifted")
+  }
+
   test("label_centroids: sums match a BigInt replay; NaN components shrink n_vecs, not the sum") {
     val out = graft.SparkEntry.queries("label_centroids")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
