@@ -124,7 +124,13 @@ object BloomAgg {
   /** The matching probe predicate over a bloom ARRAY<BIGINT> column —
     * pure built-ins (xxhash64/pmod/element_at/shiftright), so it stays
     * inside whole-stage codegen. True ⇒ maybe-member (test ALL k bits);
-    * false ⇒ definitely absent. */
+    * false ⇒ definitely absent.
+    *
+    * NOTE: each conjunct interpolates the position expression twice
+    * (word index + bit index) and FilterExec codegen does no cross-
+    * conjunct subexpression elimination, so this form hashes 2k times
+    * per row — fine for specs and small probes; the fact-scan hot path
+    * should go through [[prefilter]], which binds each position once. */
   def mightContain(bloomCol: String, keyCol: String, numBits: Int, numHashes: Int): Column = {
     import org.apache.spark.sql.functions.expr
     (0 until numHashes).map { i =>
@@ -132,5 +138,26 @@ object BloomAgg {
         s"(shiftright(element_at($bloomCol, cast(pmod(xxhash64($keyCol, $i), $numBits) div 64 AS INT) + 1), " +
         s"cast(pmod(xxhash64($keyCol, $i), $numBits) % 64 AS INT)) & 1) = 1")
     }.reduce(_ && _)
+  }
+
+  /** Hot-path Bloom prefilter: materialize the k bit positions in ONE
+    * projection (each xxhash64 evaluated exactly once per row), test
+    * the bits, drop the scratch columns. Project and Filter fuse in
+    * whole-stage codegen, so this is a single pass with k hashes per
+    * row — half the work of filtering on [[mightContain]] directly.
+    * Returns `df` minus the definitely-absent rows (and the bloom
+    * column untouched for the caller to drop). */
+  def prefilter(df: org.apache.spark.sql.DataFrame, bloomCol: String,
+      keyCol: String, numBits: Int, numHashes: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val posCols = (0 until numHashes).map(i =>
+      expr(s"pmod(xxhash64($keyCol, $i), $numBits)").as(s"_bloom_pos$i"))
+    val pred = (0 until numHashes).map { i =>
+      expr(s"(shiftright(element_at($bloomCol, cast(_bloom_pos$i div 64 AS INT) + 1), " +
+        s"cast(_bloom_pos$i % 64 AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+    df.select(df.columns.map(col).toIndexedSeq ++ posCols: _*)
+      .filter(pred)
+      .drop((0 until numHashes).map(i => s"_bloom_pos$i"): _*)
   }
 }

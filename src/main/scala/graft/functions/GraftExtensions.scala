@@ -33,20 +33,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
       minhashBuilder))
+    // Shared positive-int-literal extractor for sketch parameters. The
+    // null check catches foldable-NULL literals (CAST(NULL AS INT)) —
+    // k <= 0 would otherwise build a sketch that can never admit an
+    // item and silently returns empty. The Int.MaxValue check keeps the
+    // promised IllegalArgumentException for over-2^31 literals (a
+    // plausible bloom size) instead of a leaked NumberFormatException.
+    def positiveIntLit(e: Expression, what: String): Int = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      val raw = if (e.foldable && integral(e.dataType)) e.eval() else null
+      val v = if (raw == null) -1L else raw.toString.toLong
+      if (v > 0 && v <= Int.MaxValue) v.toInt
+      else throw new IllegalArgumentException(
+        s"$what must be a positive 32-bit integer literal, got " +
+          (if (raw == null) "a non-literal or NULL" else raw.toString))
+    }
     val freqBuilder: Seq[Expression] => Expression = {
       case Seq(item, k) =>
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val integral = Set[org.apache.spark.sql.types.DataType](
-          ByteType, ShortType, IntegerType, LongType)
-        val kRaw = if (k.foldable && integral(k.dataType)) k.eval() else null
-        // the null check catches foldable-NULL literals (CAST(NULL AS
-        // INT)); k <= 0 would otherwise build a sketch that can never
-        // admit an item and silently returns empty
-        val kv =
-          if (kRaw != null && kRaw.toString.toLong > 0) kRaw.toString.toInt
-          else throw new IllegalArgumentException(
-            "freq_items: k must be a positive integer literal")
-        FreqItemsAgg(item, kv).toAggregateExpression()
+        FreqItemsAgg(item, positiveIntLit(k, "freq_items: k")).toAggregateExpression()
       case other =>
         throw new IllegalArgumentException(
           s"freq_items expects 2 arguments, got ${other.length}")
@@ -59,17 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // with plain built-ins (see BloomAgg.mightContain)
     val bloomBuilder: Seq[Expression] => Expression = {
       case Seq(key, bits, hashes) =>
-        def intLit(e: Expression, what: String): Int = {
-          import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-          val integral = Set[org.apache.spark.sql.types.DataType](
-            ByteType, ShortType, IntegerType, LongType)
-          val raw = if (e.foldable && integral(e.dataType)) e.eval() else null
-          if (raw != null && raw.toString.toLong > 0) raw.toString.toInt
-          else throw new IllegalArgumentException(
-            s"bloom_agg: $what must be a positive integer literal")
-        }
-        BloomAgg(key, intLit(bits, "numBits"), intLit(hashes, "numHashes"))
-          .toAggregateExpression()
+        BloomAgg(key, positiveIntLit(bits, "bloom_agg: numBits"),
+          positiveIntLit(hashes, "bloom_agg: numHashes")).toAggregateExpression()
       case other =>
         throw new IllegalArgumentException(
           s"bloom_agg expects 3 arguments, got ${other.length}")

@@ -181,10 +181,11 @@ object JoinOps {
         .select(col("o_orderkey"))
       val bloomRow = urgent
         .agg(graft.functions.BloomAgg.bloomAgg(col("o_orderkey"), NumBits, K).as("bf"))
-      val pref = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag"), Tables.priceCents.as("price_cents"))
-        .join(broadcast(bloomRow))
-        .filter(graft.functions.BloomAgg.mightContain("bf", "l_orderkey", NumBits, K))
+      val pref = graft.functions.BloomAgg.prefilter(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), Tables.priceCents.as("price_cents"))
+          .join(broadcast(bloomRow)),
+        "bf", "l_orderkey", NumBits, K)
         .drop("bf")
       pref.join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")

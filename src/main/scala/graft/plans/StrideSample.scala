@@ -70,20 +70,34 @@ case class StrideSampleExec(from: Long, stride: Long, child: SparkPlan)
   * Expression, the TypedImperativeAggregates and the plan-node/strategy
   * pair): StrideSample selects rows by GLOBAL POSITION, and a Project
   * never changes row positions — so `StrideSample(Project(c))` can
-  * always become `Project(StrideSample(c))` when the projection is
-  * deterministic. The projection's expressions (md5, regex, variant
-  * parses…) then run only on the 1-in-stride kept rows instead of every
-  * row, and the two-pass physical node persists the child's (usually
-  * narrower) raw columns instead of computed ones. Nondeterministic
-  * projections are left in place: relocating them would change how many
-  * times they evaluate. Catalyst's own pushdown rules skip unknown
-  * nodes, which is exactly why the custom operator must bring its own
-  * rule. */
+  * become `Project(StrideSample(c))` when the projection is
+  * deterministic. The projection's COMPUTED expressions (md5, regex,
+  * variant parses…) then run only on the 1-in-stride kept rows instead
+  * of every row. Two deliberate limits:
+  * - attribute-only (pruning) projections are NOT lifted — they compute
+  *   nothing, and lifting one would widen the sampler's two-pass
+  *   persist back to the full source row (text and all), trading zero
+  *   expression savings for a large caching cost;
+  * - when a computed projection IS lifted, a pruning projection over
+  *   its referenced attributes is left below the sampler, so the
+  *   persist still holds only the columns the expressions need.
+  * Nondeterministic projections are left in place: relocating them
+  * would change how many times they evaluate. Catalyst's own pushdown
+  * rules skip unknown nodes, which is exactly why the custom operator
+  * must bring its own rule. */
 object PushProjectBelowStrideSample extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case StrideSample(f, s, Project(projList, child))
-        if projList.forall(_.deterministic) =>
-      Project(projList, StrideSample(f, s, child))
+        if projList.forall(_.deterministic) &&
+          projList.exists(e =>
+            !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+      val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        projList.flatMap(_.references))
+      val pruned =
+        if (needed.size < child.output.size)
+          Project(child.output.filter(needed.contains), child)
+        else child
+      Project(projList, StrideSample(f, s, pruned))
   }
 }
 
