@@ -259,6 +259,51 @@ object Dedup {
       shinglesSql + minhashSql +
       " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32 ORDER BY id1, id2")),
 
+    // ---- Dedup quality evaluation as a first-class operator: before
+    // trusting an approximate dedup at 100 TB, MEASURE it — candidate
+    // pairs from MinHash-LSH (est >= 0.5) scored against exact-Jaccard
+    // truth (J >= 0.5) on the same corpus, yielding integer
+    // precision/recall ppm. One full-outer join on the pair key + one
+    // aggregate (no driver-side set math, no one-row cross joins): tag
+    // columns sum to the three counts in a single pass. Exact integers
+    // ⇒ hash-oracled; the oracle composes the SAME shared CTE chains
+    // both member queries already replay, so a drift in either pipeline
+    // fails this gate too.
+    QueryDef("dedup_eval", (s, d) => {
+      val truth = jaccardPairs(Tables.load(s, d, "documents"),
+          minJ = 0.5, dfCap = JaccardDfCap)
+        .select(col("id1"), col("id2"), lit(1L).as("t"))
+      val cand = minhashPairs(s, d, est = 0.5)
+        .select(col("id1"), col("id2"), lit(1L).as("c"))
+      truth.join(cand, Seq("id1", "id2"), "full_outer")
+        .agg(sum("t").as("n_truth"), sum("c").as("n_cand"),
+          sum(expr("coalesce(t, 0) * coalesce(c, 0)")).as("n_hits"))
+        .select(col("n_truth"), col("n_cand"), col("n_hits"),
+          expr("(1000000 * n_hits) div nullif(n_cand, 0)").as("precision_ppm"),
+          expr("(1000000 * n_hits) div nullif(n_truth, 0)").as("recall_ppm"))
+    }, Some(
+      shinglesSql + minhashSql +
+      s""", dfk AS (SELECT gram FROM grams GROUP BY gram
+           HAVING count(*) <= $JaccardDfCap),
+         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         jpair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (SELECT id1, id2, 1 AS t FROM jpair
+           JOIN sizes s1 ON s1.doc_id = jpair.id1
+           JOIN sizes s2 ON s2.doc_id = jpair.id2
+           WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.5),
+         cands AS (SELECT id1, id2, 1 AS c FROM cand WHERE n_match >= 32),
+         m AS (SELECT coalesce(truth.t, 0) AS t, coalesce(cands.c, 0) AS c
+           FROM truth FULL OUTER JOIN cands USING (id1, id2))
+       SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+         CAST(sum(c) AS BIGINT) AS n_cand,
+         CAST(sum(t*c) AS BIGINT) AS n_hits,
+         (1000000 * CAST(sum(t*c) AS BIGINT)) // nullif(CAST(sum(c) AS BIGINT), 0) AS precision_ppm,
+         (1000000 * CAST(sum(t*c) AS BIGINT)) // nullif(CAST(sum(t) AS BIGINT), 0) AS recall_ppm
+       FROM m""".stripMargin)),
+
     // ---- Cluster the near-dup pairs into groups and pick one keeper
     // per group — the step that turns pairwise similarity into an actual
     // deduplicated corpus. Components via min-label propagation on Spark;

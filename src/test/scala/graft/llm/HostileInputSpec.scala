@@ -23,7 +23,7 @@ class HostileInputSpec extends SparkSuite {
     "collect_topids", "ngram_topk", "merge_upsert", "rank_corr",
     "approx_topk", "reservoir_sample", "bm25_topk", "collocations",
     "dedup_containment", "source_diversity", "lexical_diversity",
-    "oov_rate")
+    "oov_rate", "dedup_eval")
 
   private lazy val hostileDir: String = {
     import spark.implicits._

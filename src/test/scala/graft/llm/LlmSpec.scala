@@ -270,6 +270,36 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("dedup_eval: counts reconcile with the member pipelines; boundary docs split correctly") {
+    import spark.implicits._
+    // gate corpus: confusion counts must equal an independent recount of
+    // the two (already individually spec'd) pair sets
+    val Array(nT, nC, nH, p, r) = graft.SparkEntry.queries("dedup_eval")(spark, sfDir)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val truth = Dedup.jaccardPairs(docs, 0.5, Dedup.JaccardDfCap)
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cand = Dedup.minhashPairs(spark, sfDir, 0.5)
+      .select("id1", "id2").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert((nT, nC, nH) == ((truth.size.toLong, cand.size.toLong, (truth & cand).size.toLong)))
+    assert(nH <= math.min(nT, nC))
+    assert(p == 1000000L * nH / nC && r == 1000000L * nH / nT)
+    // boundary corpus: a sub-threshold pair (J ~ 0.2) must count as
+    // neither truth nor hit even if LSH happens to propose it
+    val dir = java.nio.file.Files.createTempDirectory("dedup_eval_spec").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " alt39 alt40"
+    val far = ((1 to 10).map(i => s"tok$i") ++ (1 to 30).map(i => s"zzz$i")).mkString(" ")
+    Seq((1L, base, "en", "web", 200L), (2L, near, "en", "web", 200L),
+      (3L, far, "en", "web", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val Array(t2, _, h2, _, _) = graft.SparkEntry.queries("dedup_eval")(spark, dir)
+      .collect()(0).toSeq.map(v => if (v == null) -1L else v.asInstanceOf[Long]).toArray
+    assert(t2 == 1L, s"expected exactly the (1,2) truth pair, got $t2")
+    assert(h2 <= t2)
+  }
+
   test("oov_rate: in-vocab mass equals the independent top-1000 head mass; ppm bounded") {
     val out = graft.SparkEntry.queries("oov_rate")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
