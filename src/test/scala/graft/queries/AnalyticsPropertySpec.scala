@@ -16,6 +16,40 @@ class AnalyticsPropertySpec extends SparkSuite {
 
   private def lowMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
 
+  test("scd2_build equals a sequential run-length fold on arbitrary event streams") {
+    import spark.implicits._
+    // duplicate timestamps and tiny type alphabets maximize the
+    // tie-break and run-collapse edge cases the fixed corpus undersells
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 40L), Gen.oneOf("x", "y")))
+    samples(gen, 4).foreach { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("scd2_prop").toString
+      rows.zipWithIndex.map { case ((u, tsMs, t), i) =>
+        (i.toLong, tsMs * 1000000L, u, t, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = graft.SparkEntry.queries("scd2_build")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      // sequential replay: order by (ts_us, event_id) per user, collapse
+      // equal-type runs, close each version at the next run's start
+      val expect = rows.zipWithIndex
+        .map { case ((u, tsMs, t), i) => (u, tsMs * 1000L, i.toLong, t) }
+        .groupBy(_._1).toSeq.flatMap { case (u, es) =>
+          val ordered = es.sortBy(e => (e._2, e._3))
+          val runs = ordered.foldLeft(List.empty[(String, Long)]) {
+            case (acc, (_, ts, _, t)) =>
+              if (acc.nonEmpty && acc.head._1 == t) acc else (t, ts) :: acc
+          }.reverse
+          runs.zipWithIndex.map { case ((t, from), v) =>
+            (u, (v + 1).toLong, t, from,
+              if (v + 1 < runs.length) Some(runs(v + 1)._2) else None)
+          }
+        }.sortBy(x => (x._1, x._2))
+      assert(out.toSeq == expect, s"SCD2 mismatch on generated stream")
+    }
+  }
+
   test("median_mad equals brute-force low medians on arbitrary event streams") {
     import spark.implicits._
     val gen = Gen.listOfN(300, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-500L, 500L)))
