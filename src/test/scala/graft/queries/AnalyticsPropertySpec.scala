@@ -16,6 +16,43 @@ class AnalyticsPropertySpec extends SparkSuite {
 
   private def lowMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
 
+  test("dq_audit counts equal a driver-side recount on arbitrary corrupted tables") {
+    import spark.implicits._
+    val qtyGen = Gen.frequency(
+      6 -> Gen.chooseNum(1.0, 50.0), 1 -> Gen.const(Double.NaN),
+      1 -> Gen.chooseNum(-10.0, 0.0), 1 -> Gen.const(25.0))
+    val discGen = Gen.frequency(
+      7 -> Gen.chooseNum(0.0, 1.0), 1 -> Gen.const(Double.NaN),
+      1 -> Gen.chooseNum(1.0001, 3.0), 1 -> Gen.chooseNum(-2.0, -0.0001))
+    val liGen = Gen.listOfN(150, Gen.zip(
+      Gen.chooseNum(1L, 30L), Gen.chooseNum(1, 4), qtyGen, discGen))
+    samples(liGen, 3).foreach { li =>
+      val dir = java.nio.file.Files.createTempDirectory("dq_prop").toString
+      // orders cover keys 1..20 only -> lineitems on 21..30 are orphans
+      val orders = (1L to 20L).map(o => (o, o % 7 + 1,
+        if (o % 5 == 0) None else Some(new java.sql.Timestamp(o * 86400000L))))
+      li.map { case (ok, ln, q, dc) => (ok, ln, q, dc) }
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      orders.toDF("o_orderkey", "o_custkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // customers cover 1..5 -> o_custkey 6..8 are orphans
+      (1L to 5L).map(Tuple1(_)).toDF("c_custkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = graft.SparkEntry.queries("dq_audit")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = Map(
+        "lineitem_null_or_nan_qty" -> li.count(_._3.isNaN).toLong,
+        "lineitem_nonpositive_qty" -> li.count(r => !r._3.isNaN && r._3 <= 0).toLong,
+        "lineitem_discount_range" -> li.count(r => r._4.isNaN || r._4 < 0 || r._4 > 1).toLong,
+        "lineitem_dup_pk" -> li.groupBy(r => (r._1, r._2)).count(_._2.size > 1).toLong,
+        "lineitem_orphan_orderkey" -> li.count(_._1 > 20).toLong,
+        "orders_null_date" -> orders.count(_._3.isEmpty).toLong,
+        "orders_orphan_custkey" -> orders.count(_._2 > 5).toLong)
+      assert(out == expect, s"audit mismatch:\n$out\nvs\n$expect")
+    }
+  }
+
   test("scd2_build equals a sequential run-length fold on arbitrary event streams") {
     import spark.implicits._
     // duplicate timestamps and tiny type alphabets maximize the
