@@ -75,15 +75,16 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, if (v < 1) "%.2f" else "%.1f", v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    // The per-query map lists the slowest 100 queries only — the driver
-    // parses a bounded stdout tail (historically ~2.3 KB lines; a
-    // 145-query full map crossed 2.9 KB and the census keeps growing),
-    // and per-query ratios below ~0.3 s are session overhead, not
-    // engine cost. The omitted fast queries are NOT silently dropped:
-    // they are counted in "fast_omitted", their time in "fast_total",
-    // and every query still contributes to value/n_ok/errors.
+    // The per-query map lists the slowest 60 queries only — the driver
+    // parses a bounded stdout tail (historically ~2.3 KB lines; the
+    // r5 100-entry map crossed it and the driver recorded the round as
+    // "parsed": null, losing the grand total), and per-query ratios
+    // below ~0.3 s are session overhead, not engine cost. The omitted
+    // fast queries are NOT silently dropped: they are counted in
+    // "fast_omitted", their time in "fast_total", and every query still
+    // contributes to value/n_ok/errors.
     val byCost = ok.sortBy { case (_, v, _) => -v }
-    val (slow, fast) = byCost.splitAt(100)
+    val (slow, fast) = byCost.splitAt(60)
     val qs = slow.sortBy(_._1)
       .map { case (k, v, _) => s"${jstr(k)}:${fmt2(v)}" }.mkString("{", ",", "}")
     val fastFields =
@@ -95,10 +96,13 @@ object Bench {
     // subset runs are marked so a partial total can never be mistaken
     // for a full-run baseline
     val subset = if (only.isDefined) ""","subset":true""" else ""
-    // sf as basename and no separate n_failed (= size of "errors"):
-    // every byte here trades against per-query map capacity
+    // The grand total appears TWICE: "value" at the very front (the
+    // primary field) and "total_s" as the FINAL key — stdout tail
+    // capture truncates the front of an over-long line, so whichever
+    // end survives carries the total. sf as basename: every byte here
+    // trades against per-query map capacity.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset,"sf":${jstr(Paths.get(sfDir).getFileName.toString)},"queries":$qs,"errors":$errs,"total_s":${fmt(total)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout

@@ -120,13 +120,24 @@ object Dedup {
     //     lambda re-evaluates the whole hash array per position —
     //     O(len^2) md5s per doc. posexplode computes each md5 exactly
     //     once; the window partition is one document (bounded by doc
-    //     length, never corpus-skewed), and only (doc_id, pos, 32-byte
-    //     md5) — never text — enters that shuffle.
+    //     length, never corpus-skewed), and only (doc_id, pos, int64
+    //     fingerprint) — never text — enters that shuffle.
+    // (3) Each gram hash is narrowed to a 60-bit BIGINT (first 15 hex
+    //     chars of the md5 via conv) BEFORE the winnow window: the r5
+    //     driver bench showed ~1.35M 32-char hex strings through a
+    //     window shuffle plus two join sides costing 38.9 s — an 8-byte
+    //     long cuts shuffle width ~4x and replaces string comparators
+    //     with integer ones. The winnow min over the 60-bit prefix is
+    //     still a pure function of window content, so the >= 47-char
+    //     shared-span guarantee is unchanged; DuckDB computes the
+    //     identical value via CAST(concat('0x', substr(md5(..),1,15))
+    //     AS BIGINT).
     val grams = documents
       .filter(length(col("text")) >= 47)
       .select(col("doc_id"), (length(col("text")) - 47).as("last_start"),
         posexplode(expr(
-          "transform(sequence(1, greatest(length(text) - 31, 1)), i -> md5(substring(text, i, 32)))")))
+          "transform(sequence(1, greatest(length(text) - 31, 1)), " +
+          "i -> cast(conv(substr(md5(substring(text, i, 32)), 1, 15), 16, 10) as bigint))")))
       .toDF("doc_id", "last_start", "pos", "h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
@@ -229,14 +240,16 @@ object Dedup {
     // Winnowing keeps ~2/(w+1) of positions, so only ~12% of the hash
     // stream — and never the text — reaches the shuffle; the
     // document-frequency cap bounds the fingerprint self-join exactly
-    // like dedup_jaccard's stop-gram guard. md5 is computed identically
-    // by both engines, and hex strings compare lexicographically the
-    // same way, so the whole pipeline is hash-oracle-able.
+    // like dedup_jaccard's stop-gram guard. Each gram hash is the first
+    // 60 bits of the md5 as a BIGINT — computed identically by both
+    // engines (conv / hex-literal cast), compared numerically — so the
+    // whole pipeline is hash-oracle-able with 8-byte shuffle keys.
     QueryDef("dedup_substring", (s, d) =>
       substringPairs(Tables.load(s, d, "documents"), dfCap = 50L),
     Some(
       """WITH h AS (SELECT doc_id,
-           list_transform(range(1, greatest(length(text) - 30, 2)), i -> md5(text[i:i+31])) AS hs
+           list_transform(range(1, greatest(length(text) - 30, 2)),
+             i -> CAST(concat('0x', substr(md5(text[i:i+31]), 1, 15)) AS BIGINT)) AS hs
            FROM documents WHERE length(text) >= 47),
          f AS (SELECT doc_id,
            list_distinct(list_transform(range(1, greatest(len(hs) - 14, 2)), j -> list_min(hs[j:j+15]))) AS fps

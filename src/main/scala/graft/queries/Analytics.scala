@@ -212,12 +212,20 @@ object Analytics {
       "ORDER BY g_type, g_day, event_type NULLS FIRST, day_no NULLS FIRST")),
 
     // ---- Exact distribution moments per group: n, sum, min, max in
-    // BIGINT and the sum of squares in DECIMAL(38,0) — decimal addition
-    // is order-independent (the matmul_gram technique), so the second
-    // moment is hash-exact across engines and partitionings where a
-    // double sum would not be. Variance/stddev derive client-side as
-    // (n·sumsq − sum²)/n² with zero additional passes. One map-side-
-    // partial hash aggregate; 5 groups out.
+    // BIGINT and the sum of squares accumulated in DECIMAL(38,0) —
+    // decimal addition is order-independent (the matmul_gram technique),
+    // so the second moment is hash-exact across engines and
+    // partitionings where a double sum would not be. The FINAL output is
+    // narrowed to BIGINT: raw DECIMAL(38,0) in gate output renders
+    // engine/formatter-sensitively and broke the r5 driver hash.
+    // int64 headroom: cents <= ~1e7 at any SF (value <= ~1e5 dollars),
+    // so cents^2 <= 1e14 and the per-type sum stays < 9.2e18 up to
+    // ~9e4 rows-per-type x sf1000; the DECIMAL accumulator itself never
+    // overflows, only the final narrowing asserts this bound (hostile
+    // spec in AnalyticsEdgeSpec covers near-overflow values).
+    // Variance/stddev derive client-side as (n·sumsq − sum²)/n² with
+    // zero additional passes. One map-side-partial hash aggregate; 5
+    // groups out.
     QueryDef("stats_moments", (s, d) => {
       val sq = expr(
         "cast(try_cast(round(value * 100, 0) AS DECIMAL(18,0)) * " +
@@ -230,7 +238,7 @@ object Analytics {
           sum("c").as("sum_cents"),
           min("c").as("min_cents"),
           max("c").as("max_cents"),
-          sum("sq").as("sumsq_cents"))
+          sum("sq").cast("long").as("sumsq_cents"))
         .orderBy("event_type")
     }, Some(
       "SELECT event_type, count(" + graft.Tables.centsSql + ") AS n, " +
@@ -239,7 +247,7 @@ object Analytics {
       "max(" + graft.Tables.centsSql + ") AS max_cents, " +
       "CAST(sum(CAST(TRY_CAST(round(value*100,0) AS DECIMAL(18,0)) * " +
       "TRY_CAST(round(value*100,0) AS DECIMAL(18,0)) AS DECIMAL(38,0))) " +
-      "AS DECIMAL(38,0)) AS sumsq_cents " +
+      "AS BIGINT) AS sumsq_cents " +
       "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ---- Deterministic per-group mode: modal cents value with a total
@@ -344,10 +352,17 @@ object Analytics {
     // data-quality dashboard runs. Ranks are row_number with a total
     // (value, doc_id) tiebreak, so both rank vectors are exact
     // permutations of 1..n and the usual Spearman identity holds with
-    // den_x = den_y; every component (sxy, sx, sxx) is an exact
-    // DECIMAL(38,0) sum (order-independent, overflow-safe to n ~ 1e12),
-    // and rho is ONE fixed-order double expression over those exact
-    // integers — reproducible across engines. Per-group ranking is a
+    // den_x = den_y; every component (sxy, sx, sxx) accumulates as an
+    // exact DECIMAL(38,0) sum (order-independent), then narrows to
+    // BIGINT in the output — raw DECIMAL(38,0) rendering proved engine/
+    // formatter-sensitive under the driver comparator (r5 hash fail).
+    // int64 headroom: sxy <= n^3, so the narrowing holds to n ~ 2e6
+    // rows per language (far above any per-language slice at gated SFs;
+    // beyond that keep the decimal internal and emit hi/lo words). rho
+    // is ONE fixed-order double expression over those exact integers,
+    // emitted as fixed-point rho_micro BIGINT (the tfidf_lang /
+    // pagerank_exact technique) so no raw double or decimal reaches the
+    // gate hash. Per-group ranking is a
     // window per lang; group count is O(langs), each partition is the
     // corpus slice (the `ranking` operator's two-phase design is the
     // fallback if one group dominates).
@@ -367,16 +382,16 @@ object Analytics {
         .withColumn("ry", row_number().over(wy).cast("long"))
       val agg = ranked.groupBy("lang").agg(
         count(lit(1)).as("n"),
-        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("sxy"),
-        sum(expr("cast(rx AS DECIMAL(38,0))")).as("sx"),
-        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))")).as("sxx"))
+        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))")).cast("long").as("sxy"),
+        sum(expr("cast(rx AS DECIMAL(38,0))")).cast("long").as("sx"),
+        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))")).cast("long").as("sxx"))
       agg.select(col("lang"), col("n"), col("sxy"), col("sx"), col("sxx"),
           round(
             (col("n").cast("double") * col("sxy").cast("double") -
               col("sx").cast("double") * col("sx").cast("double")) /
             nullif(col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double"), lit(0.0)), 6)
-            .as("rho"))
+              col("sx").cast("double") * col("sx").cast("double"), lit(0.0)) * lit(1000000.0), 0)
+            .cast("long").as("rho_micro"))
         .orderBy("lang")
     }, Some(
       s"""WITH t AS (SELECT lang, doc_id, n_chars,
@@ -386,13 +401,13 @@ object Analytics {
            row_number() OVER (PARTITION BY lang ORDER BY n_toks NULLS FIRST, doc_id) AS ry
            FROM t),
          a AS (SELECT lang, count(*) AS n,
-           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-           CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT) AS sxy,
+           CAST(sum(CAST(rx AS DECIMAL(38,0))) AS BIGINT) AS sx,
+           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT) AS sxx
            FROM r GROUP BY lang)
          SELECT lang, n, sxy, sx, sxx,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
-             nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6) AS rho
+           CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) * 1000000.0, 0) AS BIGINT) AS rho_micro
          FROM a ORDER BY lang""")),
 
     // ---- Robust statistics at scale: exact per-group median + MAD
@@ -406,21 +421,27 @@ object Analytics {
     // measure is bounded-domain (money, latencies, scores all are).
     // Median = low median (smallest c with cum >= ceil(n/2)), an
     // integer selection with zero float ops; MAD repeats the trick on
-    // |c - median| after broadcasting the O(groups) median table back.
+    // |c - median| — computed from the SAME cached histogram (dv
+    // frequencies are sums of c-frequencies, so the raw events are
+    // scanned exactly once; r5 scanned them twice and the driver bench
+    // showed 10.7 s). The persisted state is the (type, cents, f)
+    // table: bounded by the value domain (~56k distinct cents x
+    // #types), independent of row count — safe to cache at any SF.
     QueryDef("median_mad", (s, d) => {
       val e = Tables.load(s, d, "events")
         .select(col("event_type"), cents.as("c"))
         .filter(col("c").isNotNull)
       val hist = e.groupBy("event_type", "c").agg(count(lit(1)).as("f"))
+        .persist()
       val tot = hist.groupBy("event_type").agg(sum("f").as("n"))
       val wc = Window.partitionBy("event_type").orderBy("c")
       val med = hist.withColumn("cum", sum("f").over(wc))
         .join(broadcast(tot), "event_type")
         .filter(col("cum") >= expr("(n + 1) div 2"))
         .groupBy("event_type").agg(min("c").as("median_cents"))
-      val dev = e.join(broadcast(med), "event_type")
-        .select(col("event_type"), abs(col("c") - col("median_cents")).as("dv"))
-      val dhist = dev.groupBy("event_type", "dv").agg(count(lit(1)).as("f"))
+      val dhist = hist.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), abs(col("c") - col("median_cents")).as("dv"))
+        .agg(sum("f").as("f"))
       val wd = Window.partitionBy("event_type").orderBy("dv")
       val mad = dhist.withColumn("cum", sum("f").over(wd))
         .join(broadcast(tot), "event_type")

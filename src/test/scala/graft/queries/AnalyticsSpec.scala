@@ -26,7 +26,7 @@ class AnalyticsSpec extends SparkSuite {
   test("stats_moments: moments match a sequential fold; variance numerator non-negative") {
     val out = q("stats_moments").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getDecimal(5)))).toMap
+        r.getLong(5)))).toMap
     val raw = graft.Tables.load(spark, sfDir, "events")
       .select(col("event_type"), graft.Tables.cents.as("c"))
       .collect().filter(!_.isNullAt(1))
@@ -36,7 +36,7 @@ class AnalyticsSpec extends SparkSuite {
       val (n, sum, mn, mx, sq) = out(t)
       assert(n == cs.length && sum == cs.sum && mn == cs.min && mx == cs.max)
       val sumsq = cs.map(c => BigInt(c) * BigInt(c)).sum
-      assert(BigInt(sq.toBigInteger) == sumsq, s"sumsq mismatch for $t")
+      assert(BigInt(sq) == sumsq, s"sumsq mismatch for $t")
       // Var numerator n*sumsq - sum^2 >= 0 (Cauchy-Schwarz) — the
       // client-side variance derivation is well-defined
       assert(BigInt(n) * sumsq - BigInt(sum) * BigInt(sum) >= 0)
@@ -88,9 +88,9 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
-  test("rank_corr: rho matches a driver-side Spearman computation and lies in [-1, 1]") {
+  test("rank_corr: rho_micro matches a driver-side Spearman computation and lies in [-1e6, 1e6]") {
     val out = q("rank_corr").collect()
-      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
     val raw = graft.Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("doc_id"), col("n_chars"),
         size(graft.llm.TextNorm.toks).cast("long").as("n_toks"))
@@ -105,8 +105,8 @@ class AnalyticsSpec extends SparkSuite {
       val sx = vs.map(v => rx(v._2).toDouble).sum
       val sxx = vs.map(v => rx(v._2).toDouble * rx(v._2)).sum
       val rho = (n * sxy - sx * sx) / (n * sxx - sx * sx)
-      assert(math.abs(out(lang) - rho) < 1e-6, s"rho mismatch for $lang")
-      assert(out(lang) >= -1.0 && out(lang) <= 1.0)
+      assert(math.abs(out(lang) - math.round(rho * 1e6)) <= 1, s"rho mismatch for $lang")
+      assert(out(lang) >= -1000000L && out(lang) <= 1000000L)
     }
   }
 
