@@ -1,0 +1,87 @@
+package graft.core
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint/restart resume (src/kmrckpt.c:1-40; kmrrun --ckpt;
+  * kill/restart tests ex/testckpt1-4.c): the reference journals each
+  * operation's output KVS to per-rank files so a re-executed run SKIPS
+  * completed operations, restores their saved output, and continues to a
+  * bit-identical result.
+  *
+  * Spark-native design: lineage already recovers lost partitions within
+  * a run; what checkpointing adds is CROSS-RUN durability. Each named
+  * stage is a parquet snapshot ([[KVS.save]]) gated on its `_SUCCESS`
+  * marker — parquet commit is atomic-via-rename, so a stage killed
+  * mid-save is simply recomputed (the reference's incomplete-journal
+  * rule, kmrckpt.c "progress of operations" model). A completed stage is
+  * never recomputed: re-execution restores the snapshot and resumes.
+  * Both the fresh and the resumed path return [[KVS.restore]] of the
+  * snapshot, so downstream stages read byte-identical input either way.
+  */
+object Checkpoint {
+
+  /** Run `compute` unless the stage's snapshot is already committed;
+    * either way return the restored snapshot. */
+  def stage[K, V](spark: SparkSession, ckptDir: String, name: String)(
+      compute: => KVS[K, V])(implicit e: Encoder[(K, V)]): KVS[K, V] = {
+    val path = s"$ckptDir/$name"
+    if (!committed(spark, path)) compute.save(path)
+    KVS.restore[K, V](spark, path)
+  }
+
+  def committed(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def clear(spark: SparkSession, ckptDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ckptDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Two-stage pipeline executed TWICE through the checkpoint
+    // layer: run 1 computes and snapshots both stages; run 2 (the
+    // "restarted job") restores stage snapshots instead of recomputing
+    // — CheckpointSpec proves the skip with a recompute counter — and
+    // its RESUMED output is what the gate hashes against straight SQL,
+    // so resume-equals-fresh is exactly what the oracle certifies.
+    // Stage 1 is the expensive pass (events → per-(type, day) sums);
+    // stage 2 derives per-type totals from the restored snapshot.
+    QueryDef("ckpt_resume", (s, d) => {
+      import s.implicits._
+      val dir = {
+        val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+        s"target/graft-tmp/ckpt_$sf"
+      }
+      clear(s, dir) // deterministic gate: always exercise fresh + resume
+      def pipeline(): KVS[String, Long] = {
+        val daily = stage(s, dir, "daily") {
+          KVS.fromColumns[String, Long](
+            Tables.load(s, d, "events")
+              .filter(Tables.cents.isNotNull)
+              .groupBy(col("event_type"),
+                expr("ts div 86400000000000").as("day_no")) // nanos → days
+              .agg(sum(Tables.cents).as("c")),
+            concat_ws("|", col("event_type"), col("day_no")), col("c"))
+        }
+        stage(s, dir, "totals") {
+          KVS(daily.ds.map { case (k, c) => (k.split('|')(0), c) })
+            .reduceByKey(_ + _)
+        }
+      }
+      pipeline()                  // run 1: fresh compute + snapshots
+      val resumed = pipeline()    // run 2: restored from snapshots only
+      resumed.ds.toDF("event_type", "sum_cents")
+        .select(col("event_type"), col("sum_cents"))
+        .orderBy("event_type")
+    }, Some(
+      "SELECT event_type, CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents " +
+      "FROM events WHERE " + graft.Tables.centsSql + " IS NOT NULL " +
+      "GROUP BY event_type ORDER BY event_type"))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.core
+
+import graft.SparkSuite
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Checkpoint/restart semantics (reference ex/testckpt1-4.c: a killed
+  * job re-runs and must skip completed operations, resuming to the
+  * identical result). */
+class CheckpointSpec extends SparkSuite {
+
+  private def freshDir(tag: String): String = {
+    val d = s"target/graft-tmp/ckptspec_$tag"
+    Checkpoint.clear(spark, d)
+    d
+  }
+
+  test("a committed stage is restored, not recomputed, on re-execution") {
+    import spark.implicits._
+    val dir = freshDir("skip")
+    val computes = new AtomicInteger(0)
+    def run(): Seq[(String, Long)] = {
+      val s1 = Checkpoint.stage(spark, dir, "s1") {
+        computes.incrementAndGet()
+        KVS.generate(spark, Seq(("a", 1L), ("b", 2L), ("a", 3L)))
+      }
+      s1.reduceByKey(_ + _).ds.collect().toSeq.sorted
+    }
+    val first = run()
+    assert(computes.get() == 1)
+    val second = run()
+    assert(computes.get() == 1, "committed stage must not recompute")
+    assert(first == second && first == Seq(("a", 4L), ("b", 2L)))
+  }
+
+  test("a job killed between stages resumes from the snapshot to the identical result") {
+    import spark.implicits._
+    val dir = freshDir("resume")
+    val stage1Computes = new AtomicInteger(0)
+    def pipeline(failBeforeStage2: Boolean): Seq[(String, Long)] = {
+      val s1 = Checkpoint.stage(spark, dir, "s1") {
+        stage1Computes.incrementAndGet()
+        KVS.generate(spark, (0L until 100L).map(i => (s"k${i % 7}", i)))
+      }
+      if (failBeforeStage2) throw new RuntimeException("killed")
+      val s2 = Checkpoint.stage(spark, dir, "s2") {
+        s1.reduceByKey(_ + _)
+      }
+      s2.ds.collect().toSeq.sorted
+    }
+    // run 1 dies after stage 1 committed
+    intercept[RuntimeException](pipeline(failBeforeStage2 = true))
+    assert(stage1Computes.get() == 1)
+    // run 2 (the restart) must skip stage 1 and finish
+    val resumed = pipeline(failBeforeStage2 = false)
+    assert(stage1Computes.get() == 1, "restart must restore stage 1, not recompute")
+    // reference result: the same pipeline with no checkpointing at all
+    val expect = (0L until 100L).map(i => (s"k${i % 7}", i))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sorted
+    assert(resumed == expect)
+  }
+
+  test("an UNCOMMITTED (partial) snapshot is recomputed, not trusted") {
+    import spark.implicits._
+    val dir = freshDir("partial")
+    // fabricate a torn snapshot: directory exists, no _SUCCESS marker
+    val p = new org.apache.hadoop.fs.Path(s"$dir/s1/part-garbage")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p); out.write(Array[Byte](1, 2, 3)); out.close()
+    val computes = new AtomicInteger(0)
+    val s1 = Checkpoint.stage(spark, dir, "s1") {
+      computes.incrementAndGet()
+      KVS.generate(spark, Seq(("x", 42L)))
+    }
+    assert(computes.get() == 1, "missing _SUCCESS must force recompute")
+    assert(s1.ds.collect().toSeq == Seq(("x", 42L)))
+    assert(Checkpoint.committed(spark, s"$dir/s1"))
+  }
+
+  test("ckpt_resume gate query equals the straight-through computation") {
+    val out = graft.SparkEntry.queries("ckpt_resume")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = graft.Tables.load(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        graft.Tables.cents.as("c"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    assert(out.toSeq == direct)
+  }
+}
