@@ -489,22 +489,44 @@ object TextOps {
     // graft.functions.FreqItemsAgg) — 256 counters per partial instead
     // of a billions-of-keys vocabulary shuffle; partials merge with the
     // Agarwal et al. rule, so this is the profile pass that still works
-    // when the vocabulary itself doesn't fit anywhere. Counts are
-    // guaranteed lower bounds (true - N/257 <= reported <= true) but
-    // the SURVIVOR SET depends on partition merge order ⇒ rows-only
-    // gate, like the HLL/quantile sketches; SketchSpec pins the
-    // guarantee adversarially.
+    // when the vocabulary itself doesn't fit anywhere. The SURVIVOR SET
+    // depends on partition merge order, so the item list itself cannot
+    // be hash-oracled — instead the gate emits the sketch's PROVABLE
+    // CERTIFICATE, checked against exact SQL: every token with true
+    // count > N/257 must appear (n_missing = 0), and every reported
+    // count must satisfy true - N/257 <= reported <= true
+    // (n_violations = 0). All comparisons are exact integer forms
+    // (c*257 > n), so the certificate is engine-exact; SketchSpec
+    // additionally pins the top-k listing shape on adversarial data.
     QueryDef("approx_topk", (s, d) => {
-      Tables.load(s, d, "documents")
+      val toks2 = Tables.load(s, d, "documents")
         .select(explode(toks).as("tok"))
         .filter(length(col("tok")) > 0)
+      val sketch = toks2
         .agg(graft.functions.FreqItemsAgg.freqItems(col("tok"), 256).as("sketch"))
-        .select(posexplode(col("sketch")))
-        .select((col("pos") + 1).cast("long").as("rk"),
-          col("col.item").as("item"), col("col.min_count").as("min_count"))
-        .filter(col("rk") <= 20)
-        .orderBy("rk")
-    }, None),
+        .select(explode(col("sketch")).as("e"))
+        .select(col("e.item").as("tok"), col("e.min_count").as("reported"))
+      val exact = toks2.groupBy("tok").agg(count(lit(1)).as("exact"))
+      val tot = toks2.agg(count(lit(1)).as("n"))
+      exact.join(sketch, Seq("tok"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .agg(
+          max(col("n")).as("n_tokens"),
+          sum(when(col("exact") * 257 > col("n"), 1L).otherwise(0L)).as("n_heavy"),
+          sum(when(col("exact") * 257 > col("n") && col("reported").isNull, 1L)
+            .otherwise(0L)).as("n_missing"),
+          sum(when(col("reported").isNotNull &&
+            (col("reported") > col("exact") ||
+              (col("exact") - col("reported")) * 257 > col("n")), 1L)
+            .otherwise(0L)).as("n_violations"))
+    }, Some(
+      s"WITH t AS (SELECT unnest($normSql) AS tok FROM documents), " +
+      "t2 AS (SELECT tok FROM t WHERE len(tok) > 0), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t2), " +
+      "ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t2 GROUP BY tok) " +
+      "SELECT (SELECT n FROM tot) AS n_tokens, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM ex, tot WHERE c * 257 > n) AS n_heavy, " +
+      "CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_violations")),
 
     // ---- OOV rate: per-document out-of-vocabulary fraction against
     // the corpus's own top-1000 vocabulary — the tokenizer-coverage /

@@ -160,20 +160,38 @@ object EventOps {
     // table, never rescanning the raw events. That union is the whole
     // point: approx_count_distinct folds one query's worth of state,
     // while a stored sketch column composes across days/backfills/
-    // engines (frozen Datasketches wire format). Approximate ⇒
-    // rows-only gate; SketchSpec pins the 2-level == 1-level identity
-    // (lossless merge) and the error band vs the exact count.
+    // engines (frozen Datasketches wire format). The estimate itself is
+    // approximate, so the gate emits the CERTIFICATE instead: n_days is
+    // exact (SQL-checked), union_lossless pins the 2-level-union ==
+    // 1-level-sketch identity (HLL register merge is max(): loses
+    // nothing at equal lgK), and err_ok pins the estimate within 5% of
+    // the exact distinct count (lgK=14 -> rse ~0.8%). SketchSpec
+    // additionally exercises the raw-estimate shape.
     QueryDef("hll_partitioned", (s, d) => {
-      Tables.load(s, d, "events")
+      val e = Tables.load(s, d, "events")
         .select(col("event_type"), expr("ts div 86400000000000").as("day"),
           col("user_id"))
+      val twoLevel = e
         .groupBy("event_type", "day")
         .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_days"),
-          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est2"))
+      val oneLevel = e
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est1"),
+          countDistinct(col("user_id")).as("exact"))
+      twoLevel.join(oneLevel, "event_type")
+        .select(col("event_type"), col("n_days"),
+          when(col("est2") === col("est1"), 1L).otherwise(0L).as("union_lossless"),
+          when(abs(col("est2").cast("double") - col("exact").cast("double"))
+            <= col("exact").cast("double") * 0.05, 1L).otherwise(0L).as("err_ok"))
         .orderBy("event_type")
-    }, None),
+    }, Some(
+      "SELECT event_type, " +
+      "CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days, " +
+      "CAST(1 AS BIGINT) AS union_lossless, CAST(1 AS BIGINT) AS err_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ---- Exact per-group distinct count — the expensive cousin the HLL
     // sketch above replaces at scale: Catalyst plans it as a two-phase
