@@ -155,9 +155,13 @@ object AnnOps {
           expr("sum_micro div n_vecs").as("mean_micro"))
         .orderBy("label", "dim")
     }, Some(
-      "WITH x AS (SELECT label, r.i AS dim, " +
-      "TRY_CAST(round(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q " +
-      "FROM embeddings CROSS JOIN range(0, 64) r(i)) " +
+      // generate_subscripts tracks the REAL per-row array length exactly
+      // like posexplode — a hardcoded range(0, 64) would silently desync
+      // on short/ragged vectors or a dims change (and divide by zero on
+      // the phantom rows).
+      "WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, " +
+      "TRY_CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q " +
+      "FROM embeddings) " +
       "SELECT label, CAST(dim AS BIGINT) AS dim, count(q) AS n_vecs, " +
       "CAST(sum(q) AS BIGINT) AS sum_micro, " +
       "CAST(sum(q) AS BIGINT) // count(q) AS mean_micro " +

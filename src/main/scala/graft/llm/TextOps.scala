@@ -571,7 +571,12 @@ object TextOps {
     // length), integer ppm keeps the gate float-free. At 100 TB this is
     // a scan-only pass like text_stats/rep_tokens.
     QueryDef("lexical_diversity", (s, d) => {
+      // text IS NOT NULL on BOTH sides: Spark's size() on a NULL array
+      // is -1 (legacy sizeOfNull), which would compute a nonsense
+      // ttr_ppm = 1000000 while DuckDB's len() propagates NULL — a
+      // silent engine divergence on NULL-text rows.
       Tables.load(s, d, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
           size(toks).cast("long").as("n_toks"),
           size(array_distinct(toks)).cast("long").as("n_types"))
@@ -581,7 +586,7 @@ object TextOps {
       s"SELECT doc_id, CAST(len($normSql) AS BIGINT) AS n_toks, " +
       s"CAST(len(list_distinct($normSql)) AS BIGINT) AS n_types, " +
       s"(1000000 * len(list_distinct($normSql))) // len($normSql) AS ttr_ppm " +
-      "FROM documents ORDER BY doc_id"))
+      "FROM documents WHERE text IS NOT NULL ORDER BY doc_id"))
   )
 
   /** One BM25 term as a SQL string valid in BOTH dialects (plain CAST +

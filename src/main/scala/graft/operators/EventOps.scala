@@ -26,9 +26,15 @@ object EventOps {
         .agg(sum("k").as("sum_k"), count(col("k")).as("n_with_k"))
         .orderBy("event_type")
     }, Some(
-      "SELECT event_type, CAST(sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
-      "count(CAST(json_extract(props,'$.k') AS BIGINT)) AS n_with_k " +
-      "FROM events GROUP BY event_type ORDER BY event_type")),
+      // json_valid guard: DuckDB's json_extract THROWS on malformed
+      // JSON while Spark's get_json_object returns NULL — the guard
+      // makes both engines degrade identically if corrupt payloads ever
+      // reach a gated SF.
+      "WITH k AS (SELECT event_type, CASE WHEN json_valid(props) " +
+      "THEN CAST(json_extract(props,'$.k') AS BIGINT) END AS k FROM events) " +
+      "SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, " +
+      "count(k) AS n_with_k " +
+      "FROM k GROUP BY event_type ORDER BY event_type")),
 
     // ---- Semi-structured extraction through Spark 4's VARIANT type:
     // try_parse_json parses each payload ONCE into the binary variant
@@ -52,13 +58,22 @@ object EventOps {
           sum(when(col("bad"), 1L).otherwise(0L)).as("n_malformed"))
         .orderBy("event_type")
     }, Some(
+      // json_valid guards every extraction: DuckDB's json_extract
+      // THROWS on malformed JSON (the very condition this query
+      // counts), so without the guard the oracle only survives because
+      // gate data is clean — with it, both engines degrade to NULL +
+      // the n_malformed counter identically.
+      "WITH k AS (SELECT event_type, CASE WHEN json_valid(props) " +
+      "THEN CAST(json_extract(props,'$.k') AS BIGINT) END AS k, " +
+      "CASE WHEN props IS NULL OR NOT json_valid(props) THEN 1 ELSE 0 END AS bad " +
+      "FROM events) " +
       "SELECT event_type, " +
-      "CAST(sum(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
-      "CAST(min(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
-      "CAST(max(CAST(json_extract(props,'$.k') AS BIGINT)) AS BIGINT) AS max_k, " +
-      "count(CAST(json_extract(props,'$.k') AS BIGINT)) AS n_with_k, " +
-      "CAST(sum(CASE WHEN props IS NULL OR NOT json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed " +
-      "FROM events GROUP BY event_type ORDER BY event_type")),
+      "CAST(sum(k) AS BIGINT) AS sum_k, " +
+      "CAST(min(k) AS BIGINT) AS min_k, " +
+      "CAST(max(k) AS BIGINT) AS max_k, " +
+      "count(k) AS n_with_k, " +
+      "CAST(sum(bad) AS BIGINT) AS n_malformed " +
+      "FROM k GROUP BY event_type ORDER BY event_type")),
 
     // ---- Tumbling 1-hour window per event type — the batch shape of a
     // Structured Streaming windowed aggregation (value in exact cents).

@@ -221,8 +221,10 @@ object Analytics {
     // int64 headroom: cents <= ~1e7 at any SF (value <= ~1e5 dollars),
     // so cents^2 <= 1e14 and the per-type sum stays < 9.2e18 up to
     // ~9e4 rows-per-type x sf1000; the DECIMAL accumulator itself never
-    // overflows, only the final narrowing asserts this bound (hostile
-    // spec in AnalyticsEdgeSpec covers near-overflow values).
+    // overflows, and the final narrowing is try_cast, so past the bound
+    // the column degrades to NULL instead of wrapping or throwing —
+    // HostileEventsSpec pins both the degradation (1e15 value) and
+    // exactness just inside the bound.
     // Variance/stddev derive client-side as (n·sumsq − sum²)/n² with
     // zero additional passes. One map-side-partial hash aggregate; 5
     // groups out.
@@ -238,14 +240,14 @@ object Analytics {
           sum("c").as("sum_cents"),
           min("c").as("min_cents"),
           max("c").as("max_cents"),
-          sum("sq").cast("long").as("sumsq_cents"))
+          expr("try_cast(sum(sq) AS BIGINT)").as("sumsq_cents"))
         .orderBy("event_type")
     }, Some(
       "SELECT event_type, count(" + graft.Tables.centsSql + ") AS n, " +
       "CAST(sum(" + graft.Tables.centsSql + ") AS BIGINT) AS sum_cents, " +
       "min(" + graft.Tables.centsSql + ") AS min_cents, " +
       "max(" + graft.Tables.centsSql + ") AS max_cents, " +
-      "CAST(sum(CAST(TRY_CAST(round(value*100,0) AS DECIMAL(18,0)) * " +
+      "TRY_CAST(sum(CAST(TRY_CAST(round(value*100,0) AS DECIMAL(18,0)) * " +
       "TRY_CAST(round(value*100,0) AS DECIMAL(18,0)) AS DECIMAL(38,0))) " +
       "AS BIGINT) AS sumsq_cents " +
       "FROM events GROUP BY event_type ORDER BY event_type")),
@@ -358,7 +360,9 @@ object Analytics {
     // formatter-sensitive under the driver comparator (r5 hash fail).
     // int64 headroom: sxy <= n^3, so the narrowing holds to n ~ 2e6
     // rows per language (far above any per-language slice at gated SFs;
-    // beyond that keep the decimal internal and emit hi/lo words). rho
+    // try_cast degrades to NULL past the bound instead of wrapping or
+    // throwing; beyond that keep the decimal internal and emit hi/lo
+    // words). rho
     // is ONE fixed-order double expression over those exact integers,
     // emitted as fixed-point rho_micro BIGINT (the tfidf_lang /
     // pagerank_exact technique) so no raw double or decimal reaches the
@@ -382,9 +386,9 @@ object Analytics {
         .withColumn("ry", row_number().over(wy).cast("long"))
       val agg = ranked.groupBy("lang").agg(
         count(lit(1)).as("n"),
-        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))")).cast("long").as("sxy"),
-        sum(expr("cast(rx AS DECIMAL(38,0))")).cast("long").as("sx"),
-        sum(expr("cast(cast(rx AS DECIMAL(18,0)) * cast(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))")).cast("long").as("sxx"))
+        expr("try_cast(sum(cast(cast(rx AS DECIMAL(18,0)) * cast(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT)").as("sxy"),
+        expr("try_cast(sum(cast(rx AS DECIMAL(38,0))) AS BIGINT)").as("sx"),
+        expr("try_cast(sum(cast(cast(rx AS DECIMAL(18,0)) * cast(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT)").as("sxx"))
       agg.select(col("lang"), col("n"), col("sxy"), col("sx"), col("sxx"),
           round(
             (col("n").cast("double") * col("sxy").cast("double") -
@@ -401,9 +405,9 @@ object Analytics {
            row_number() OVER (PARTITION BY lang ORDER BY n_toks NULLS FIRST, doc_id) AS ry
            FROM t),
          a AS (SELECT lang, count(*) AS n,
-           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT) AS sxy,
-           CAST(sum(CAST(rx AS DECIMAL(38,0))) AS BIGINT) AS sx,
-           CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT) AS sxx
+           TRY_CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT) AS sxy,
+           TRY_CAST(sum(CAST(rx AS DECIMAL(38,0))) AS BIGINT) AS sx,
+           TRY_CAST(sum(CAST(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS BIGINT) AS sxx
            FROM r GROUP BY lang)
          SELECT lang, n, sxy, sx, sxx,
            CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /

@@ -47,6 +47,31 @@ class HostileEventsSpec extends SparkSuite {
     }
   }
 
+  test("stats_moments: sumsq narrowing degrades to NULL past int64, stays exact inside it") {
+    import spark.implicits._
+    // (1) the hostile stream's 1e15 purchase value puts cents^2 at 1e34
+    // — far past int64 — so sumsq_cents must be NULL for that group,
+    // never a wrapped/garbage long, and other groups stay exact
+    val out = graft.SparkEntry.queries("stats_moments")(spark, hostileDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("purchase").isNullAt(5), "overflowed sumsq must degrade to NULL")
+    assert(out("click").getLong(5) == 1000L * 1000L + 0L + 525L * 525L,
+      "in-range groups must stay exact")
+    // (2) just INSIDE the bound: 1000 rows of 9.6e7 cents (9.2e15 each)
+    // sum to ~9.2e18 < Long.MaxValue — the narrowing must be exact
+    val dir = java.nio.file.Files.createTempDirectory("headroom_events").toString
+    val big = 960000.0 // dollars -> 9.6e7 cents
+    (0 until 1000).map(i => (i.toLong, 3600000000000L + i, 1L, "big", big,
+        """{"k":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = graft.SparkEntry.queries("stats_moments")(spark, dir).collect().head
+    val expect = BigInt(96000000L) * BigInt(96000000L) * 1000
+    assert(expect < BigInt(Long.MaxValue), "fixture must sit inside the bound")
+    assert(BigInt(row.getLong(5)) == expect,
+      s"near-bound sumsq must be exact: ${row.getLong(5)} vs $expect")
+  }
+
   test("variant_extract counts malformed JSON instead of dying; arrays are not malformed") {
     val out = graft.SparkEntry.queries("variant_extract")(spark, hostileDir)
       .collect().map(r => r.getString(0) ->
