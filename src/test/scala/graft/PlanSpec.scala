@@ -257,9 +257,12 @@ class PlanSpec extends SparkSuite {
     // 64-row constant hyperplane table (O(1) in the corpus) the same
     // way; anywhere else a nested-loop fallback is a planning
     // regression.
+    // approx_topk joined the one-row-scalar club in round 6: its
+    // certificate broadcasts the single-row token-count aggregate
+    // against the per-token exact counts.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_rerank",
       "mix_weights", "dedup_embedding_lsh", "q22_global", "bm25_topk",
-      "collocations", "bloom_join")
+      "collocations", "bloom_join", "approx_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001
