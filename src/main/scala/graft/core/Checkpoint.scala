@@ -31,6 +31,16 @@ object Checkpoint {
     KVS.restore[K, V](spark, path)
   }
 
+  /** Dataset-shaped stage for non-KVS pipelines (kmrrun --ckpt wires
+    * its pipe stages through this). Same commit rule as [[stage]]. */
+  def stageDs[T](spark: SparkSession, ckptDir: String, name: String)(
+      compute: => org.apache.spark.sql.Dataset[T])(
+      implicit e: Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    val path = s"$ckptDir/$name"
+    if (!committed(spark, path)) compute.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).as[T]
+  }
+
   def committed(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

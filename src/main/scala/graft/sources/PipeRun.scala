@@ -18,11 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object PipeRun {
 
+  /** `ckptDir` enables kmrrun's `--ckpt` semantics (kmrrun/kmrrun.c:24;
+    * src/kmrckpt.c): each pipe stage's output is snapshot behind a
+    * _SUCCESS gate, so a killed-and-rerun job restores completed stages
+    * — skipping their external-process re-execution — and resumes to
+    * the identical result. */
   def run(spark: SparkSession, inputPath: String,
-      mapperCmd: Seq[String], reducerCmd: Seq[String]): Dataset[String] = {
+      mapperCmd: Seq[String], reducerCmd: Seq[String],
+      ckptDir: Option[String] = None): Dataset[String] = {
     import spark.implicits._
-    val lines = spark.read.textFile(inputPath)
-    val mapped = Ingest.pipeLines(lines, mapperCmd)
+    def stage(name: String)(compute: => Dataset[String]): Dataset[String] =
+      ckptDir match {
+        case Some(dir) => graft.core.Checkpoint.stageDs(spark, dir, name)(compute)
+        case None      => compute
+      }
+    val mapped = stage("mapped") {
+      Ingest.pipeLines(spark.read.textFile(inputPath), mapperCmd)
+    }
     // group values per key ("key v1 v2 …"), co-locating keys like
     // kmrrun's per-key temp files
     val grouped = mapped
@@ -30,20 +42,21 @@ object PipeRun {
         if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1)) }
       .groupByKey(_._1)
       .mapGroups((k, vs) => (k +: vs.map(_._2).toSeq).mkString(" "))
-    Ingest.pipeLines(grouped, reducerCmd)
+    stage("reduced") { Ingest.pipeLines(grouped, reducerCmd) }
   }
 
-  /** CLI: <input-path> <mapper-cmd> <reducer-cmd> <output-path>
+  /** CLI: <input-path> <mapper-cmd> <reducer-cmd> <output-path> [--ckpt=<dir>]
     * (commands are shell-split on spaces, like kmrrun's -m/-r args). */
   def main(args: Array[String]): Unit = {
-    val Array(input, mapper, reducer, output) = args
+    val ckpt = args.collectFirst { case a if a.startsWith("--ckpt=") => a.drop(7) }
+    val Array(input, mapper, reducer, output) = args.filterNot(_.startsWith("--ckpt="))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try run(spark, input,
-      mapper.split(' ').toSeq, reducer.split(' ').toSeq)
+      mapper.split(' ').toSeq, reducer.split(' ').toSeq, ckpt)
       .write.mode("overwrite").text(output)
     finally spark.stop()
   }

@@ -76,6 +76,25 @@ class CheckpointSpec extends SparkSuite {
     assert(Checkpoint.committed(spark, s"$dir/s1"))
   }
 
+  test("PipeRun --ckpt: a rerun restores the mapper stage without re-reading the input") {
+    val dir = freshDir("piperun")
+    val work = java.nio.file.Files.createTempDirectory("piperun_in")
+    val input = work.resolve("in.txt")
+    java.nio.file.Files.writeString(input,
+      "a 1\nb 2\na 3\nc 4\nb 5\n")
+    def run() = graft.sources.PipeRun.run(spark, input.toString,
+        Seq("cat"), Seq("awk", "{print $1, NF-1}"), Some(dir))
+      .collect().sorted.toSeq
+    val first = run()
+    assert(first == Seq("a 2", "b 2", "c 1"))
+    // destroy the input: a genuine resume must come from the snapshots,
+    // never from re-piping the (now missing) source
+    java.nio.file.Files.delete(input)
+    val resumed = run()
+    assert(resumed == first,
+      "rerun with --ckpt must restore pipe stages, not re-read input")
+  }
+
   test("ckpt_resume gate query equals the straight-through computation") {
     val out = graft.SparkEntry.queries("ckpt_resume")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
