@@ -21,6 +21,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
       builder))
+    // md5_prefix64(x) — the portable 60-bit dedup fingerprint
+    val md5pBuilder: Seq[Expression] => Expression = {
+      case Seq(c) => Md5Prefix64(c)
+      case other =>
+        throw new IllegalArgumentException(
+          s"md5_prefix64 expects 1 argument, got ${other.length}")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix64"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+      md5pBuilder))
     // minhash_sig(h1, h2) and freq_items(item, k) — the native
     // aggregates, callable from SQL like any built-in
     val minhashBuilder: Seq[Expression] => Expression = {

@@ -53,9 +53,12 @@ object Dedup {
   /** Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
     * non-negative long. md5 produces identical hex in Spark and DuckDB,
     * so signature pipelines built on it are oracle-able bit-for-bit
-    * (unlike xxhash64, which exists only in Spark). */
+    * (unlike xxhash64, which exists only in Spark). Computed by the
+    * native codegen expression [[graft.functions.Md5Prefix64]] — same
+    * value as `conv(substr(md5(c),1,15),16,10)` with zero intermediate
+    * hex strings. */
   private[llm] def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix64.md5p64(c)
 
   /** DuckDB twin of [[md5Long]]: fold the 15 hex digits into a BIGINT
     * (DuckDB has no hex→int conv; strpos on the digit alphabet is the
@@ -123,22 +126,27 @@ object Dedup {
     //     length, never corpus-skewed), and only (doc_id, pos, int64
     //     fingerprint) — never text — enters that shuffle.
     // (3) Each gram hash is narrowed to a 60-bit BIGINT (first 15 hex
-    //     chars of the md5 via conv) BEFORE the winnow window: the r5
-    //     driver bench showed ~1.35M 32-char hex strings through a
-    //     window shuffle plus two join sides costing 38.9 s — an 8-byte
-    //     long cuts shuffle width ~4x and replaces string comparators
-    //     with integer ones. The winnow min over the 60-bit prefix is
-    //     still a pure function of window content, so the >= 47-char
-    //     shared-span guarantee is unchanged; DuckDB computes the
-    //     identical value via CAST(concat('0x', substr(md5(..),1,15))
-    //     AS BIGINT).
+    //     chars of the md5) BEFORE the winnow window: the r5 driver
+    //     bench showed ~1.35M 32-char hex strings through a window
+    //     shuffle plus two join sides costing 38.9 s — an 8-byte long
+    //     cuts shuffle width ~4x and replaces string comparators with
+    //     integer ones. The hash is the native codegen expression
+    //     [[graft.functions.Md5Prefix64]] applied right after the
+    //     explode — the raw 32-char gram lives only inside the scan
+    //     stage's projection, never crossing an Exchange. The winnow
+    //     min over the 60-bit prefix is still a pure function of window
+    //     content, so the >= 47-char shared-span guarantee is
+    //     unchanged; DuckDB computes the identical value via
+    //     CAST(concat('0x', substr(md5(..),1,15)) AS BIGINT).
     val grams = documents
       .filter(length(col("text")) >= 47)
       .select(col("doc_id"), (length(col("text")) - 47).as("last_start"),
         posexplode(expr(
           "transform(sequence(1, greatest(length(text) - 31, 1)), " +
-          "i -> cast(conv(substr(md5(substring(text, i, 32)), 1, 15), 16, 10) as bigint))")))
-      .toDF("doc_id", "last_start", "pos", "h")
+          "i -> substring(text, i, 32))")))
+      .toDF("doc_id", "last_start", "pos", "g")
+      .select(col("doc_id"), col("last_start"), col("pos"),
+        graft.functions.Md5Prefix64.md5p64(col("g")).as("h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
     val fp = grams
