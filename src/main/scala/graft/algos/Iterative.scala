@@ -13,6 +13,52 @@ import org.apache.spark.sql.functions._
   */
 object Iterative {
 
+  /** The shared, persisted intermediates both PageRank variants consume:
+    * node set (with its count), degree-annotated edges, and the static
+    * no-in-edge node ids. Building this once and feeding it to both the
+    * double and fixed-point pipelines means the (possibly expensive)
+    * caller edge plan — a join + distinct in the gate — is evaluated
+    * exactly once per session instead of once per variant. */
+  final case class PreparedGraph(nodes: DataFrame, n: Long,
+      edgesDeg: DataFrame, noInIds: DataFrame) {
+    def unpersist(): Unit = {
+      nodes.unpersist(false); edgesDeg.unpersist(false); noInIds.unpersist(false)
+    }
+  }
+
+  /** Materialize the shared PageRank intermediates from a raw (src, dst)
+    * edge frame. Every member is persisted and eagerly computed; call
+    * [[PreparedGraph.unpersist]] once all consumers have materialized
+    * their results (both variants end on an eager localCheckpoint, so
+    * their outputs outlive the cache). */
+  def prepareGraph(edges: DataFrame): PreparedGraph = {
+    // The caller's edge plan may be arbitrarily expensive and is
+    // referenced three times below (nodes union ×1, edgesDeg ×2) —
+    // persist it so the upstream build runs exactly once.
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count()
+    // Degree-annotated edges computed ONCE and persisted — each loop
+    // body touches only (edgesDeg ⋈ ranks), never the raw edge build.
+    val edgesDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist()
+    edgesDeg.count()
+    e.unpersist(false)
+    // Nodes with no in-edges keep a constant rank forever — that set is
+    // static, so it is computed ONCE and each variant unions its own
+    // constant over these ids instead of re-deriving it with a
+    // per-superstep left-outer join against the full node set.
+    val noInIds = nodes
+      .join(edgesDeg.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"))
+      .persist()
+    noInIds.count()
+    PreparedGraph(nodes, n, edgesDeg, noInIds)
+  }
+
   /** PageRank (ex/pagerank.c, damping 0.85): rank mass flows along edges
     * each superstep; per-iteration cost is one join + one aggregation,
     * both shuffled on node id. Ranks are persisted per iteration and the
@@ -22,31 +68,22 @@ object Iterative {
     * Simplified variant: dangling-node mass is not redistributed
     * (matches the reference's per-edge formulation). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    // The caller's edge plan may be arbitrarily expensive (a join +
-    // distinct here) and is referenced three times below (nodes union ×1,
-    // edgesW ×2) — persist it so the upstream build runs exactly once.
-    val e = edges.persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.count().toDouble
-    // Weighted edges (1/outdegree) computed ONCE and persisted — the loop
-    // body touches only (edgesW ⋈ ranks), never the raw edge build.
-    val edgesW = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    val g = prepareGraph(edges)
+    val out = pageRankOn(g, iters, damping)
+    g.unpersist()
+    out
+  }
+
+  /** [[pageRank]] over pre-built shared intermediates — the gate path:
+    * one [[prepareGraph]] feeds this AND [[pageRankExactOn]]. */
+  def pageRankOn(g: PreparedGraph, iters: Int, damping: Double = 0.85): DataFrame = {
+    val n = g.n.toDouble
+    // Same arithmetic as always: contribution is rank * (1.0/deg). The
+    // weight projection is a narrow map over the persisted edgesDeg.
+    val edgesW = g.edgesDeg
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .persist()
-    edgesW.count()
-    e.unpersist(false)
-    // Nodes with no in-edges keep the constant rank (1-d)/n forever —
-    // that set is static, so it is computed ONCE and unioned into each
-    // generation instead of re-deriving it with a per-superstep
-    // left-outer join against the full node set.
-    val noIn = nodes
-      .join(edgesW.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
-      .select(col("id"), lit((1 - damping) / n).as("rank"))
-      .persist()
-    noIn.count()
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
+    val noIn = g.noInIds.select(col("id"), lit((1 - damping) / n).as("rank"))
+    var ranks = g.nodes.select(col("id"), lit(1.0 / n).as("rank")).persist()
     // Generations are persisted LAZILY and materialized only at each
     // lineage-truncation point: one Spark job computes the whole window
     // of supersteps (each persisted generation caches as it is first
@@ -73,9 +110,6 @@ object Iterative {
           m
         } else { val p = next.persist(); window += p; p }
     }
-    edgesW.unpersist(false)
-    nodes.unpersist(false)
-    noIn.unpersist(false)
     ranks
   }
 
@@ -93,25 +127,21 @@ object Iterative {
     * ranks drift low by at most iters*(deg+1) femtos — deterministic,
     * identical on both engines, and irrelevant at ppm precision. */
   def pageRankExact(edges: DataFrame, iters: Int): DataFrame = {
+    val g = prepareGraph(edges)
+    val out = pageRankExactOn(g, iters)
+    g.unpersist()
+    out
+  }
+
+  /** [[pageRankExact]] over pre-built shared intermediates. */
+  def pageRankExactOn(g: PreparedGraph, iters: Int): DataFrame = {
     val SCALE = 1000000000000000L
-    val e = edges.persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.count()
+    val n = g.n
     val init = SCALE / n
     val base = (15L * SCALE) / (100L * n)
-    val edgesW = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .persist()
-    edgesW.count()
-    e.unpersist(false)
-    val noIn = nodes
-      .join(edgesW.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
-      .select(col("id"), lit(base).as("r"))
-      .persist()
-    noIn.count()
-    var ranks = nodes.select(col("id"), lit(init).as("r")).persist()
+    val edgesW = g.edgesDeg
+    val noIn = g.noInIds.select(col("id"), lit(base).as("r"))
+    var ranks = g.nodes.select(col("id"), lit(init).as("r")).persist()
     val window = scala.collection.mutable.ArrayBuffer[DataFrame](ranks)
     for (i <- 1 to iters) {
       val contribs = edgesW
@@ -130,9 +160,6 @@ object Iterative {
           m
         } else { val p = next.persist(); window += p; p }
     }
-    edgesW.unpersist(false)
-    nodes.unpersist(false)
-    noIn.unpersist(false)
     ranks
   }
 
@@ -318,8 +345,15 @@ object Iterative {
       val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
         .distinct()
-      val pr = pageRank(edges, iters = 5)
-      val prx = pageRankExact(edges, iters = 5)
+      // The expensive part of both pipelines — the orders⋈lineitem edge
+      // build, node set, degrees, no-in ids — is prepared ONCE and fed to
+      // both the double and femto-fixed-point runs. Each run ends on an
+      // eager localCheckpoint, so the shared cache can be dropped before
+      // the certificate join is even materialized.
+      val g = prepareGraph(edges)
+      val pr = pageRankOn(g, iters = 5)
+      val prx = pageRankExactOn(g, iters = 5)
+      g.unpersist()
       pr.join(prx, "id")
         .agg(count(lit(1)).as("n_nodes"),
           when(max(abs(col("rank") - col("r").cast("double") / 1e15)) <= 1e-9, 1L)
