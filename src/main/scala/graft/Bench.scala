@@ -50,14 +50,19 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val firstErr = timings.flatMap(_._2).headOption
-      (name, timings.map(_._1).min, firstErr)
+      val sorted = timings.map(_._1).sorted
+      // min isolates engine cost from co-tenant noise; median bounds how
+      // much noise min hid — a future round comparing min-vs-min can
+      // consult median to tell a real regression from a lucky/unlucky
+      // host window without re-running (BASELINE.md protocol).
+      (name, sorted.head, sorted(sorted.size / 2), firstErr)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.filter(_._3.isEmpty)
+    val ok = results.filter(_._4.isEmpty)
     // Millisecond precision keeps the line compact: the harness captures only
     // a bounded tail of stdout, and a 70+-query map at full double precision
     // overflowed it in round 2 (truncated line -> unparseable).
@@ -75,24 +80,33 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, if (v < 1) "%.2f" else "%.1f", v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    // The per-query map lists the slowest 60 queries only — the driver
+    // The per-query map lists the slowest 50 queries only — the driver
     // parses a bounded stdout tail (historically ~2.3 KB lines; the
     // r5 100-entry map crossed it and the driver recorded the round as
     // "parsed": null, losing the grand total), and per-query ratios
     // below ~0.3 s are session overhead, not engine cost. The omitted
     // fast queries are NOT silently dropped: they are counted in
     // "fast_omitted", their time in "fast_total", and every query still
-    // contributes to value/n_ok/errors.
-    val byCost = ok.sortBy { case (_, v, _) => -v }
-    val (slow, fast) = byCost.splitAt(60)
+    // contributes to value/n_ok/errors. Each entry is [min,median] of
+    // the N runs (r6 verdict item 8: median bounds host noise); the cap
+    // dropped 60 -> 50 to pay for the second number without re-crossing
+    // the tail window. Full precision for EVERY query lands in
+    // bench_detail.json, which survives via the end-of-round commit.
+    val byCost = ok.sortBy { case (_, v, _, _) => -v }
+    val (slow, fast) = byCost.splitAt(50)
     val qs = slow.sortBy(_._1)
-      .map { case (k, v, _) => s"${jstr(k)}:${fmt2(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v, m, _) => s"${jstr(k)}:[${fmt2(v)},${fmt2(m)}]" }.mkString("{", ",", "}")
     val fastFields =
       if (fast.isEmpty) ""
-      else s""","fast_omitted":${fast.size},"fast_total":${fmt(fast.map(_._2).sum)}"""
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
+      else s""","fast_omitted":${fast.size},"fast_total":${fmt(fast.map(_._2).sum)},"fast_total_med":${fmt(fast.map(_._3).sum)}"""
+    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val totalMed = ok.map(_._3).sum
+    val detail = ok.sortBy(_._1)
+      .map { case (k, v, m, _) => s"""${jstr(k)}:{"min":${fmt(v)},"med":${fmt(m)}}""" }
+      .mkString("{\"queries\":{", ",", s"""},"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
+    Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
     // subset runs are marked so a partial total can never be mistaken
     // for a full-run baseline
     val subset = if (only.isDefined) ""","subset":true""" else ""
@@ -102,7 +116,7 @@ object Bench {
     // end survives carries the total. sf as basename: every byte here
     // trades against per-query map capacity.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset,"sf":${jstr(Paths.get(sfDir).getFileName.toString)},"queries":$qs,"errors":$errs,"total_s":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset,"sf":${jstr(Paths.get(sfDir).getFileName.toString)},"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout
