@@ -87,6 +87,70 @@ object MultiModal {
     (buf.getInt(24), buf.getShort(22).toInt, buf.getShort(34).toInt, buf.getInt(40))
   }
 
+  // ---- Y4M (YUV4MPEG2): the video sibling — a real public FRAME-marked
+  // stream container (ASCII stream header, then "FRAME\n" + fixed-size
+  // raw plane bytes per frame). Synthesis wraps the payload as 8×8 mono
+  // frames (64 bytes each, zero-padded tail) and records the unpadded
+  // payload length in a standard X extension parameter; decode walks the
+  // actual byte stream, validating the magic and every frame marker.
+
+  private val Y4mMagic = "YUV4MPEG2"
+
+  /** Serialize a minimal valid Y4M stream: parameterized stream header,
+    * then each fixed-size frame behind its own FRAME marker. */
+  private[llm] def y4mEncode(docLen: Int, frames: Array[Array[Byte]],
+      width: Int = 8, height: Int = 8): Array[Byte] = {
+    val header =
+      s"$Y4mMagic W$width H$height F25:1 Ip A1:1 Cmono XDOCLEN=$docLen\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val buf = ByteBuffer.allocate(
+      header.length + frames.map(marker.length + _.length).sum)
+    buf.put(header)
+    frames.foreach { f => buf.put(marker).put(f) }
+    buf.array()
+  }
+
+  /** Parse (width, height, unpadded doc length, frames) out of the byte
+    * stream. Every structural assumption is checked — wrong magic, an
+    * unknown/absent dimension token, a missing FRAME marker, a short
+    * final frame, or trailing garbage all throw rather than emitting
+    * garbage frames. */
+  private[llm] def y4mDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, s"no Y4M stream header (${bytes.length} bytes)")
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    val tokens = header.split(' ')
+    require(tokens.head == Y4mMagic, s"not a Y4M payload: '${tokens.head}'")
+    def intParam(prefix: String): Int = {
+      val t = tokens.tail.find(_.startsWith(prefix))
+      require(t.isDefined, s"Y4M header missing $prefix token: '$header'")
+      val v = t.get.drop(prefix.length)
+      require(v.nonEmpty && v.forall(_.isDigit), s"bad Y4M $prefix token: '${t.get}'")
+      v.toInt
+    }
+    val (w, h, docLen) = (intParam("W"), intParam("H"), intParam("XDOCLEN="))
+    val frameSize = w * h
+    require(frameSize > 0, s"degenerate Y4M dimensions ${w}x$h")
+    val marker = "FRAME".getBytes("US-ASCII")
+    val frames = Array.newBuilder[Array[Byte]]
+    var off = nl + 1
+    while (off < bytes.length) {
+      require(off + marker.length <= bytes.length &&
+        java.util.Arrays.equals(bytes, off, off + marker.length, marker, 0, marker.length),
+        s"missing FRAME marker at byte $off")
+      // Y4M permits per-frame parameters between the marker and '\n'
+      var eol = off + marker.length
+      while (eol < bytes.length && bytes(eol) != '\n'.toByte) eol += 1
+      require(eol < bytes.length, s"unterminated FRAME marker at byte $off")
+      require(eol + 1 + frameSize <= bytes.length,
+        s"truncated frame at byte ${eol + 1}: needs $frameSize bytes")
+      frames += java.util.Arrays.copyOfRange(bytes, eol + 1, eol + 1 + frameSize)
+      off = eol + 1 + frameSize
+    }
+    (w, h, docLen, frames.result())
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("multimodal_meta", (s, d) => {
@@ -161,29 +225,55 @@ object MultiModal {
       "((8000 + (doc_id % 5) * 4000) * (1 + doc_id % 2) * 2) AS duration_us, " +
       "sha256(text) AS checksum FROM documents ORDER BY doc_id")),
 
-    // ---- Frame sampling: treat the payload as a stream, cut fixed-size
-    // "frames" at a stride (every 4th 64-byte window — the every-k-th-
-    // frame video pattern), extract per-frame features. explode keeps it
-    // one pass, no shuffle until the (tiny) per-frame feature rows.
+    // ---- Frame sampling over a REAL container (r6 verdict item 2):
+    // synthesize a genuine Y4M stream per document (8×8 mono planes, the
+    // payload cut into 64-byte frames, zero-padded tail, unpadded length
+    // in an X parameter), then a decode pass that sees ONLY container
+    // bytes walks the stream marker-by-marker and samples every 4th
+    // frame — the every-k-th-frame video pattern. Features hash the
+    // UNPADDED frame content so the oracle can recompute them from the
+    // raw text; a corrupt container throws (Y4mContainerSpec) instead of
+    // emitting garbage frames. Reference analogue: binary segment
+    // ingestion, src/kmrfiles.c:638-1009.
     QueryDef("multimodal_frames", (s, d) => {
-      val frameLen = 64
-      val stride = 4 * frameLen
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-        .select(col("doc_id"),
-          posexplode(expr(
-            s"transform(sequence(0, CAST(greatest(0, (len - 1) DIV $stride) AS INT)), " +
-            s"k -> substring(text, k * $stride + 1, $frameLen))")))
-        .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
-          length(col("col")).cast("long").as("frame_len"),
-          sha2(col("col"), 256).as("frame_hash"))
+      import s.implicits._
+      val frameLen = 64 // 8×8 Cmono plane bytes
+      val sampleEvery = 4
+      val files = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val n = math.max(1, (bytes.length + frameLen - 1) / frameLen)
+          val frames = Array.tabulate(n) { k =>
+            val f = new Array[Byte](frameLen)
+            val start = k * frameLen
+            val len = math.max(0, math.min(frameLen, bytes.length - start))
+            if (len > 0) System.arraycopy(bytes, start, f, 0, len)
+            f
+          }
+          (id, y4mEncode(bytes.length, frames))
+        }
+      files.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { case (id, container) =>
+          val (w, h, docLen, frames) = y4mDecode(container)
+          val frameSize = w * h
+          Iterator.range(0, frames.length, sampleEvery).map { k =>
+            val len = math.max(0, math.min(frameSize, docLen - k * frameSize))
+            val hash = md.digest(java.util.Arrays.copyOfRange(frames(k), 0, len))
+              .map("%02x".format(_)).mkString
+            (id, k.toLong, len.toLong, hash)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "frame_len", "frame_hash")
         .orderBy("doc_id", "frame_idx")
     }, Some(
       "WITH ks AS (SELECT doc_id, text, " +
-      "unnest(range(0, CAST(greatest(0, (len(text)-1)//256) AS BIGINT) + 1)) AS k FROM documents) " +
+      "unnest(range(0, greatest((len(text)+63)//64, 1), 4)) AS k FROM documents) " +
       "SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, " +
-      "CAST(len(substring(text, CAST(k*256+1 AS INT), 64)) AS BIGINT) AS frame_len, " +
-      "sha256(substring(text, CAST(k*256+1 AS INT), 64)) AS frame_hash " +
+      "CAST(least(64, greatest(len(text) - k*64, 0)) AS BIGINT) AS frame_len, " +
+      "sha256(substring(text, CAST(k*64+1 AS INT), " +
+      "CAST(least(64, greatest(len(text)-k*64, 0)) AS INT))) AS frame_hash " +
       "FROM ks ORDER BY doc_id, frame_idx"))
   )
 }

@@ -50,6 +50,56 @@ class MultiModalSpec extends SparkSuite {
     }
   }
 
+  test("Y4M encode/decode round-trips header params and every frame") {
+    val payload = ("y4m frame payload " * 10).getBytes("US-ASCII")
+    val frames = payload.grouped(64).map(_.padTo(64, 0.toByte)).toArray
+    val bytes = MultiModal.y4mEncode(payload.length, frames)
+    assert(new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2")
+    val (w, h, docLen, parsed) = MultiModal.y4mDecode(bytes)
+    assert((w, h, docLen) == (8, 8, payload.length))
+    assert(parsed.length == frames.length)
+    parsed.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("corrupt Y4M containers fail loudly at the exact broken structure") {
+    val good = MultiModal.y4mEncode(64, Array(Array.fill(64)(7.toByte)))
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      MultiModal.y4mDecode("MPEG4VIDEO W8 H8\nFRAME\n".getBytes("US-ASCII"))
+    }
+    // no stream header newline at all
+    intercept[IllegalArgumentException] {
+      MultiModal.y4mDecode("YUV4MPEG2 W8 H8".getBytes("US-ASCII"))
+    }
+    // missing dimension token
+    intercept[IllegalArgumentException] {
+      MultiModal.y4mDecode("YUV4MPEG2 W8 XDOCLEN=0\n".getBytes("US-ASCII"))
+    }
+    // frame marker overwritten
+    val badMarker = good.clone()
+    val markerAt = good.indexOfSlice("FRAME".getBytes("US-ASCII"))
+    badMarker(markerAt) = 'X'.toByte
+    intercept[IllegalArgumentException] { MultiModal.y4mDecode(badMarker) }
+    // final frame truncated
+    intercept[IllegalArgumentException] {
+      MultiModal.y4mDecode(java.util.Arrays.copyOfRange(good, 0, good.length - 1))
+    }
+  }
+
+  test("multimodal_frames samples every 4th parsed frame with unpadded lengths") {
+    val rows = MultiModal.defs.find(_.name == "multimodal_frames").get
+      .fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (idx, len) = (r.getLong(1), r.getLong(2))
+      assert(idx % 4 == 0, s"unsampled frame index $idx emitted")
+      assert(len >= 0 && len <= 64, s"frame_len $len outside plane size")
+      assert(r.getString(3).length == 64, "sha256 hex digest expected")
+    }
+    // at least one document ends in a partial (unpadded-length) frame
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getLong(2) < 64))
+  }
+
   test("multimodal_meta parses the header fields the synthesizer wrote") {
     val rows = MultiModal.defs.find(_.name == "multimodal_meta").get
       .fn(spark, sfDir).collect()
