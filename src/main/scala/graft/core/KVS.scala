@@ -245,6 +245,77 @@ final class KVS[K, V](val ds: Dataset[(K, V)]) extends Serializable {
   def aggregateByKey[B, O](agg: org.apache.spark.sql.expressions.Aggregator[(K, V), B, O])(
       implicit ek: Encoder[K]): KVS[K, O] =
     new KVS(ds.groupByKey(_._1).agg(agg.toColumn))
+
+  /** kmr_map_via_spawn / kmr_map_processes analogue
+    * (src/kmrmapms.c:1938-2126, src/kmrwatch0.c; exercised by
+    * src/test5.c): gang-scheduled external processes, one per partition.
+    *
+    * Spark has no MPI_Comm_spawn, but `RDD.barrier()` gives the property
+    * those operators actually deliver: ALL member processes are
+    * co-resident for the duration of the stage — the scheduler launches
+    * every partition's task simultaneously (or none), and an explicit
+    * barrier aligns the moment the processes start, so a multi-process
+    * step whose members coordinate (the reference's spawned MPI worlds)
+    * can rely on its peers existing.
+    *
+    * Per-process contract (the kmrshell pipe protocol, kept so farm and
+    * barrier steps compose): the partition's pairs stream to stdin as
+    * `key\tvalue` lines; stdout lines come back as `key\tvalue` pairs
+    * (no tab → the line is the key, empty value). The environment
+    * carries the gang coordinates the reference passes via the spawned
+    * communicator — GRAFT_BARRIER_RANK (this member's index),
+    * GRAFT_BARRIER_SIZE (gang width), GRAFT_BARRIER_ADDRS (all members'
+    * `host:port` task addresses, rank-ordered — the hostfile a
+    * coordinating step would use to rendezvous).
+    *
+    * Scale shape: barrier stages need every task to hold a slot at once,
+    * so the gang width is the partition count the CALLER sets
+    * (repartition before the call) — exactly the reference's
+    * user-chosen spawn count. Streams are piped, never buffered whole;
+    * a nonzero exit fails the task loudly (the watch-process contract,
+    * src/kmrwatch0.c) rather than emitting partial output. */
+  def mapBarrier(cmd: Seq[String])(
+      implicit evK: K =:= String, evV: V =:= String,
+      e: Encoder[(String, String)]): KVS[String, String] = {
+    require(cmd.nonEmpty, "mapBarrier: empty command")
+    val argv = cmd
+    val out = ds.rdd.map(kv => (evK(kv._1), evV(kv._2))).barrier()
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.BarrierTaskContext.get()
+        val infos = ctx.getTaskInfos()
+        // Align the gang: every member reaches this point before any
+        // process is exec'd — the MPI_Comm_spawn moment.
+        ctx.barrier()
+        val pb = new ProcessBuilder(argv: _*)
+        pb.environment().put("GRAFT_BARRIER_RANK", ctx.partitionId().toString)
+        pb.environment().put("GRAFT_BARRIER_SIZE", infos.length.toString)
+        pb.environment().put("GRAFT_BARRIER_ADDRS", infos.map(_.address).mkString(","))
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        // Feed stdin from a separate thread so a process that writes
+        // before draining its input cannot deadlock against us.
+        val writer = new Thread(() => {
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            p.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+          try it.foreach { case (k, v) => w.write(k); w.write('\t'); w.write(v); w.write('\n') }
+          finally w.close()
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val lines = scala.io.Source.fromInputStream(
+          p.getInputStream, "UTF-8").getLines().map { line =>
+          line.indexOf('\t') match {
+            case -1 => (line, "")
+            case i  => (line.substring(0, i), line.substring(i + 1))
+          }
+        }.toVector
+        writer.join()
+        val rc = p.waitFor()
+        require(rc == 0, s"mapBarrier: rank ${ctx.partitionId()} command exited $rc")
+        lines.iterator
+      }
+    new KVS(spark.createDataset(out)(e))
+  }
 }
 
 object KVS {
