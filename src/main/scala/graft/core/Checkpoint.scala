@@ -25,19 +25,40 @@ object Checkpoint {
   /** Run `compute` unless the stage's snapshot is already committed;
     * either way return the restored snapshot. */
   def stage[K, V](spark: SparkSession, ckptDir: String, name: String)(
+      compute: => KVS[K, V])(implicit e: Encoder[(K, V)]): KVS[K, V] =
+    stage(spark, ckptDir, name, writerToken = null)(compute)
+
+  /** [[stage]] with a writer-epoch guard: pass the token from [[claim]]
+    * and a stage write aborts — loudly, before and after the save —
+    * when another run has re-claimed the directory in the meantime.
+    * Two concurrent writers sharing a ckptDir previously raced benignly
+    * but UNDETECTABLY (last save wins, both runs read whichever
+    * snapshot committed last); with the guard the superseded writer
+    * fails instead of silently publishing into the other run's stream. */
+  def stage[K, V](spark: SparkSession, ckptDir: String, name: String,
+      writerToken: String)(
       compute: => KVS[K, V])(implicit e: Encoder[(K, V)]): KVS[K, V] = {
     val path = s"$ckptDir/$name"
-    if (!committed(spark, path)) compute.save(path)
+    if (!committed(spark, path)) {
+      requireClaim(spark, ckptDir, writerToken, s"before writing stage '$name'")
+      compute.save(path)
+      requireClaim(spark, ckptDir, writerToken, s"after writing stage '$name'")
+    }
     KVS.restore[K, V](spark, path)
   }
 
   /** Dataset-shaped stage for non-KVS pipelines (kmrrun --ckpt wires
     * its pipe stages through this). Same commit rule as [[stage]]. */
-  def stageDs[T](spark: SparkSession, ckptDir: String, name: String)(
+  def stageDs[T](spark: SparkSession, ckptDir: String, name: String,
+      writerToken: String = null)(
       compute: => org.apache.spark.sql.Dataset[T])(
       implicit e: Encoder[T]): org.apache.spark.sql.Dataset[T] = {
     val path = s"$ckptDir/$name"
-    if (!committed(spark, path)) compute.write.mode("overwrite").parquet(path)
+    if (!committed(spark, path)) {
+      requireClaim(spark, ckptDir, writerToken, s"before writing stage '$name'")
+      compute.write.mode("overwrite").parquet(path)
+      requireClaim(spark, ckptDir, writerToken, s"after writing stage '$name'")
+    }
     spark.read.parquet(path).as[T]
   }
 
@@ -50,6 +71,72 @@ object Checkpoint {
     val p = new org.apache.hadoop.fs.Path(ckptDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  // ---- Writer-epoch manifest + snapshot GC (r6 verdict item 7).
+
+  private val ManifestName = "_graft_writer"
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Claim ckptDir for this run: record a fresh writer token in the
+    * directory manifest (the reference's kmr_ckpt per-job ckpt
+    * directory identity, src/kmrckpt.c "ckpt_<jobid>" naming, minus the
+    * MPI job id Spark does not have). The returned token passes to the
+    * guarded [[stage]]/[[stageDs]] overloads; a later claim by another
+    * run supersedes this one and makes the guarded writes fail. */
+  def claim(spark: SparkSession, ckptDir: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(ckptDir)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val token = java.util.UUID.randomUUID().toString
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, ManifestName), true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    token
+  }
+
+  /** The token of the run currently holding the directory, if any. */
+  def currentWriter(spark: SparkSession, ckptDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(ckptDir, ManifestName)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def requireClaim(spark: SparkSession, ckptDir: String,
+      token: String, when: String): Unit =
+    if (token != null) {
+      val held = currentWriter(spark, ckptDir)
+      if (!held.contains(token))
+        throw new IllegalStateException(
+          s"checkpoint dir '$ckptDir' was re-claimed by another run $when " +
+          s"(held=${held.getOrElse("<none>")}, mine=$token); aborting instead " +
+          "of racing two writers over the same snapshots")
+    }
+
+  /** GC: delete COMMITTED stage snapshots whose `_SUCCESS` is older
+    * than `maxAgeMs`. In-flight (uncommitted) stage directories are
+    * never touched — they belong to a running writer; torn leftovers
+    * are reclaimed by the recompute path instead. Returns the deleted
+    * stage names so callers can log them. */
+  def clearStale(spark: SparkSession, ckptDir: String, maxAgeMs: Long): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(ckptDir)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    f.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val marker = new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")
+        val stale = f.exists(marker) && f.getFileStatus(marker).getModificationTime < cutoff
+        if (stale && f.delete(st.getPath, true)) Some(st.getPath.getName) else None
+      }
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -76,6 +76,59 @@ class CheckpointSpec extends SparkSuite {
     assert(Checkpoint.committed(spark, s"$dir/s1"))
   }
 
+  test("a superseded writer fails loudly instead of racing a re-claimed dir") {
+    import spark.implicits._
+    val dir = freshDir("epoch")
+    val tokenA = Checkpoint.claim(spark, dir)
+    // run B takes over the directory (a concurrent restart of the job)
+    val tokenB = Checkpoint.claim(spark, dir)
+    assert(tokenA != tokenB)
+    assert(Checkpoint.currentWriter(spark, dir).contains(tokenB))
+    // A's guarded write on an uncommitted stage must abort, not publish
+    val ex = intercept[IllegalStateException] {
+      Checkpoint.stage(spark, dir, "s1", tokenA) {
+        KVS.generate(spark, Seq(("a", 1L)))
+      }
+    }
+    assert(ex.getMessage.contains("re-claimed"))
+    // B still writes fine, and an already-committed stage restores for
+    // anyone regardless of claim (reads don't race)
+    val fromB = Checkpoint.stage(spark, dir, "s1", tokenB) {
+      KVS.generate(spark, Seq(("b", 2L)))
+    }
+    assert(fromB.ds.collect().toSeq == Seq(("b", 2L)))
+    val readBack = Checkpoint.stage(spark, dir, "s1", tokenA) {
+      KVS.generate(spark, Seq(("never", 0L)))
+    }
+    assert(readBack.ds.collect().toSeq == Seq(("b", 2L)),
+      "a committed stage restores without consulting the claim")
+  }
+
+  test("clearStale expires old committed snapshots and spares in-flight dirs") {
+    import spark.implicits._
+    val dir = freshDir("gc")
+    Checkpoint.stage(spark, dir, "old")(KVS.generate(spark, Seq(("o", 1L))))
+    Checkpoint.stage(spark, dir, "fresh")(KVS.generate(spark, Seq(("f", 2L))))
+    // an uncommitted (torn) stage dir must survive GC no matter its age
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dir/inflight/part-000")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsPath); out.write(9); out.close()
+    // age the 'old' snapshot's commit marker past the cutoff
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/old/_SUCCESS")
+    fs.setTimes(marker, System.currentTimeMillis() - 3600_000L, -1)
+    val deleted = Checkpoint.clearStale(spark, dir, maxAgeMs = 60_000L)
+    assert(deleted == Seq("old"), s"deleted $deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/old")))
+    assert(Checkpoint.committed(spark, s"$dir/fresh"), "fresh snapshot must survive")
+    assert(fs.exists(fsPath), "in-flight stage dir must survive GC")
+    // the expired stage recomputes on next use — GC is safe by design
+    val computes = new AtomicInteger(0)
+    Checkpoint.stage(spark, dir, "old") {
+      computes.incrementAndGet(); KVS.generate(spark, Seq(("o", 1L)))
+    }
+    assert(computes.get() == 1)
+  }
+
   test("PipeRun --ckpt: a rerun restores the mapper stage without re-reading the input") {
     val dir = freshDir("piperun")
     val work = java.nio.file.Files.createTempDirectory("piperun_in")
