@@ -19,14 +19,19 @@ object Tables {
     // nanos are surfaced as long. Set here (runtime-settable SQLConf) so
     // every entry point — including a driver-built session — reads safely.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // The generator has shipped `ts` as both TIMESTAMP(NANOS) (long under
-    // nanosAsLong) and TIMESTAMP(MICROS) (TimestampType). Canonicalize to
-    // nanos-since-epoch BIGINT so every downstream `ts div …` bucket
-    // expression sees one type. unix_micros*1000 cannot overflow until
-    // year ~2262 — the same ceiling the nanos encoding itself has. DuckDB
-    // oracles are precision-agnostic already (epoch_ns/epoch_us of a
-    // TIMESTAMP), so only this side needs the normalization.
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** The generator has shipped `ts` as both TIMESTAMP(NANOS) (long under
+    * nanosAsLong) and timezone-less TIMESTAMP(MICROS). Canonicalize any
+    * `ts` column to nanos-since-epoch BIGINT so every downstream
+    * `ts div …` bucket expression sees one type. unix_micros*1000 cannot
+    * overflow until year ~2262 — the same ceiling the nanos encoding
+    * itself has. DuckDB oracles are precision-agnostic already
+    * (epoch_ns/epoch_us of a TIMESTAMP), so only this side needs the
+    * normalization. Works on batch AND streaming frames — readStream
+    * sources over the same parquet need the identical treatment. */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.TimestampType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000L"))
@@ -34,12 +39,11 @@ object Tables {
         // Timezone-less parquet micros. DuckDB's epoch_ns treats the naive
         // value as UTC; pin the session zone so the NTZ→LTZ cast agrees
         // with the oracle no matter what zone built the session.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("unix_micros(cast(ts AS timestamp)) * 1000L"))
       case _ => df
     }
-  }
 
   /** events.ts (nanos-since-epoch long under nanosAsLong) as
     * microseconds. INTEGER division is load-bearing: a double quotient

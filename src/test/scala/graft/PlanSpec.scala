@@ -133,11 +133,18 @@ class PlanSpec extends SparkSuite {
   }
 
   test("triangle_count: sparsification is TakeOrderedAndProject, co-occurrence a key join") {
+    // Since the r7 session-scoped coPairs cache, the GATE plan starts from
+    // the localCheckpoint'ed edge set — the top-k and self-join live in the
+    // build plan, which is what a fresh session (or production
+    // materialization job) pays. Audit both.
+    val bp = planString(graft.algos.Graph.coPairsBuild(spark, sfDir))
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"top-2000 support cut compiles to a full global sort:\n$bp")
+    assert(!bp.contains("CartesianProduct") && !bp.contains("BroadcastNestedLoop"),
+      s"pair generation degenerated to a non-key join:\n$bp")
     val p = planString(q("triangle_count"))
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-2000 support cut compiles to a full global sort:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"pair generation degenerated to a non-key join:\n$p")
+      s"wedge closure degenerated to a non-key join:\n$p")
   }
 
   test("topk_per_group: phase-1 window is salted; no window runs over the bare group key alone on the full input") {

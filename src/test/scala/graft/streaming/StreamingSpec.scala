@@ -43,10 +43,14 @@ class StreamingSpec extends SparkSuite {
     Files.createDirectories(dir)
     Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(dir.toString).schema
-    def prep(df: org.apache.spark.sql.DataFrame) = df.select(
-      col("event_type"),
-      timestamp_micros(graft.Tables.tsUs).as("ts_t"),
-      round(col("value") * 100, 0).cast("long").as("cents"))
+    // raw readStream bypasses Tables.load, so apply the same ts
+    // canonicalization (the parquet has shipped both nanos-long and
+    // NTZ-micros shapes across driver regenerations)
+    def prep(df0: org.apache.spark.sql.DataFrame) =
+      graft.Tables.normalizeTs(df0).select(
+        col("event_type"),
+        timestamp_micros(graft.Tables.tsUs).as("ts_t"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
     val q = StreamOps.windowedCounts(prep(stream)).writeStream
       .format("memory").queryName("file_win").outputMode("complete").start()
