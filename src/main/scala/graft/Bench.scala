@@ -106,7 +106,10 @@ object Bench {
     val detail = ok.sortBy(_._1)
       .map { case (k, v, m, _) => s"""${jstr(k)}:{"min":${fmt(v)},"med":${fmt(m)}}""" }
       .mkString("{\"queries\":{", ",", s"""},"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
-    Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed
+    // full-census detail file — a local iteration would silently replace
+    // the baseline the noise-defense pass compares against.
+    if (only.isEmpty) Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
     // subset runs are marked so a partial total can never be mistaken
     // for a full-run baseline
     val subset = if (only.isDefined) ""","subset":true""" else ""

@@ -37,11 +37,14 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000L"))
       case Some(org.apache.spark.sql.types.TimestampNTZType) =>
         // Timezone-less parquet micros. DuckDB's epoch_ns treats the naive
-        // value as UTC; pin the session zone so the NTZ→LTZ cast agrees
-        // with the oracle no matter what zone built the session.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("unix_micros(cast(ts AS timestamp)) * 1000L"))
+        // value as UTC; timestampdiff on NTZ is pure wall-clock arithmetic
+        // (verified session-zone-independent), so the naive value maps to
+        // UTC epoch micros without mutating spark.sql.session.timeZone as
+        // a loader side effect (sessions still pin UTC at setup for date
+        // functions generally, but loading a table must not change
+        // unrelated session behavior).
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000L"))
       case _ => df
     }
 

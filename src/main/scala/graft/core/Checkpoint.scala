@@ -91,9 +91,20 @@ object Checkpoint {
     val f = fs(spark, dir)
     f.mkdirs(dir)
     val token = java.util.UUID.randomUUID().toString
-    val out = f.create(new org.apache.hadoop.fs.Path(dir, ManifestName), true)
+    // Write-then-rename: a concurrent currentWriter/requireClaim must
+    // never observe an empty or torn manifest (create-truncate exposed
+    // a zero-byte window that could spuriously abort a valid writer).
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$ManifestName.tmp.$token")
+    val out = f.create(tmp, true)
     try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    if (!f.rename(tmp, dst)) {
+      // HDFS-style rename refuses to clobber; retry once after delete —
+      // last rename wins, matching claim()'s last-writer-supersedes spec.
+      f.delete(dst, false)
+      require(f.rename(tmp, dst), s"claim: rename to $dst failed twice")
+    }
     token
   }
 

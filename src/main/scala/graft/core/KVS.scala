@@ -271,9 +271,11 @@ final class KVS[K, V](val ds: Dataset[(K, V)]) extends Serializable {
     * Scale shape: barrier stages need every task to hold a slot at once,
     * so the gang width is the partition count the CALLER sets
     * (repartition before the call) — exactly the reference's
-    * user-chosen spawn count. Streams are piped, never buffered whole;
-    * a nonzero exit fails the task loudly (the watch-process contract,
-    * src/kmrwatch0.c) rather than emitting partial output. */
+    * user-chosen spawn count. Stdin streams to the child without
+    * buffering; stdout is collected per-partition BEFORE the exit-code
+    * check so that a failing child can never emit partial output — a
+    * nonzero exit (or a stdin-feed failure) fails the task loudly (the
+    * watch-process contract, src/kmrwatch0.c). */
   def mapBarrier(cmd: Seq[String])(
       implicit evK: K =:= String, evV: V =:= String,
       e: Encoder[(String, String)]): KVS[String, String] = {
@@ -293,12 +295,19 @@ final class KVS[K, V](val ds: Dataset[(K, V)]) extends Serializable {
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
         // Feed stdin from a separate thread so a process that writes
-        // before draining its input cannot deadlock against us.
+        // before draining its input cannot deadlock against us. A feed
+        // failure (e.g. broken pipe from a child that stopped reading
+        // early yet exits 0) must fail the TASK, not die silently in
+        // the daemon thread — otherwise partial input yields silently
+        // partial results.
+        @volatile var writerFailure: Throwable = null
         val writer = new Thread(() => {
           val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
             p.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
-          try it.foreach { case (k, v) => w.write(k); w.write('\t'); w.write(v); w.write('\n') }
-          finally w.close()
+          try {
+            try it.foreach { case (k, v) => w.write(k); w.write('\t'); w.write(v); w.write('\n') }
+            finally w.close()
+          } catch { case t: Throwable => writerFailure = t }
         })
         writer.setDaemon(true)
         writer.start()
@@ -312,6 +321,10 @@ final class KVS[K, V](val ds: Dataset[(K, V)]) extends Serializable {
         writer.join()
         val rc = p.waitFor()
         require(rc == 0, s"mapBarrier: rank ${ctx.partitionId()} command exited $rc")
+        if (writerFailure != null)
+          throw new java.io.IOException(
+            s"mapBarrier: rank ${ctx.partitionId()} stdin feed failed mid-stream " +
+            "(child consumed partial input) — refusing to emit its output", writerFailure)
         lines.iterator
       }
     new KVS(spark.createDataset(out)(e))

@@ -240,9 +240,18 @@ object MultiModal {
       val frameLen = 64 // 8×8 Cmono plane bytes
       val sampleEvery = 4
       val files = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .map { case (id, bytes) =>
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // ASCII tripwire: the DuckDB oracle slices text by CHARACTERS
+          // (this DuckDB build has no BLOB substring), the Spark side by
+          // BYTES — equivalent only while documents.text is pure ASCII.
+          // A generator regen that introduces multi-byte characters must
+          // fail LOUDLY here, not silently hash-mismatch at the gate.
+          require(bytes.length == text.length,
+            s"multimodal_frames: doc $id contains non-ASCII text; the " +
+            "char-sliced DuckDB oracle no longer matches byte-sliced frames")
           val n = math.max(1, (bytes.length + frameLen - 1) / frameLen)
           val frames = Array.tabulate(n) { k =>
             val f = new Array[Byte](frameLen)
