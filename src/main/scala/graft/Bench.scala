@@ -12,6 +12,39 @@ import java.nio.file.{Files, Paths}
   * and reports the fastest; min-of-N isolates the engine's cost from
   * co-tenant interference. */
 object Bench {
+
+  /** Noise self-defense (round-8 verdict item 5): the driver's bench
+    * window once charged dedup_jaccard 4.7× its committed same-binary
+    * cost — a sustained co-tenant noise plateau that min-of-3 cannot
+    * filter. Queries whose fresh min exceeds `ratio`× the committed
+    * bench_detail min (and an absolute floor that keeps sub-second
+    * session-overhead queries out) are re-run; any that STAY elevated
+    * are named in a tiny "suspect" list on the stdout line so a reader
+    * can tell "sustained noise window" from "real regression" without
+    * diffing detail files by hand. Pure function so a spec can drive it
+    * with synthetic slowdowns. */
+  def suspects(committed: Map[String, Double], measured: Map[String, Double],
+      ratio: Double = 2.5, floorSec: Double = 0.5): Seq[String] =
+    measured.toSeq.collect {
+      case (name, v) if v >= floorSec &&
+        committed.get(name).exists(c => c > 0 && v > ratio * c) => name
+    }.sorted
+
+  /** Per-query committed mins from a bench_detail.json written by this
+    * same object (tiny parser, zero deps; None when absent/unreadable or
+    * recorded at a different SF — ratios across SFs are meaningless). */
+  def committedMins(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
+    try {
+      val txt = Files.readString(path)
+      val sfRe = "\"sf\":\"([^\"]+)\"".r
+      if (!sfRe.findFirstMatchIn(txt).exists(_.group(1) == sf)) None
+      else {
+        val qRe = "\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+)".r
+        val m = qRe.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+        if (m.isEmpty) None else Some(m)
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,14 +74,16 @@ object Bench {
         SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timings = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val err: Option[String] =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val timings = (1 to runs).map(_ => timeOnce(fn))
       val firstErr = timings.flatMap(_._2).headOption
       val sorted = timings.map(_._1).sorted
       // min isolates engine cost from co-tenant noise; median bounds how
@@ -57,6 +92,23 @@ object Bench {
       // host window without re-running (BASELINE.md protocol).
       (name, sorted.head, sorted(sorted.size / 2), firstErr)
     }
+    // Noise self-defense: queries deviating >2.5× from the committed
+    // bench_detail (same SF) get up to 2 extra trials — a noise plateau
+    // usually clears; a real regression stays and is NAMED in "suspect".
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val committed = committedMins(Paths.get("bench_detail.json"), sfName)
+    val firstSus = committed.map(c =>
+      suspects(c, results0.collect { case (n, v, _, None) => n -> v }.toMap))
+      .getOrElse(Seq.empty).toSet
+    val results = results0.map {
+      case (name, v, m, None) if firstSus(name) =>
+        val extra = (1 to 2).map(_ => timeOnce(selected(name))).collect { case (t, None) => t }
+        (name, (v +: extra).min, m, Option.empty[String])
+      case r => r
+    }
+    val stillSuspect = committed.map(c =>
+      suspects(c, results.collect { case (n, v, _, None) => n -> v }.toMap))
+      .getOrElse(Seq.empty)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -107,19 +159,38 @@ object Bench {
       .map { case (k, v, m, _) => s"""${jstr(k)}:{"min":${fmt(v)},"med":${fmt(m)}}""" }
       .mkString("{\"queries\":{", ",", s"""},"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed
-    // full-census detail file — a local iteration would silently replace
-    // the baseline the noise-defense pass compares against.
-    if (only.isEmpty) Files.writeString(Paths.get("bench_detail.json"), detail + "\n")
+    // full-census detail file, and neither may a full run at a DIFFERENT
+    // SF (a local sf0.01 smoke would silently replace the sf0.1 baseline
+    // and disable the noise-defense compare for the next driver run) —
+    // cross-SF details go to bench_detail_<sf>.json instead. The driver's
+    // own sf0.1 runs match the committed sf and update in place.
+    if (only.isEmpty) {
+      val canonical = Paths.get("bench_detail.json")
+      // missing or unparseable existing file → safe to (re)write in place
+      val existingSf =
+        try "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(canonical)).map(_.group(1))
+        catch { case _: Throwable => None }
+      val target = if (existingSf.forall(_ == sfName)) canonical
+                   else Paths.get(s"bench_detail_$sfName.json")
+      Files.writeString(target, detail + "\n")
+    }
     // subset runs are marked so a partial total can never be mistaken
     // for a full-run baseline
     val subset = if (only.isDefined) ""","subset":true""" else ""
+    // Names that stayed >2.5× their committed same-SF min after retries —
+    // normally empty (zero bytes of the tail window); a non-empty list
+    // says "compare bench_detail.json to the committed one before
+    // believing these numbers".
+    val suspectField =
+      if (stillSuspect.isEmpty) ""
+      else s""","suspect":${stillSuspect.map(jstr).mkString("[", ",", "]")}"""
     // The grand total appears TWICE: "value" at the very front (the
     // primary field) and "total_s" as the FINAL key — stdout tail
     // capture truncates the front of an over-long line, so whichever
     // end survives carries the total. sf as basename: every byte here
     // trades against per-query map capacity.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset,"sf":${jstr(Paths.get(sfDir).getFileName.toString)},"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset$suspectField,"sf":${jstr(sfName)},"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout

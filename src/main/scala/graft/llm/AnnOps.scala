@@ -56,6 +56,35 @@ object AnnOps {
     when(den === 0, lit(null)).otherwise(dot(col(q), col(v)) / den)
   }
 
+  /** Shared DuckDB oracle for ann_ivf_topk AND ann_ivf_indexed — both
+    * must produce the identical ranking whether the assignment is inline
+    * or served from the persisted index. */
+  private val ivfOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn WHERE vec_id < $K),
+        assigned AS (
+          SELECT vec_id, e, nrm, cid FROM (
+            SELECT a.vec_id, a.e, a.nrm, c.cid,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0) DESC, c.cid) AS ark
+            FROM vn a, cents c) t WHERE ark = 1),
+        q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id < $NQUERY),
+        probes AS (
+          SELECT qid, qe, qnrm, cid FROM (
+            SELECT q.qid, q.qe, q.qnrm, c.cid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY list_dot_product(c.ce, q.qe)/nullif(c.cnrm*q.qnrm, 0) DESC, c.cid) AS prk
+            FROM q, cents c) t WHERE prk <= $NPROBE),
+        cand AS (
+          SELECT p.qid, a.vec_id, list_dot_product(p.qe, a.e)/nullif(p.qnrm*a.nrm, 0) AS cos
+          FROM assigned a JOIN probes p ON a.cid = p.cid
+          WHERE a.vec_id <> p.qid),
+        ranked AS (SELECT qid, vec_id, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cand)
+        SELECT qid, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= $TOPK ORDER BY qid, rk"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("ann_cosine_topk", (s, d) => bruteForceTopk(s, d), Some(
@@ -77,31 +106,15 @@ object AnnOps {
     // float op is a sequential-order dot/product both engines share), so
     // the whole IVF pipeline — assignment, probe, bucket join, re-rank —
     // is DuckDB-oracled, not just rows-checked.
-    QueryDef("ann_ivf_topk", (s, d) => ivfTopk(s, d), Some(
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-          vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-          cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn WHERE vec_id < $K),
-          assigned AS (
-            SELECT vec_id, e, nrm, cid FROM (
-              SELECT a.vec_id, a.e, a.nrm, c.cid,
-                row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0) DESC, c.cid) AS ark
-              FROM vn a, cents c) t WHERE ark = 1),
-          q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id < $NQUERY),
-          probes AS (
-            SELECT qid, qe, qnrm, cid FROM (
-              SELECT q.qid, q.qe, q.qnrm, c.cid,
-                row_number() OVER (PARTITION BY q.qid
-                  ORDER BY list_dot_product(c.ce, q.qe)/nullif(c.cnrm*q.qnrm, 0) DESC, c.cid) AS prk
-              FROM q, cents c) t WHERE prk <= $NPROBE),
-          cand AS (
-            SELECT p.qid, a.vec_id, list_dot_product(p.qe, a.e)/nullif(p.qnrm*a.nrm, 0) AS cos
-            FROM assigned a JOIN probes p ON a.cid = p.cid
-            WHERE a.vec_id <> p.qid),
-          ranked AS (SELECT qid, vec_id, cos,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cand)
-          SELECT qid, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS BIGINT) AS rk
-          FROM ranked WHERE rk <= $TOPK ORDER BY qid, rk""")),
+    QueryDef("ann_ivf_topk", (s, d) => ivfTopk(s, d), Some(ivfOracle)),
+
+    // ---- The SAME IVF search served from the PERSISTED index
+    // ([[ivfIndex]]): centroids + assignment written once per corpus,
+    // every query thereafter reads only the two index tables — the
+    // O(nK) assignment scan is gone from the per-query plan
+    // (IvfIndexSpec pins that). Identical output, shared oracle, so a
+    // stale or torn index fails the hash gate loudly.
+    QueryDef("ann_ivf_indexed", (s, d) => ivfTopkIndexed(s, d), Some(ivfOracle)),
 
     // ---- Int8 symmetric quantization of the embedding column — the
     // compression step a 100 TB vector store runs before ANN (4× smaller
@@ -349,30 +362,43 @@ object AnnOps {
     * per query, exact re-rank inside the probed buckets only. */
   def ivfTopk(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
-    // Deterministic centroid stub: the first K vectors. A production
-    // build would k-means on a sample; the dataflow below is unchanged.
-    val cents = v.filter(col("vec_id") < K)
+    val cents = centroidsOf(v)
+    ivfServe(ivfAssign(v, cents), cents)
+  }
+
+  /** Deterministic centroid stub: the first K vectors. A production
+    * build would k-means on a sample; the dataflow is unchanged. */
+  private def centroidsOf(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
-    // One O(nK) assignment pass → every vector gets its nearest bucket.
-    // argmax-by-struct aggregate, NOT a per-vector window: the broadcast
-    // crossJoin keeps a vector's K candidate rows in one task, so the
-    // map-side partial min collapses them before the shuffle — n tiny
-    // rows cross the wire instead of a n×K shuffle-and-sort.
-    // min(struct(-cos, cid)) == "highest cosine, then lowest cid", the
-    // exact order the window variant (and the oracle) ranks by. A NULL
-    // cosine (zero-norm centroid or vector) coalesces to -Infinity so it
-    // ranks LAST like the oracle's DESC — a struct with a null first
-    // field would otherwise sort FIRST and a degenerate centroid would
-    // capture the whole corpus.
-    val assigned = v.crossJoin(broadcast(cents))
+
+  /** One O(nK) assignment pass → every vector gets its nearest bucket.
+    * argmax-by-struct aggregate, NOT a per-vector window: the broadcast
+    * crossJoin keeps a vector's K candidate rows in one task, so the
+    * map-side partial min collapses them before the shuffle — n tiny
+    * rows cross the wire instead of a n×K shuffle-and-sort.
+    * min(struct(-cos, cid)) == "highest cosine, then lowest cid", the
+    * exact order the window variant (and the oracle) ranks by. A NULL
+    * cosine (zero-norm centroid or vector) coalesces to -Infinity so it
+    * ranks LAST like the oracle's DESC — a struct with a null first
+    * field would otherwise sort FIRST and a degenerate centroid would
+    * capture the whole corpus. */
+  private def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
       .withColumn("ccos",
         coalesce(cosCol("ce", "e", "cnrm", "nrm"), lit(Double.NegativeInfinity)))
       .groupBy("vec_id")
       .agg(first("e").as("e"), first("nrm").as("nrm"),
         min(struct(negate(col("ccos")), col("cid"))).as("m"))
       .select(col("vec_id"), col("e"), col("nrm"), col("m.cid").as("cid"))
-    // Each query probes its NPROBE nearest centroids.
-    val q = v.filter(col("vec_id") < NQUERY)
+
+  /** Probe + re-rank over an (already-built) assignment: each query
+    * probes its NPROBE nearest centroids; candidates = vectors in probed
+    * buckets (equality join on cid — bucket-shuffled, never all-pairs),
+    * exact cosine re-rank. Query vectors are read FROM the assignment
+    * (it carries e/nrm), so a serve-path caller touches no corpus scan. */
+  private def ivfServe(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val q = assigned.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val wProbe = Window.partitionBy("qid").orderBy(desc("pcos"), col("cid"))
     val probes = q.crossJoin(broadcast(cents))
@@ -380,8 +406,6 @@ object AnnOps {
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= NPROBE)
       .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
-    // Candidates = vectors in probed buckets (equality join on cid —
-    // bucket-shuffled, never all-pairs), exact cosine re-rank.
     val wRank = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
     assigned.join(probes, "cid")
       .filter(col("vec_id") =!= col("qid"))
@@ -390,5 +414,44 @@ object AnnOps {
       .filter(col("rk") <= TOPK)
       .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos_sim"), col("rk"))
       .orderBy("qid", "rk")
+  }
+
+  /** Cheap embeddings freshness fingerprint (count, id sum, total
+    * element count) for the persisted IVF index — same contract as
+    * Dedup's corpus fingerprint. */
+  private def embFingerprint(s: SparkSession, d: String): String = {
+    val r = Tables.load(s, d, "embeddings").agg(
+      count(lit(1)).cast("long"),
+      coalesce(sum("vec_id"), lit(0L)),
+      coalesce(sum(size(col("embedding"))).cast("long"), lit(0L))).head()
+    s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+  }
+
+  /** The PERSISTED IVF index (round-8 verdict item 2): centroids and the
+    * vec→cid assignment written once per corpus as external tables (the
+    * assignment bucketed on cid), served thereafter — the one-off O(nK)
+    * assignment scan leaves the per-query plan. Freshness and
+    * cross-session re-registration via [[graft.sources.ServedIndex]]. */
+  def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = embFingerprint(s, d)
+    val assigned = graft.sources.ServedIndex(s, s"ivf_assign$sfx", s"ivf_assign$sfx", fp,
+      "vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT", "cid", 8) {
+      val v = vecs(s, d)
+      ivfAssign(v, centroidsOf(v))
+    }
+    val cents = graft.sources.ServedIndex(s, s"ivf_cents$sfx", s"ivf_cents$sfx", fp,
+      "cid BIGINT, ce ARRAY<DOUBLE>, cnrm DOUBLE", "cid", 0) {
+      centroidsOf(vecs(s, d))
+    }
+    (assigned, cents)
+  }
+
+  /** [[ivfTopk]] served from the persisted index — identical output
+    * (shared oracle), but the per-query plan reads ONLY the two index
+    * tables: no embeddings scan, no assignment crossJoin. */
+  def ivfTopkIndexed(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = ivfIndex(s, d)
+    ivfServe(assigned, cents.select(col("cid"), col("ce"), col("cnrm")))
   }
 }

@@ -280,6 +280,19 @@ object Dedup {
       shinglesSql + minhashSql +
       " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32 ORDER BY id1, id2")),
 
+    // ---- The SAME candidate generation served from the PERSISTED band
+    // index ([[minhashIndex]]): signatures computed once per corpus and
+    // written as a bucketed+sorted external table; the per-query plan is
+    // a zero-Exchange bucketed self-join over the index — the 100 TB
+    // production shape (pay the signature shuffle once when the corpus
+    // lands, reuse it for every dedup/contamination/similarity query).
+    // Identical output to dedup_minhash, so the oracle is shared; a
+    // stale or corrupt index therefore fails the hash gate loudly.
+    QueryDef("dedup_indexed", (s, d) =>
+      indexedPairs(minhashIndex(s, d), est = 0.5), Some(
+      shinglesSql + minhashSql +
+      " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32 ORDER BY id1, id2")),
+
     // ---- Dedup quality evaluation as a first-class operator: before
     // trusting an approximate dedup at 100 TB, MEASURE it — candidate
     // pairs from MinHash-LSH (est >= 0.5) scored against exact-Jaccard
@@ -541,23 +554,101 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Per-doc 64-long MinHash signatures. Each shingle is hashed ONCE
+    * (two independent md5-portable hashes); the 64 permutations are the
+    * universal family h_j = (h1 + j*h2) mod (2^31-1) — the Mersenne-prime
+    * modulus decorrelates permutations and 31-bit operands keep ANSI
+    * arithmetic far from overflow (63·2^31). % (not pmod) suffices:
+    * md5Long is non-negative by construction. One native buffer aggregate
+    * (graft.functions.MinHashAgg) instead of 64 min() columns — same
+    * values bit-for-bit, one tight loop per shingle, still map-side
+    * partially aggregated. */
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).select(col("doc_id"),
+        (md5Long(col("gram")) % 2147483647L).as("h1"),
+        (md5Long(concat(col("gram"), lit("!"))) % 2147483646L + 1).as("h2"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h1"), col("h2")).as("sig"))
+
+  /** Banded index rows (doc_id, sig, bkey): 16 bands × 4 signature
+    * values, the band key flattened to ONE scalar string column
+    * (`band:v1,v2,v3,v4` — injective, decimal longs are unambiguous) so
+    * the persisted index can be bucketed AND sorted on it; Spark cannot
+    * bucket on an array column, and a scalar key is what a bucketed
+    * sort-merge self-join co-locates on with zero Exchange. */
+  private[graft] def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 15), b -> " +
+          "struct(b AS band, slice(sig, b*4+1, 4) AS bk))")).as("bb"))
+      .select(col("doc_id"), col("sig"), expr(
+        "concat(bb.band, ':', array_join(transform(bb.bk, x -> cast(x AS string)), ','))")
+        .as("bkey"))
+
+  /** Build-or-serve the PERSISTED MinHash band index (SURVEY §9's
+    * "persisted as a bucketed table in production"; the reference's
+    * inverted-index join kernel kmr_match, src/kmrmoreops.c:695-728,
+    * materialized instead of rebuilt per query).
+    *
+    * The expensive work of LSH dedup is signature computation (shingle →
+    * two md5 hashes → 64-permutation fold); candidate generation is a
+    * cheap equality join. This persists the banded signature table
+    * bucketed+sorted on the band key at a stable EXTERNAL location, so:
+    * - signatures are computed once per corpus, not once per query;
+    * - every candidate join is bucket-co-located — ZERO Exchange, zero
+    *   Sort (IndexedDedupSpec pins the plan);
+    * - a NEW SparkSession (in-memory catalog forgets tables) just
+    *   re-registers DDL against the existing files — no rewrite.
+    * Freshness: a cheap corpus fingerprint (row count, sum(doc_id),
+    * sum(char length)) rides beside the data; a driver data regen
+    * changes it and forces a rebuild, so serving can never go stale.
+    * At 100 TB the shape is identical with more buckets (thousands) —
+    * the index write is the one full shuffle the corpus ever pays. */
+  val IndexBuckets = 16
+
+  /** Cheap corpus freshness fingerprint for [[minhashIndex]]: row count,
+    * id sum, and total char length — a driver data regen changes it (and
+    * forces a rebuild) without the fingerprint pass paying anything close
+    * to the signature pipeline it guards. */
+  private[llm] def corpusFingerprint(s: SparkSession, d: String): String = {
+    val r = Tables.load(s, d, "documents").agg(
+      count(lit(1)).cast("long"),
+      coalesce(sum("doc_id"), lit(0L)),
+      coalesce(sum(length(col("text"))).cast("long"), lit(0L))).head()
+    s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+  }
+
+  def minhashIndex(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.ServedIndex(s, s"minhash_idx$sfx", s"minhash$sfx",
+      corpusFingerprint(s, d),
+      "doc_id BIGINT, sig ARRAY<BIGINT>, bkey STRING",
+      "bkey", IndexBuckets)(bandRows(minhashSigs(s, d)))
+  }
+
+  /** Candidate pairs served FROM the persisted index — same semantics as
+    * [[minhashPairs]] (the scalar bkey join is injective in (band, bk)),
+    * but the signature pipeline is gone from the per-query plan and the
+    * self-join is bucket-co-located. hint("merge") pins the sort-merge
+    * join so the bucketed layout is what actually runs even at gate
+    * scales where the planner would broadcast one side. */
+  def indexedPairs(idx: DataFrame, est: Double): DataFrame = {
+    val minMatch = math.ceil(est * 64).toLong
+    idx.as("a").hint("merge")
+      .join(idx.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_match"))
+      .distinct()
+      .filter(col("n_match") >= minMatch)
+      .orderBy("id1", "id2")
+  }
+
   /** MinHash-LSH candidate pairs whose signatures agree on at least
     * ceil(est·64) positions (estimated Jaccard ≥ `est`). Exposed for the
     * recall spec. */
   def minhashPairs(s: SparkSession, d: String, est: Double): DataFrame = {
-    // Each shingle is hashed ONCE (two independent md5-portable hashes);
-    // the 64 permutations are the universal family h_j = (h1 + j*h2) mod
-    // (2^31-1) — the Mersenne-prime modulus decorrelates permutations and
-    // 31-bit operands keep ANSI arithmetic far from overflow (63·2^31).
-    // % (not pmod) suffices: md5Long is non-negative by construction.
-    val gh = shingles(s, d).select(col("doc_id"),
-      (md5Long(col("gram")) % 2147483647L).as("h1"),
-      (md5Long(concat(col("gram"), lit("!"))) % 2147483646L + 1).as("h2"))
-    // one native buffer aggregate (graft.functions.MinHashAgg) instead of
-    // 64 min() columns — same values bit-for-bit, one tight loop per
-    // shingle, still map-side partially aggregated
-    val sig = gh.groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg.minhashSig(col("h1"), col("h2")).as("sig"))
+    val sig = minhashSigs(s, d)
     // band key = the 4 signature values themselves (array equality join):
     // hashing them again would only re-bucket exact-equal keys, and the
     // raw key is what the oracle can reproduce portably

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-or-serve machinery for PERSISTED index tables (SURVEY §9's
+  * "persisted as a bucketed table in production"; the materialized
+  * counterpart of the reference's inverted-index join kernel kmr_match,
+  * src/kmrmoreops.c:695-728).
+  *
+  * Contract: the index lives at a stable EXTERNAL location under
+  * target/graft-index/, with a caller-supplied corpus fingerprint file
+  * beside the data. Three paths:
+  * - fingerprint missing/stale → (re)build: drop table, delete dir,
+  *   write fresh (bucketed+sorted when buckets>0), commit fingerprint
+  *   LAST so a torn build can never serve;
+  * - fingerprint fresh, catalog knows the table → serve as-is (the hot
+  *   path — zero I/O beyond the fingerprint read);
+  * - fingerprint fresh, catalog cold (a NEW SparkSession — the
+  *   in-memory catalog forgets tables) → re-register DDL against the
+  *   existing files, no rewrite.
+  *
+  * At 100 TB the shape is identical with thousands of buckets: the
+  * index write is the one full shuffle the corpus ever pays, and every
+  * downstream query joins bucket-co-located. */
+object ServedIndex {
+
+  def apply(s: SparkSession, tbl: String, dirName: String, fp: String,
+      schemaDdl: String, bucketCol: String, buckets: Int)(
+      build: => DataFrame): DataFrame = {
+    val loc = new org.apache.hadoop.fs.Path(
+      new java.io.File(s"target/graft-index/$dirName").getAbsoluteFile.toURI)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fpFile = new org.apache.hadoop.fs.Path(loc, "_graft_fingerprint")
+    val stored =
+      if (!fs.exists(fpFile)) None
+      else {
+        val in = fs.open(fpFile)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    if (!stored.contains(fp)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val w = build.write.mode("overwrite").option("path", loc.toString)
+      (if (buckets > 0) w.bucketBy(buckets, bucketCol).sortBy(bucketCol) else w)
+        .saveAsTable(tbl)
+      val out = fs.create(fpFile, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else if (!s.catalog.tableExists(tbl)) {
+      val cluster =
+        if (buckets > 0)
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS "
+        else ""
+      s.sql(s"CREATE TABLE $tbl ($schemaDdl) USING PARQUET " +
+        cluster + s"LOCATION '${loc.toString}'")
+    }
+    s.table(tbl)
+  }
+}

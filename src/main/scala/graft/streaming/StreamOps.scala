@@ -135,6 +135,93 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class BandRow(doc_id: Long, bkey: String)
+  case class BandVerdict(doc_id: Long, bkey: String, owner: Long)
+
+  /** Per-row MinHash band keys — the MAP-ONLY streaming shape of
+    * [[graft.llm.Dedup]]'s signature pipeline: same normalization, same
+    * md5-derived hash pair, same 64-permutation universal family, same
+    * 16×4 banding (StreamingMinhashSpec asserts set-equality against the
+    * batch pipeline on the same docs). Two deliberate differences in HOW:
+    * - the whole signature folds per ROW with higher-order array
+    *   functions (aggregate/transform over the gram array) instead of a
+    *   groupBy — a streaming aggregate is a stateful operator, and
+    *   Structured Streaming allows chaining stateful operators only in
+    *   narrow cases; per-row computation keeps the ONE stateful step of
+    *   a streaming dedup the band-owner state itself;
+    * - the hash is the SQL-built-in `conv(substr(md5(g),1,15),16,10)`
+    *   twin of Md5Prefix64 (bit-identical by construction) so the
+    *   expression works in any session without extension registration.
+    * min() over duplicate grams is duplicate-insensitive, so skipping
+    * the batch side's distinct() changes nothing. Docs with <3 tokens
+    * have no shingles and are passed through with NO band keys — they
+    * can never collide, matching the batch semantics. */
+  def bandKeys(docs: DataFrame): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    val h1 = "cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint) % 2147483647"
+    val h2 = "cast(conv(substr(md5(concat(g, '!')), 1, 15), 16, 10) AS bigint) % 2147483646 + 1"
+    docs
+      .select(col("doc_id"), graft.llm.TextNorm.toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("hs", expr(
+        "transform(transform(sequence(0, size(w)-3), i -> concat(w[i],' ',w[i+1],' ',w[i+2])), " +
+        s"g -> struct($h1 AS h1, $h2 AS h2))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 63), j -> " +
+        "aggregate(hs, 9223372036854775807L, (acc, h) -> least(acc, (h.h1 + j * h.h2) % 2147483647)))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> " +
+        "concat(b, ':', array_join(transform(slice(sig, b*4+1, 4), x -> cast(x AS string)), ',')))"))
+        .as("bkey"))
+      .as[BandRow]
+  }
+
+  /** Band-owner state: the first document ever seen on a band key owns
+    * it; every later arrival on the same key is reported against that
+    * owner. Rows are folded in doc_id order within a micro-batch so
+    * same-batch races resolve deterministically (lowest id claims —
+    * the keep_best convention). State is one long per distinct band
+    * key; a production deploy bounds it with a TTL (band ownership
+    * never becomes "late", it goes cold — same contract as
+    * [[RunningTotalProcessor]]). */
+  class BandOwnerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandRow, BandVerdict] {
+    @transient private var owner: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[BandVerdict] =
+      rows.toSeq.sortBy(_.doc_id).iterator.map { r =>
+        if (!owner.exists()) owner.update(r.doc_id)
+        BandVerdict(r.doc_id, key, owner.get())
+      }
+  }
+
+  /** Streaming MinHash near-dup detection: band keys per incoming doc
+    * (map-only), one stateful band-owner step. Output: per (doc, band)
+    * verdicts; roll up per doc with [[minhashKeepDecisions]] (in
+    * foreachBatch or any downstream batch step — a second streaming
+    * aggregate here would chain stateful operators). The streaming
+    * sibling of the batch `dedup_minhash`/`dedup_keep_best` pair. */
+  def streamingMinhashDedup(docs: DataFrame): Dataset[BandVerdict] = {
+    import docs.sparkSession.implicits._
+    bandKeys(docs)
+      .groupByKey(_.bkey)
+      .transformWithState(new BandOwnerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-doc keep decision over [[streamingMinhashDedup]] verdicts: a
+    * doc is a near-dup iff ANY of its bands is owned by an earlier doc;
+    * dup_of = the smallest such owner (deterministic attribution). */
+  def minhashKeepDecisions(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id")
+      .agg(min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("keep"))
+
   case class Ev(user_id: Long, ts_us: Long)
   case class Session(var start: Long, var last: Long, var n: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench's noise self-defense (round-8 verdict item 5): synthetic
+  * slowdowns against a committed detail map must be flagged; noise-floor
+  * and cross-SF guards must hold. */
+class BenchNoiseSpec extends AnyFunSuite {
+
+  test("a sustained synthetic slowdown is flagged; normal drift is not") {
+    val committed = Map("pagerank" -> 6.0, "dedup_jaccard" -> 1.75, "q1_pricing" -> 0.8)
+    // dedup_jaccard at 4.7x its committed min (the actual r8 incident)
+    val measured = Map("pagerank" -> 6.9, "dedup_jaccard" -> 8.3, "q1_pricing" -> 1.1)
+    assert(Bench.suspects(committed, measured) == Seq("dedup_jaccard"))
+  }
+
+  test("sub-floor queries never flag (session overhead, not engine cost)") {
+    val committed = Map("take_one" -> 0.05)
+    val measured = Map("take_one" -> 0.4) // 8x, but still under the 0.5 s floor
+    assert(Bench.suspects(committed, measured).isEmpty)
+  }
+
+  test("queries absent from the committed detail (new this round) never flag") {
+    assert(Bench.suspects(Map.empty, Map("brand_new" -> 60.0)).isEmpty)
+  }
+
+  test("committedMins parses this repo's bench_detail format and rejects other SFs") {
+    val dir = java.nio.file.Files.createTempDirectory("benchnoise")
+    val p = dir.resolve("bench_detail.json")
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"pagerank":{"min":6.123,"med":6.500},"q1_pricing":{"min":0.810,"med":0.900}},"runs":3,"sf":"sf0.1"}""")
+    val same = Bench.committedMins(p, "sf0.1")
+    assert(same.contains(Map("pagerank" -> 6.123, "q1_pricing" -> 0.810)))
+    assert(Bench.committedMins(p, "sf0.01").isEmpty, "cross-SF ratios are meaningless")
+    assert(Bench.committedMins(dir.resolve("absent.json"), "sf0.1").isEmpty)
+  }
+}

@@ -25,6 +25,7 @@ class GateOutputSpec extends SparkSuite {
   private val whitelist: Map[String, Set[String]] = Map(
     "ann_cosine_topk" -> Set("cos_sim"),
     "ann_ivf_topk" -> Set("cos_sim"),
+    "ann_ivf_indexed" -> Set("cos_sim"),
     "ann_rerank" -> Set("cos_sim"),
     "bm25_topk" -> Set("score"),
     "corr_hourly" -> Set("r"),

@@ -267,7 +267,11 @@ class PlanSpec extends SparkSuite {
     // approx_topk joined the one-row-scalar club in round 6: its
     // certificate broadcasts the single-row token-count aggregate
     // against the per-token exact counts.
-    val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_rerank",
+    // ann_ivf_indexed's probe step broadcasts the K-row centroid INDEX
+    // table against the NQUERY query rows — O(K) data, same club as its
+    // inline sibling.
+    val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_indexed",
+      "ann_rerank",
       "mix_weights", "dedup_embedding_lsh", "q22_global", "bm25_topk",
       "collocations", "bloom_join", "approx_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
