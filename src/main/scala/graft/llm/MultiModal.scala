@@ -283,6 +283,75 @@ object MultiModal {
       "CAST(least(64, greatest(len(text) - k*64, 0)) AS BIGINT) AS frame_len, " +
       "sha256(substring(text, CAST(k*64+1 AS INT), " +
       "CAST(least(64, greatest(len(text)-k*64, 0)) AS INT))) AS frame_hash " +
-      "FROM ks ORDER BY doc_id, frame_idx"))
+      "FROM ks ORDER BY doc_id, frame_idx")),
+
+    // ---- Frame-level ANALYTICS over the same Y4M walk (r8 verdict item
+    // 8): multimodal_frames validates structure but discards the plane
+    // bytes; this emits per-sampled-frame integer luma statistics —
+    // min / max / sum / integer milli-mean over the UNPADDED plane
+    // bytes — the per-frame feature extraction a video pipeline runs
+    // (brightness histograms, black-frame detection, shot boundaries).
+    // All-integer outputs ⇒ hash-oracled; empty tail frames (beyond the
+    // unpadded payload) emit NULL min/max/mean and 0 sum on both
+    // engines. The oracle recomputes the stats from the raw text via
+    // per-char code points — same ASCII assumption (and the same loud
+    // Spark-side tripwire) as multimodal_frames.
+    QueryDef("multimodal_luma", (s, d) => {
+      import s.implicits._
+      val frameLen = 64
+      val sampleEvery = 4
+      val files = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          require(bytes.length == text.length,
+            s"multimodal_luma: doc $id contains non-ASCII text; the " +
+            "char-code DuckDB oracle no longer matches byte-level luma")
+          val n = math.max(1, (bytes.length + frameLen - 1) / frameLen)
+          val frames = Array.tabulate(n) { k =>
+            val f = new Array[Byte](frameLen)
+            val start = k * frameLen
+            val len = math.max(0, math.min(frameLen, bytes.length - start))
+            if (len > 0) System.arraycopy(bytes, start, f, 0, len)
+            f
+          }
+          (id, y4mEncode(bytes.length, frames))
+        }
+      files.mapPartitions { it =>
+        it.flatMap { case (id, container) =>
+          val (w, h, docLen, frames) = y4mDecode(container)
+          val frameSize = w * h
+          Iterator.range(0, frames.length, sampleEvery).map { k =>
+            val len = math.max(0, math.min(frameSize, docLen - k * frameSize))
+            var (lmin, lmax, lsum) = (255L, 0L, 0L)
+            var i = 0
+            while (i < len) {
+              val v = frames(k)(i) & 0xff // luma bytes are unsigned
+              if (v < lmin) lmin = v
+              if (v > lmax) lmax = v
+              lsum += v
+              i += 1
+            }
+            val (minOpt, maxOpt, meanOpt) =
+              if (len == 0) (None, None, None)
+              else (Some(lmin), Some(lmax), Some(1000L * lsum / len))
+            (id, k.toLong, len.toLong, minOpt, maxOpt, lsum, meanOpt)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "frame_len", "l_min", "l_max", "l_sum", "mean_milli")
+        .orderBy("doc_id", "frame_idx")
+    }, Some(
+      "WITH ks AS (SELECT doc_id, text, " +
+      "unnest(range(0, greatest((len(text)+63)//64, 1), 4)) AS k FROM documents), " +
+      "f AS (SELECT doc_id, k, substring(text, CAST(k*64+1 AS INT), " +
+      "CAST(least(64, greatest(len(text)-k*64, 0)) AS INT)) AS fr FROM ks), " +
+      "c AS (SELECT doc_id, k, len(fr) AS flen, " +
+      "list_transform(range(1, len(fr)+1), i -> ord(substr(fr, CAST(i AS INT), 1))) AS cs FROM f) " +
+      "SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, CAST(flen AS BIGINT) AS frame_len, " +
+      "CAST(list_min(cs) AS BIGINT) AS l_min, CAST(list_max(cs) AS BIGINT) AS l_max, " +
+      "CAST(coalesce(list_sum(cs), 0) AS BIGINT) AS l_sum, " +
+      "(1000 * CAST(list_sum(cs) AS BIGINT)) // nullif(flen, 0) AS mean_milli " +
+      "FROM c ORDER BY doc_id, frame_idx"))
   )
 }
