@@ -22,6 +22,11 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("de", "shi", "le"))
 
+  /** Block-size guard for fuzzy_pairs — see the gate entry's comment.
+    * 10000 is the production setting; observed max block is 1970 (sf1
+    * replica), so at every tested SF the cap provably never fires. */
+  val FuzzyBlockCap = 10000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Corpus distribution per (lang, source): the basic profiling
@@ -302,13 +307,26 @@ object TextOps {
     // pairs — blocking key = first token, so the quadratic levenshtein
     // work is per-block, never corpus-wide (same scale shape as
     // dedup_embedding's label blocking). Distance on the 32-char prefix.
+    // Cost is O(Σ block²): the round-9 sf1 sweep measured block sizes
+    // growing 10× (197 → 1970 docs) and elapsed 46× on the resulting
+    // ~100× pair growth — sublinear in the driver, but unbounded. The
+    // block cap is the dedup_jaccard stop-gram guard transplanted: a
+    // block bigger than FuzzyBlockCap means the blocking key itself
+    // carries no discriminative signal (a stop-word first token), and
+    // at 100 TB one hot token would otherwise go quadratic. Observed
+    // max block ≤ 1970 at every tested SF (incl. sf1), so the cap
+    // provably never fires at test scale and the oracle (which replays
+    // the same guard) stays hash-identical to the uncapped form.
     QueryDef("fuzzy_pairs", (s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"),
           substring(TextNorm.normText, 1, 32).as("prefix"),
           TextNorm.toks.getItem(0).as("blk"))
-      val a = docs.select(col("blk"), col("doc_id").as("id1"), col("prefix").as("p1"))
-      val b = docs.select(col("blk"), col("doc_id").as("id2"), col("prefix").as("p2"))
+      val keep = docs.groupBy("blk").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= FuzzyBlockCap).select("blk")
+      val kept = docs.join(keep, "blk")
+      val a = kept.select(col("blk"), col("doc_id").as("id1"), col("prefix").as("p1"))
+      val b = kept.select(col("blk"), col("doc_id").as("id2"), col("prefix").as("p2"))
       a.join(b, Seq("blk"))
         .filter(col("id1") < col("id2"))
         // threshold-bounded levenshtein early-exits above the bound
@@ -320,10 +338,12 @@ object TextOps {
     }, Some(
       s"""WITH t AS (SELECT doc_id,
             substring(${TextNorm.normTextSql}, 1, 32) AS prefix,
-            ($normSql)[1] AS blk FROM documents)
+            ($normSql)[1] AS blk FROM documents),
+          keep AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= $FuzzyBlockCap),
+          tk AS (SELECT t.* FROM t JOIN keep USING (blk))
           SELECT a.doc_id AS id1, b.doc_id AS id2,
             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
-          FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          FROM tk a JOIN tk b ON a.blk = b.blk AND a.doc_id < b.doc_id
           WHERE levenshtein(a.prefix, b.prefix) <= 8
           ORDER BY id1, id2""")),
 
