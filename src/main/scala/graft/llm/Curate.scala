@@ -133,7 +133,9 @@ object Curate {
     // ties. This is the step that turns "these docs are near-dups" into
     // an actual curated corpus.
     QueryDef("dedup_keep_best", (s, d) => {
-      val pairs = Dedup.minhashPairs(s, d, est = 0.5)
+      // served from the persisted band index (identical rows; the shared
+      // recursive-closure oracle replays the inline chain)
+      val pairs = Dedup.servedPairs(s, d, est = 0.5)
       val comps = Dedup.connectedComponents(pairs.select("id1", "id2"), iters = 30)
       val stats = Tables.load(s, d, "documents")
         .select(col("doc_id"), TrainPrep.nToks.as("n_toks"))

@@ -307,7 +307,9 @@ object Dedup {
       val truth = jaccardPairs(Tables.load(s, d, "documents"),
           minJ = 0.5, dfCap = JaccardDfCap)
         .select(col("id1"), col("id2"), lit(1L).as("t"))
-      val cand = minhashPairs(s, d, est = 0.5)
+      // served from the persisted band index (identical rows — the
+      // oracle still replays the inline chain, so index drift fails here)
+      val cand = servedPairs(s, d, est = 0.5)
         .select(col("id1"), col("id2"), lit(1L).as("c"))
       truth.join(cand, Seq("id1", "id2"), "full_outer")
         .agg(sum("t").as("n_truth"), sum("c").as("n_cand"),
@@ -345,7 +347,9 @@ object Dedup {
     // over the same (oracled) minhash pair set. DedupClusterSpec checks
     // transitivity and a hand graph besides.
     QueryDef("dedup_clusters", (s, d) => {
-      val pairs = minhashPairs(s, d, est = 0.5)
+      // served from the persisted band index (identical rows; the
+      // recursive-CTE oracle replays the inline chain)
+      val pairs = servedPairs(s, d, est = 0.5)
       // at the fixpoint, comp IS each component's minimum id — it is the
       // deterministic keeper directly
       connectedComponents(pairs.select("id1", "id2"), iters = 30)
@@ -643,6 +647,16 @@ object Dedup {
       .filter(col("n_match") >= minMatch)
       .orderBy("id1", "id2")
   }
+
+  /** [[minhashPairs]] SERVED from the persisted band index — identical
+    * rows (IndexedDedupSpec proves set-equality; the shared oracle
+    * proves it per-gate), but the signature pipeline is paid once per
+    * corpus instead of once per consumer. The cluster family
+    * (dedup_clusters / dedup_keep_best / dedup_eval) consumes this;
+    * dedup_minhash stays on the inline path BY DESIGN so one gate
+    * always exercises the from-scratch pipeline the index builds with. */
+  def servedPairs(s: SparkSession, d: String, est: Double): DataFrame =
+    indexedPairs(minhashIndex(s, d), est)
 
   /** MinHash-LSH candidate pairs whose signatures agree on at least
     * ceil(est·64) positions (estimated Jaccard ≥ `est`). Exposed for the

@@ -24,7 +24,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * downstream query joins bucket-co-located. */
 object ServedIndex {
 
+  // Per-table build lock: several gate queries legitimately SHARE one
+  // index (the cluster family + dedup_indexed all serve the minhash
+  // band index; five graph gates share coPairs) and the driver's
+  // Verify runs queries on a 4-thread pool — without the lock every
+  // concurrent first call sees the missing fingerprint and races the
+  // CREATE TABLE. The lock serializes build-or-serve per table within
+  // this JVM; the loser of the build re-checks freshness and takes the
+  // serve path. (Cross-PROCESS writers are governed by the fingerprint
+  // + last-writer-wins, same as Checkpoint.claim.)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def apply(s: SparkSession, tbl: String, dirName: String, fp: String,
+      schemaDdl: String, bucketCol: String, buckets: Int)(
+      build: => DataFrame): DataFrame =
+    locks.computeIfAbsent(tbl, _ => new Object).synchronized {
+      serve(s, tbl, dirName, fp, schemaDdl, bucketCol, buckets)(build)
+    }
+
+  private def serve(s: SparkSession, tbl: String, dirName: String, fp: String,
       schemaDdl: String, bucketCol: String, buckets: Int)(
       build: => DataFrame): DataFrame = {
     val loc = new org.apache.hadoop.fs.Path(

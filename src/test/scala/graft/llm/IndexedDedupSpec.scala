@@ -54,6 +54,27 @@ class IndexedDedupSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("minhash_sig"), s"serve path recomputes signatures:\n$plan")
   }
 
+  test("concurrent build-or-serve is race-free (the Verify thread-pool shape)") {
+    // the driver's Verify runs gate queries on a 4-thread pool, and four
+    // queries share this index — force the worst case: no fingerprint,
+    // no catalog entry, four simultaneous first calls
+    val fsPath = new org.apache.hadoop.fs.Path(
+      indexLoc.getAbsoluteFile.toURI.toString, "_graft_fingerprint")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, false)
+    spark.sql(s"DROP TABLE IF EXISTS minhash_idx${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            Dedup.indexedPairs(Dedup.minhashIndex(spark, sfDir), est = 0.5).count()
+        }))
+      val counts = futures.map(_.get()).toSet
+      assert(counts.size == 1, s"racing builders disagreed: $counts")
+    } finally pool.shutdown()
+  }
+
   test("a corpus fingerprint change forces a rebuild; a fresh catalog re-registers") {
     Dedup.minhashIndex(spark, sfDir) // ensure built
     // tamper through the Hadoop FS API (direct java.io writes would leave
