@@ -511,7 +511,164 @@ object Tpch {
       "FROM customer WHERE c_acctbal > 0) " +
       "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
       "AND o.o_orderpriority = '1-URGENT') " +
-      "GROUP BY cntrycode ORDER BY cntrycode"))
+      "GROUP BY cntrycode ORDER BY cntrycode")),
+
+    // ---- Q2-shape: correlated MIN subquery over a derived part-supplier
+    // relation (no partsupp in the reduced schema — DISTINCT
+    // (l_partkey, l_suppkey) stands in for it; s_acctbal stands in for
+    // ps_supplycost). Catalyst decorrelates the per-part min into an
+    // aggregate + equi-join, the same rewrite as q17. Balances compare in
+    // exact integer cents so min-equality is portable across engines.
+    // Scale: the distinct shuffles once on the pair key; everything
+    // downstream joins on l_partkey; region/nation are O(1) broadcasts.
+    QueryDef("q2_mincost", (s, d) => {
+      val balCents = expr("try_cast(round(s_acctbal*100,0) AS LONG)")
+      val ps = Tables.load(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val su = Tables.load(s, d, "supplier")
+        .withColumn("bal_cents", balCents)
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      val elig = ps
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("l_partkey", "s_name", "n_name", "bal_cents")
+      val minBal = elig.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("bal_cents")).as("min_cents"))
+      val p = Tables.load(s, d, "part").filter(col("p_size") === 25)
+      elig
+        .join(minBal,
+          col("l_partkey") === col("m_partkey") && col("bal_cents") === col("min_cents"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("bal_cents").as("s_acctbal_cents"),
+          col("s_name"), col("n_name"), col("p_partkey"))
+        .orderBy(desc("s_acctbal_cents"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }, Some(
+      "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), " +
+      "elig AS (SELECT l_partkey, s_name, n_name, " +
+      "TRY_CAST(round(s_acctbal*100,0) AS BIGINT) AS bal_cents " +
+      "FROM ps JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') " +
+      "SELECT e.bal_cents AS s_acctbal_cents, e.s_name, e.n_name, p_partkey " +
+      "FROM elig e JOIN part ON e.l_partkey = p_partkey WHERE p_size = 25 " +
+      "AND e.bal_cents = (SELECT min(e2.bal_cents) FROM elig e2 " +
+      "WHERE e2.l_partkey = e.l_partkey) " +
+      "ORDER BY s_acctbal_cents DESC, s_name, p_partkey LIMIT 100")),
+
+    // ---- Q11-shape: grouped value vs a fraction of the GLOBAL total
+    // (the HAVING-with-scalar-subquery pattern). Per-part shipped value
+    // from suppliers in one region; parts above 2× the MEAN part value
+    // survive — a scale-invariant threshold (reference Q11's fixed
+    // fraction goes empty as the part count grows with SF). Division-free
+    // compare (val·n_parts > 2·total) in exact BIGINT on both engines;
+    // the one-row total/count aggregate rides the whitelisted scalar
+    // broadcast (the q22_global club).
+    QueryDef("q11_value", (s, d) => {
+      val v = Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(sum(graft.Tables.priceCents).as("value_cents"))
+      val tot = v.agg(sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * col("n_parts") > lit(2) * col("total_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(desc("value_cents"), col("l_partkey"))
+    }, Some(
+      "WITH v AS (SELECT l_partkey, " +
+      s"CAST(sum(${graft.Tables.priceCentsSql}) AS BIGINT) AS value_cents " +
+      "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' " +
+      "GROUP BY l_partkey) " +
+      "SELECT l_partkey, value_cents FROM v " +
+      "WHERE value_cents * (SELECT count(*) FROM v) > " +
+      "2 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM v) " +
+      "ORDER BY value_cents DESC, l_partkey")),
+
+    // ---- Q16-shape: DISTINCT supplier count per part attribute with a
+    // NOT-IN exclusion subquery (reference Q16's complaint filter → a
+    // low-balance supplier blacklist). The NOT IN compiles to a left-anti
+    // join on s_suppkey (never a nested loop: the key is non-nullable);
+    // count(DISTINCT) shuffles once on the group key with a partial
+    // distinct map-side.
+    QueryDef("q16_suppcnt", (s, d) => {
+      val ps = Tables.load(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val excl = Tables.load(s, d, "supplier")
+        .filter(col("s_acctbal") < 2000).select("s_suppkey")
+      val p = Tables.load(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      p.join(ps, col("p_partkey") === col("l_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }, Some(
+      "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+      "FROM part JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps " +
+      "ON p_partkey = l_partkey " +
+      "WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO' " +
+      "AND p_size IN (1,4,9,16,25,36,49) " +
+      "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000) " +
+      "GROUP BY p_brand, p_type, p_size " +
+      "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size")),
+
+    // ---- Q20-shape: nested IN chain — suppliers with a CONCENTRATED
+    // (supplier, part) shipping relationship on '%gear%' parts in 1996,
+    // restricted to one region (reference Q20's excess-stock supplier
+    // list; availqty → shipped quantity). "Concentrated" = the pair's
+    // quantity exceeds 1.5× the mean pair quantity — scale-invariant, where
+    // a fixed threshold goes empty as the pair key space outgrows the
+    // line count. Both IN subqueries become left-semi equi-joins; the
+    // per-pair HAVING aggregate shuffles once on the pair key; the
+    // one-row mean rides the whitelisted scalar broadcast. Exact BIGINT
+    // cents, division-free compare.
+    QueryDef("q20_excess", (s, d) => {
+      val gearParts = Tables.load(s, d, "part")
+        .filter(col("p_name").like("%gear%")).select("p_partkey")
+      val pairQty = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        .join(gearParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(graft.Tables.qtyCents).as("sum_qc"))
+      val tot = pairQty.agg(sum(col("sum_qc")).as("total_qc"),
+        count(lit(1)).as("n_pairs"))
+      val bigShippers = pairQty.crossJoin(broadcast(tot))
+        .filter(col("sum_qc") * 2 * col("n_pairs") > lit(3) * col("total_qc"))
+        .select("l_suppkey").distinct()
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+      Tables.load(s, d, "supplier")
+        .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    }, Some(
+      "WITH g AS (SELECT l_suppkey, l_partkey, " +
+      s"CAST(sum(${graft.Tables.qtyCentsSql}) AS BIGINT) AS sum_qc " +
+      "FROM lineitem " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%') " +
+      "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY l_suppkey, l_partkey) " +
+      "SELECT s_name, n_name FROM supplier " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND s_suppkey IN (" +
+      "SELECT l_suppkey FROM g WHERE sum_qc * 2 * (SELECT count(*) FROM g) > " +
+      "3 * (SELECT CAST(sum(sum_qc) AS BIGINT) FROM g)) " +
+      "ORDER BY s_name"))
   )
 
   /** Shared Q21 body: self semi/anti join on (same order, different

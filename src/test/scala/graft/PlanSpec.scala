@@ -270,10 +270,12 @@ class PlanSpec extends SparkSuite {
     // ann_ivf_indexed's probe step broadcasts the K-row centroid INDEX
     // table against the NQUERY query rows — O(K) data, same club as its
     // inline sibling.
+    // q11_value joined the one-row-scalar club in round 9: its HAVING
+    // threshold broadcasts the single-row regional-total aggregate.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_indexed",
       "ann_rerank",
       "mix_weights", "dedup_embedding_lsh", "q22_global", "bm25_topk",
-      "collocations", "bloom_join", "approx_topk")
+      "collocations", "bloom_join", "approx_topk", "q11_value", "q20_excess")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001
