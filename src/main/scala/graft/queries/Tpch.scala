@@ -516,11 +516,14 @@ object Tpch {
     // ---- Q2-shape: correlated MIN subquery over a derived part-supplier
     // relation (no partsupp in the reduced schema — DISTINCT
     // (l_partkey, l_suppkey) stands in for it; s_acctbal stands in for
-    // ps_supplycost). Catalyst decorrelates the per-part min into an
-    // aggregate + equi-join, the same rewrite as q17. Balances compare in
+    // ps_supplycost). The per-part min is a PARTITIONED window over
+    // l_partkey — one shuffle, one pass — instead of the aggregate +
+    // self-join decorrelation, which would compute the eligible-supplier
+    // subtree twice (two lineitem scans at 100 TB). Balances compare in
     // exact integer cents so min-equality is portable across engines.
-    // Scale: the distinct shuffles once on the pair key; everything
-    // downstream joins on l_partkey; region/nation are O(1) broadcasts.
+    // Scale: the distinct shuffles once on the pair key; the window
+    // repartitions on l_partkey (never unpartitioned); region/nation are
+    // O(1) broadcasts.
     QueryDef("q2_mincost", (s, d) => {
       val balCents = expr("try_cast(round(s_acctbal*100,0) AS LONG)")
       val ps = Tables.load(s, d, "lineitem")
@@ -534,12 +537,11 @@ object Tpch {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .select("l_partkey", "s_name", "n_name", "bal_cents")
-      val minBal = elig.groupBy(col("l_partkey").as("m_partkey"))
-        .agg(min(col("bal_cents")).as("min_cents"))
+      val perPart = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
       val p = Tables.load(s, d, "part").filter(col("p_size") === 25)
       elig
-        .join(minBal,
-          col("l_partkey") === col("m_partkey") && col("bal_cents") === col("min_cents"))
+        .withColumn("min_cents", min(col("bal_cents")).over(perPart))
+        .filter(col("bal_cents") === col("min_cents"))
         .join(p, col("l_partkey") === col("p_partkey"))
         .select(col("bal_cents").as("s_acctbal_cents"),
           col("s_name"), col("n_name"), col("p_partkey"))

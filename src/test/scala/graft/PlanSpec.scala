@@ -51,6 +51,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q2_mincost: per-part min is a partitioned window — lineitem scanned once") {
+    // AQE toString renders Final + Initial sections; audit the final one
+    val full = planString(q("q2_mincost"))
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // one pass: the aggregate+self-join decorrelation would plan TWO
+    // lineitem scans (or lean on ReusedExchange); the window form is
+    // structurally single-scan
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans:\n$p")
+    assert(p.contains("Window"), s"per-part min is not a window:\n$p")
+    // the window must be keyed (never an unpartitioned global window)
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"unpartitioned window in q2_mincost:\n$p")
+  }
+
   test("range_join bands to an equality join — no nested-loop from the inequality") {
     val p = planString(q("range_join"))
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
