@@ -115,4 +115,29 @@ class IterativeSpec extends SparkSuite {
     assert(rows.head.getLong(1) == 1L,
       "double pagerank diverged >1e-9 from the fixed-point exact twin")
   }
+
+  test("fused twin-arithmetic pipeline equals the separate pipelines") {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val l = graft.Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val g = Iterative.prepareGraph(edges)
+    val fused = Iterative.pageRankBothOn(g, iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val sepD = Iterative.pageRankOn(g, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sepI = Iterative.pageRankExactOn(g, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    g.unpersist()
+    assert(fused.keySet == sepD.keySet && fused.keySet == sepI.keySet)
+    fused.foreach { case (id, (d, i)) =>
+      // integer femto-ranks are order-independent: must agree EXACTLY
+      assert(i == sepI(id), s"node $id: fused femto $i vs separate ${sepI(id)}")
+      // double sums may fold in a different partition order: tiny epsilon
+      assert(math.abs(d - sepD(id)) <= 1e-12,
+        s"node $id: fused double $d vs separate ${sepD(id)}")
+    }
+  }
 }
