@@ -26,6 +26,60 @@ object Iterative {
     }
   }
 
+  /** Trade-graph edge build (customer → supplier via orders⋈lineitem,
+    * ex/pagerank.c's link-list input re-derived from the TPC-H tables) —
+    * shared by the two pagerank gates. */
+  private[graft] def tradeEdgesBuild(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+  }
+
+  /** Durable trade-edge table (the Graph.coPairsTable shape, late
+    * round 9): the orders⋈lineitem + distinct is the expensive half of
+    * each pagerank gate (~4.5 s of 7 at sf0.1, more than the fused
+    * superstep loop itself) and is identical across gates — so it is
+    * written ONCE per corpus as a bucketed external table and served
+    * from disk afterwards, even by a brand-new SparkSession on the same
+    * warehouse. The fingerprint covers both source tables. Unlike the
+    * O(2000) coPairs set, this table is SF-proportional, so it is NOT
+    * localCheckpoint'ed into the block cache — every consumer reads the
+    * bucketed files (at 100 TB that read is the point: one shuffle paid
+    * at build, zero afterwards). */
+  private[graft] def tradeEdgesTable(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = {
+      val rl = Tables.load(s, d, "lineitem").agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum("l_orderkey"), lit(0L)),
+        coalesce(sum("l_suppkey"), lit(0L))).head()
+      val ro = Tables.load(s, d, "orders").agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum("o_custkey"), lit(0L))).head()
+      s"${rl.getLong(0)}|${rl.getLong(1)}|${rl.getLong(2)}|" +
+        s"${ro.getLong(0)}|${ro.getLong(1)}"
+    }
+    graft.sources.ServedIndex(s, s"tradeedges$sfx", s"tradeedges$sfx", fp,
+      "src BIGINT, dst BIGINT", "src", 8)(tradeEdgesBuild(s, d))
+  }
+
+  /** Session fast path: skip repeated fingerprint scans within a
+    * session (weakly keyed — the Graph.coPairs pattern). The cached
+    * value is the lazy TABLE READ plan, not materialized data. */
+  private val tradeEdgeCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    tradeEdgeCache.synchronized {
+      val perDir = tradeEdgeCache.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      perDir.getOrElseUpdate(d, tradeEdgesTable(s, d))
+    }
+
   /** Materialize the shared PageRank intermediates from a raw (src, dst)
     * edge frame. Every member is persisted and eagerly computed; call
     * [[PreparedGraph.unpersist]] once all consumers have materialized
@@ -387,11 +441,9 @@ object Iterative {
     // femtos per superstep, so 1e-9 is a ~1000x margin. IterativeSpec
     // additionally validates against a sequential reference fold.
     QueryDef("pagerank", (s, d) => {
-      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
-      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
-        .distinct()
+      // Edge set served from the durable bucketed table (built once per
+      // corpus — see tradeEdgesTable).
+      val edges = tradeEdges(s, d)
       // Both arithmetics ride ONE fused pipeline (one join + one agg per
       // superstep, late round 9 — the certificate compares the
       // arithmetic, not two executions); the run ends on an eager
@@ -417,11 +469,7 @@ object Iterative {
     // full DuckDB CTE replay (closing the "iterative float has no
     // oracle" gap the same way kmeans_clusters did).
     QueryDef("pagerank_exact", (s, d) => {
-      val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
-      val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
-        .distinct()
+      val edges = tradeEdges(s, d)
       pageRankExact(edges, iters = 5)
         .select(col("id"), col("r").as("rank_fp"))
         .orderBy(desc("rank_fp"), col("id"))

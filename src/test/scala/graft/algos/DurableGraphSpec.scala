@@ -16,6 +16,29 @@ class DurableGraphSpec extends SparkSuite {
     assert(served.nonEmpty)
   }
 
+  test("persisted trade-edge table equals the inline build") {
+    val built = Iterative.tradeEdgesBuild(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Iterative.tradeEdgesTable(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == built)
+    assert(served.nonEmpty)
+  }
+
+  test("a cold catalog re-registers the trade-edge table without rewriting files") {
+    Iterative.tradeEdgesTable(spark, sfDir).count() // ensure built
+    val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"target/graft-index/tradeedges$sfx")
+    val mtimes = dir.listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(mtimes.nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS tradeedges$sfx") // a new session's view
+    assert(Iterative.tradeEdgesTable(spark, sfDir).count() > 0)
+    val after = dir.listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == mtimes, "re-registration must not rewrite the edge table")
+  }
+
   test("a cold catalog re-registers the edge table without rewriting files") {
     Graph.coPairsTable(spark, sfDir).count() // ensure built
     val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
