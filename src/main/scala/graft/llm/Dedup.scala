@@ -108,7 +108,14 @@ object Dedup {
     * Guarantee: any common substring of >= 32+16-1 = 47 chars shares a
     * fingerprint (alignment-independent, unlike stride sampling). */
   def substringPairs(documents: org.apache.spark.sql.DataFrame,
-      dfCap: Long): org.apache.spark.sql.DataFrame = {
+      dfCap: Long): org.apache.spark.sql.DataFrame =
+    substringPairsFrom(winnowFps(documents), dfCap)
+
+  /** The winnow pipeline up to distinct (doc_id, fp) — the front half
+    * of [[substringPairs]], also materialized verbatim by the persisted
+    * index ([[winnowIndex]]). */
+  private[llm] def winnowFps(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // Two structural constraints shape this:
     // (1) greatest(...,1) makes the sequence bound total — Catalyst may
     //     reorder a collapsed filter's conjuncts and evaluate the gram
@@ -157,15 +164,42 @@ object Dedup {
       .filter(col("pos") <= col("last_start"))
       .select(col("doc_id"), col("minh").as("fp"))
       .distinct()
-    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    fp
+  }
+
+  /** Candidate-pair join over a (doc_id, fp) frame — the back half of
+    * [[substringPairs]], shared by the inline and index-served paths.
+    * When `fps` is the bucketed index table, the df-cap groupBy AND the
+    * fingerprint self-join are bucket-co-located on fp. */
+  private[llm] def substringPairsFrom(fps: org.apache.spark.sql.DataFrame,
+      dfCap: Long): org.apache.spark.sql.DataFrame = {
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("fp")
-    val kept = fp.join(rare, "fp")
+    val kept = fps.join(rare, "fp")
     val right = kept.select(col("fp").as("fp2"), col("doc_id").as("id2"))
     kept.join(right, col("fp") === col("fp2") && col("doc_id") < col("id2"))
       .groupBy(col("doc_id").as("id1"), col("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id1", "id2")
   }
+
+  /** DuckDB replay of the winnow pipeline + df-cap + pair join — shared
+    * by dedup_substring and its index-served twin (a stale index fails
+    * the shared hash gate, the dedup_indexed discipline). */
+  private val substringOracleSql: String =
+      """WITH h AS (SELECT doc_id,
+           list_transform(range(1, greatest(length(text) - 30, 2)),
+             i -> CAST(concat('0x', substr(md5(text[i:i+31]), 1, 15)) AS BIGINT)) AS hs
+           FROM documents WHERE length(text) >= 47),
+         f AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(hs) - 14, 2)), j -> list_min(hs[j:j+15]))) AS fps
+           FROM h),
+         g AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= 50),
+         kept AS (SELECT g.doc_id, g.fp FROM g JOIN dfk USING (fp))
+         SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -254,20 +288,18 @@ object Dedup {
     // whole pipeline is hash-oracle-able with 8-byte shuffle keys.
     QueryDef("dedup_substring", (s, d) =>
       substringPairs(Tables.load(s, d, "documents"), dfCap = 50L),
-    Some(
-      """WITH h AS (SELECT doc_id,
-           list_transform(range(1, greatest(length(text) - 30, 2)),
-             i -> CAST(concat('0x', substr(md5(text[i:i+31]), 1, 15)) AS BIGINT)) AS hs
-           FROM documents WHERE length(text) >= 47),
-         f AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(hs) - 14, 2)), j -> list_min(hs[j:j+15]))) AS fps
-           FROM h),
-         g AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-         dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= 50),
-         kept AS (SELECT g.doc_id, g.fp FROM g JOIN dfk USING (fp))
-         SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
-         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Some(substringOracleSql)),
+
+    // ---- The SAME substring candidate pairs served from the PERSISTED
+    // winnowing-fingerprint index ([[winnowIndex]]): the posexplode +
+    // per-doc window pipeline — the expensive half of dedup_substring —
+    // is paid once per corpus; the per-query plan reads the bucketed
+    // (doc_id, fp) table, and both the df-cap groupBy and the
+    // fingerprint self-join are bucket-co-located on fp. Shares
+    // dedup_substring's oracle, so a stale index fails the hash gate.
+    QueryDef("dedup_substring_indexed", (s, d) =>
+      substringPairsFrom(winnowIndex(s, d), dfCap = 50L),
+    Some(substringOracleSql)),
 
     // ---- MinHash + LSH banding: 64 fixed-seed permutations over
     // md5-derived shingle hashes; 16 bands × 4 rows. Candidates =
@@ -627,6 +659,20 @@ object Dedup {
       corpusFingerprint(s, d),
       "doc_id BIGINT, sig ARRAY<BIGINT>, bkey STRING",
       "bkey", IndexBuckets)(bandRows(minhashSigs(s, d)))
+  }
+
+  /** Persisted winnowing-fingerprint index — [[winnowFps]] written once
+    * per corpus as a bucketed external table on fp (the [[minhashIndex]]
+    * shape applied to the substring family; late round 9). The
+    * posexplode + per-doc-window pipeline is the expensive half of
+    * dedup_substring, and like the minhash signatures it depends only on
+    * the corpus — pay it when the corpus lands, serve every query after. */
+  def winnowIndex(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.ServedIndex(s, s"winnow_idx$sfx", s"winnow$sfx",
+      corpusFingerprint(s, d),
+      "doc_id BIGINT, fp BIGINT",
+      "fp", IndexBuckets)(winnowFps(Tables.load(s, d, "documents")))
   }
 
   /** Candidate pairs served FROM the persisted index — same semantics as

@@ -111,4 +111,23 @@ class IndexedDedupSpec extends SparkSuite {
       .map(f => f.getName -> f.lastModified()).toMap
     assert(after == mtimes, "re-registration must not rewrite index files")
   }
+
+  test("winnow index rows equal the inline winnow pipeline") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val inline = Dedup.winnowFps(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Dedup.winnowIndex(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == inline)
+    assert(served.nonEmpty)
+  }
+
+  test("index-served substring pairs equal the inline substring pairs") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val inline = Dedup.substringPairs(docs, dfCap = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = Dedup.substringPairsFrom(Dedup.winnowIndex(spark, sfDir), dfCap = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == inline)
+  }
 }
