@@ -183,6 +183,45 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** DuckDB replays of the inverted-shingle-index pipelines — each
+    * shared by the inline gate and its index-served twin (a stale
+    * shingle index fails the shared hash gate). */
+  private val jaccardOracleSql: String =
+    shinglesSql +
+      s""", dfk AS (SELECT gram FROM grams GROUP BY gram
+           HAVING count(*) <= $JaccardDfCap),
+         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2,
+           round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) AS jaccard
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = pairs.id1
+         JOIN sizes s2 ON s2.doc_id = pairs.id2
+         WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.6
+         ORDER BY id1, id2""".stripMargin
+
+  private val containmentOracleSql: String =
+    shinglesSql +
+      s""", dfk AS (SELECT gram FROM grams GROUP BY gram
+           HAVING count(*) <= $JaccardDfCap),
+         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram)),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS inter
+           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2, s1.n AS n1, s2.n AS n2,
+           (1000 * inter) // least(s1.n, s2.n) AS c_milli
+         FROM pairs
+         JOIN sizes s1 ON s1.doc_id = pairs.id1
+         JOIN sizes s2 ON s2.doc_id = pairs.id2
+         WHERE (1000 * inter) // least(s1.n, s2.n) >= 800
+         ORDER BY id1, id2""".stripMargin
+
   /** DuckDB replay of the winnow pipeline + df-cap + pair join — shared
     * by dedup_substring and its index-served twin (a stale index fails
     * the shared hash gate, the dedup_indexed discipline). */
@@ -225,23 +264,16 @@ object Dedup {
     // below. The oracle replays the identical guard.
     QueryDef("dedup_jaccard", (s, d) =>
       jaccardPairs(Tables.load(s, d, "documents"), minJ = 0.6, dfCap = JaccardDfCap),
-    Some(
-      shinglesSql +
-      s""", dfk AS (SELECT gram FROM grams GROUP BY gram
-           HAVING count(*) <= $JaccardDfCap),
-         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-         pairs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id1, id2,
-           round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) AS jaccard
-         FROM pairs
-         JOIN sizes s1 ON s1.doc_id = pairs.id1
-         JOIN sizes s2 ON s2.doc_id = pairs.id2
-         WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.6
-         ORDER BY id1, id2""".stripMargin)),
+    Some(jaccardOracleSql)),
+
+    // ---- The SAME exact-Jaccard pairs served from the PERSISTED
+    // shingle inverted index ([[shingleIndex]]): tokenize + explode +
+    // distinct is paid once per corpus; the per-query plan reads the
+    // bucketed posting list, with the df-cap groupBy and gram self-join
+    // bucket-co-located. Shares dedup_jaccard's oracle.
+    QueryDef("dedup_jaccard_indexed", (s, d) =>
+      jaccardPairsFrom(shingleIndex(s, d), minJ = 0.6, dfCap = JaccardDfCap),
+    Some(jaccardOracleSql)),
 
     // ---- Asymmetric containment dedup: |A∩B| / min(|A|,|B|) >= 0.8.
     // Catches the subset-duplication shape Jaccard structurally misses
@@ -253,23 +285,14 @@ object Dedup {
     QueryDef("dedup_containment", (s, d) =>
       containmentPairs(Tables.load(s, d, "documents"), minMilli = 800L,
         dfCap = JaccardDfCap),
-    Some(
-      shinglesSql +
-      s""", dfk AS (SELECT gram FROM grams GROUP BY gram
-           HAVING count(*) <= $JaccardDfCap),
-         kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram)),
-         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
-         pairs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS inter
-           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id1, id2, s1.n AS n1, s2.n AS n2,
-           (1000 * inter) // least(s1.n, s2.n) AS c_milli
-         FROM pairs
-         JOIN sizes s1 ON s1.doc_id = pairs.id1
-         JOIN sizes s2 ON s2.doc_id = pairs.id2
-         WHERE (1000 * inter) // least(s1.n, s2.n) >= 800
-         ORDER BY id1, id2""".stripMargin)),
+    Some(containmentOracleSql)),
+
+    // ---- Containment served from the same persisted shingle index
+    // (see dedup_jaccard_indexed); shares dedup_containment's oracle.
+    QueryDef("dedup_containment_indexed", (s, d) =>
+      containmentPairsFrom(shingleIndex(s, d), minMilli = 800L,
+        dfCap = JaccardDfCap),
+    Some(containmentOracleSql)),
 
     // ---- Exact-substring near-dup via winnowing fingerprints (Lee et
     // al. "Deduplicating Training Data Makes Language Models Better" —
@@ -541,8 +564,12 @@ object Dedup {
     * use the FULL shingle set, so a capped run under-reports J only for
     * pairs whose overlap includes dropped hot grams — never inflates
     * it. Exposed for the recall spec and the stop-gram spec. */
-  def jaccardPairs(docs: DataFrame, minJ: Double, dfCap: Long): DataFrame = {
-    val grams = shinglesOf(docs)
+  def jaccardPairs(docs: DataFrame, minJ: Double, dfCap: Long): DataFrame =
+    jaccardPairsFrom(shinglesOf(docs), minJ, dfCap)
+
+  /** [[jaccardPairs]] over an explicit (doc_id, gram) frame — shared by
+    * the inline path and the persisted shingle index. */
+  def jaccardPairsFrom(grams: DataFrame, minJ: Double, dfCap: Long): DataFrame = {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val kept = grams.join(
       grams.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -570,8 +597,11 @@ object Dedup {
     * (Broder's resemblance-vs-containment distinction). Same inverted
     * index, same df cap; the score is one integer division, so the
     * gate hash needs no float at all. */
-  def containmentPairs(docs: DataFrame, minMilli: Long, dfCap: Long): DataFrame = {
-    val grams = shinglesOf(docs)
+  def containmentPairs(docs: DataFrame, minMilli: Long, dfCap: Long): DataFrame =
+    containmentPairsFrom(shinglesOf(docs), minMilli, dfCap)
+
+  /** [[containmentPairs]] over an explicit (doc_id, gram) frame. */
+  def containmentPairsFrom(grams: DataFrame, minMilli: Long, dfCap: Long): DataFrame = {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val kept = grams.join(
       grams.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -673,6 +703,21 @@ object Dedup {
       corpusFingerprint(s, d),
       "doc_id BIGINT, fp BIGINT",
       "fp", IndexBuckets)(winnowFps(Tables.load(s, d, "documents")))
+  }
+
+  /** Persisted shingle inverted index — the distinct word-3-gram
+    * posting list (doc_id, gram) written once per corpus, bucketed on
+    * gram (the [[minhashIndex]] shape applied to the exact-similarity
+    * family; late round 9). The tokenize + explode + distinct is the
+    * corpus-dependent half of dedup_jaccard/dedup_containment — at the
+    * adversarial sf1 replica those queries spend 31–40 s inline, almost
+    * all of it re-deriving this table. */
+  def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.ServedIndex(s, s"shingle_idx$sfx", s"shingle$sfx",
+      corpusFingerprint(s, d),
+      "doc_id BIGINT, gram STRING",
+      "gram", IndexBuckets)(shingles(s, d))
   }
 
   /** Candidate pairs served FROM the persisted index — same semantics as

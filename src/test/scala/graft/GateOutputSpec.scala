@@ -32,6 +32,8 @@ class GateOutputSpec extends SparkSuite {
     "dedup_embedding" -> Set("cos_sim"),
     "dedup_embedding_lsh" -> Set("cos_sim"),
     "dedup_jaccard" -> Set("jaccard"),
+    // index-served twin: identical output shape, same three-SF hash proof
+    "dedup_jaccard_indexed" -> Set("jaccard"),
     "embed_quantize" -> Set("scale_r"),
     "histogram_ranks" -> Set("avg_cnt"),
     "matmul_gram" -> Set("dot"),

@@ -112,6 +112,22 @@ class IndexedDedupSpec extends SparkSuite {
     assert(after == mtimes, "re-registration must not rewrite index files")
   }
 
+  test("index-served jaccard and containment pairs equal the inline pipelines") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val idx = Dedup.shingleIndex(spark, sfDir)
+    val jInline = Dedup.jaccardPairs(docs, minJ = 0.6, dfCap = Dedup.JaccardDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jServed = Dedup.jaccardPairsFrom(idx, minJ = 0.6, dfCap = Dedup.JaccardDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jServed == jInline)
+    val cInline = Dedup.containmentPairs(docs, minMilli = 800L, dfCap = Dedup.JaccardDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val cServed = Dedup.containmentPairsFrom(idx, minMilli = 800L, dfCap = Dedup.JaccardDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(cServed == cInline)
+    assert(jServed.nonEmpty && cServed.nonEmpty)
+  }
+
   test("winnow index rows equal the inline winnow pipeline") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val inline = Dedup.winnowFps(docs)
