@@ -359,7 +359,12 @@ object Dedup {
     // both member queries already replay, so a drift in either pipeline
     // fails this gate too.
     QueryDef("dedup_eval", (s, d) => {
-      val truth = jaccardPairs(Tables.load(s, d, "documents"),
+      // truth side served from the persisted shingle index (identical
+      // rows, IndexedDedupSpec-proven — eval measures the PAIR SETS'
+      // quality, and those are unchanged by where the postings live;
+      // the oracle still replays the inline chain, so index drift
+      // fails here)
+      val truth = jaccardPairsFrom(shingleIndex(s, d),
           minJ = 0.5, dfCap = JaccardDfCap)
         .select(col("id1"), col("id2"), lit(1L).as("t"))
       // served from the persisted band index (identical rows — the
