@@ -63,7 +63,7 @@ object Iterative {
         s"${ro.getLong(0)}|${ro.getLong(1)}"
     }
     graft.sources.ServedIndex(s, s"tradeedges$sfx", s"tradeedges$sfx", fp,
-      "src BIGINT, dst BIGINT", "src", 8)(tradeEdgesBuild(s, d))
+      "src BIGINT, dst BIGINT", "src", 32)(tradeEdgesBuild(s, d))
   }
 
   /** Session fast path: skip repeated fingerprint scans within a

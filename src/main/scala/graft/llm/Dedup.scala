@@ -674,7 +674,14 @@ object Dedup {
     * changes it and forces a rebuild, so serving can never go stale.
     * At 100 TB the shape is identical with more buckets (thousands) —
     * the index write is the one full shuffle the corpus ever pays. */
-  val IndexBuckets = 16
+  /** 32 = the local executor-thread count: bucket count caps the
+    * candidate-join parallelism of every serve-path query (the sf1
+    * census measured the 16-bucket shingle join SLOWER than inline for
+    * exactly this reason), so it must be >= the cores the join runs on.
+    * At 100 TB: thousands, sized to the cluster. Layout changes rebuild
+    * automatically — ServedIndex folds the bucket spec into the stored
+    * fingerprint. */
+  val IndexBuckets = 32
 
   /** Cheap corpus freshness fingerprint for [[minhashIndex]]: row count,
     * id sum, and total char length — a driver data regen changes it (and

@@ -42,9 +42,14 @@ object ServedIndex {
       serve(s, tbl, dirName, fp, schemaDdl, bucketCol, buckets)(build)
     }
 
-  private def serve(s: SparkSession, tbl: String, dirName: String, fp: String,
+  private def serve(s: SparkSession, tbl: String, dirName: String, fp0: String,
       schemaDdl: String, bucketCol: String, buckets: Int)(
       build: => DataFrame): DataFrame = {
+    // The stored fingerprint covers the physical LAYOUT as well as the
+    // corpus: a bucket-count or schema change (e.g. retuning buckets to
+    // the executor count) must rebuild, or a stale layout silently caps
+    // join parallelism at the old bucket count.
+    val fp = s"$fp0|$schemaDdl|$bucketCol|$buckets"
     val loc = new org.apache.hadoop.fs.Path(
       new java.io.File(s"target/graft-index/$dirName").getAbsoluteFile.toURI)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)

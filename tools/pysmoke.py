@@ -30,6 +30,9 @@ QUERIES = [
     "wordcount",       # the canonical KMR map/reduce example
     "dedup_exact",     # LLM dedup family
     "events_window",   # event-time windowed aggregate
+    "dedup_indexed",   # persisted-index serve path (builds or reads the
+                       # bucketed band index from Python — the 100 TB shape)
+    "q2_mincost",      # round-9 TPC-H addition (window-min decorrelation)
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
