@@ -36,10 +36,10 @@ object Bench {
   def committedMins(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
     try {
       val txt = Files.readString(path)
-      val sfRe = "\"sf\":\"([^\"]+)\"".r
+      val sfRe = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
       if (!sfRe.findFirstMatchIn(txt).exists(_.group(1) == sf)) None
       else {
-        val qRe = "\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+)".r
+        val qRe = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"min\"\\s*:\\s*([0-9.]+)".r
         val m = qRe.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
         if (m.isEmpty) None else Some(m)
       }
@@ -175,7 +175,7 @@ object Bench {
       val canonical = Paths.get("bench_detail.json")
       // missing or unparseable existing file → safe to (re)write in place
       val existingSf =
-        try "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(canonical)).map(_.group(1))
+        try "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(canonical)).map(_.group(1))
         catch { case _: Throwable => None }
       val target = if (existingSf.forall(_ == sfName)) canonical
                    else Paths.get(s"bench_detail_$sfName.json")

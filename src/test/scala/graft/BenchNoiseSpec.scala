@@ -34,4 +34,16 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(Bench.committedMins(p, "sf0.01").isEmpty, "cross-SF ratios are meaningless")
     assert(Bench.committedMins(dir.resolve("absent.json"), "sf0.1").isEmpty)
   }
+
+  test("committedMins tolerates pretty-printed JSON (the hand-merged baseline shape)") {
+    // Regression: a best-of-windows merge written by a standard JSON
+    // serializer puts a space after colons; the strict no-space regex
+    // silently read None, which BOTH disabled the noise defense AND let
+    // a cross-SF census overwrite the canonical detail file.
+    val dir = java.nio.file.Files.createTempDirectory("benchnoise2")
+    val p = dir.resolve("bench_detail.json")
+    java.nio.file.Files.writeString(p,
+      """{"queries": {"pagerank": {"min": 6.123, "med": 6.5}}, "runs": 3, "sf": "sf0.1"}""")
+    assert(Bench.committedMins(p, "sf0.1").contains(Map("pagerank" -> 6.123)))
+  }
 }
