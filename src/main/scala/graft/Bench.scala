@@ -177,8 +177,14 @@ object Bench {
       val existingSf =
         try "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(canonical)).map(_.group(1))
         catch { case _: Throwable => None }
-      val target = if (existingSf.forall(_ == sfName)) canonical
-                   else Paths.get(s"bench_detail_$sfName.json")
+      // When no parseable canonical exists, only the BASELINE SF
+      // (sf0.1 — the driver's bench SF, BASELINE.md) may create it: a
+      // lost canonical plus one census at another SF would otherwise
+      // hijack the file and divert every later baseline run (and the
+      // noise defense) forever.
+      val target =
+        if (existingSf.map(_ == sfName).getOrElse(sfName == "sf0.1")) canonical
+        else Paths.get(s"bench_detail_$sfName.json")
       Files.writeString(target, detail + "\n")
     }
     // subset runs are marked so a partial total can never be mistaken

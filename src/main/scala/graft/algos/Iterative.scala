@@ -49,36 +49,34 @@ object Iterative {
     * localCheckpoint'ed into the block cache — every consumer reads the
     * bucketed files (at 100 TB that read is the point: one shuffle paid
     * at build, zero afterwards). */
+  private[graft] def tradeEdgesFp(s: SparkSession, d: String): String = {
+    val rl = Tables.load(s, d, "lineitem").agg(
+      count(lit(1)).cast("long"),
+      coalesce(sum("l_orderkey"), lit(0L)),
+      coalesce(sum("l_suppkey"), lit(0L))).head()
+    val ro = Tables.load(s, d, "orders").agg(
+      count(lit(1)).cast("long"),
+      coalesce(sum("o_custkey"), lit(0L))).head()
+    s"${rl.getLong(0)}|${rl.getLong(1)}|${rl.getLong(2)}|" +
+      s"${ro.getLong(0)}|${ro.getLong(1)}"
+  }
+
   private[graft] def tradeEdgesTable(s: SparkSession, d: String): DataFrame = {
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    val fp = {
-      val rl = Tables.load(s, d, "lineitem").agg(
-        count(lit(1)).cast("long"),
-        coalesce(sum("l_orderkey"), lit(0L)),
-        coalesce(sum("l_suppkey"), lit(0L))).head()
-      val ro = Tables.load(s, d, "orders").agg(
-        count(lit(1)).cast("long"),
-        coalesce(sum("o_custkey"), lit(0L))).head()
-      s"${rl.getLong(0)}|${rl.getLong(1)}|${rl.getLong(2)}|" +
-        s"${ro.getLong(0)}|${ro.getLong(1)}"
-    }
-    graft.sources.ServedIndex(s, s"tradeedges$sfx", s"tradeedges$sfx", fp,
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex(s, s"tradeedges$sfx", s"tradeedges$sfx",
+      tradeEdgesFp(s, d),
       "src BIGINT, dst BIGINT", "src", 32)(tradeEdgesBuild(s, d))
   }
 
-  /** Session fast path: skip repeated fingerprint scans within a
-    * session (weakly keyed — the Graph.coPairs pattern). The cached
-    * value is the lazy TABLE READ plan, not materialized data. */
-  private val tradeEdgeCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
-
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
-    tradeEdgeCache.synchronized {
-      val perDir = tradeEdgeCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      perDir.getOrElseUpdate(d, tradeEdgesTable(s, d))
-    }
+  /** Session fast path via ServedIndex.cached: the fingerprint scan runs
+    * once per session, and an in-JVM rebuild invalidates the cached plan
+    * through the build epoch (instead of reading deleted part files). */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"tradeedges$sfx", s"tradeedges$sfx",
+      tradeEdgesFp(s, d),
+      "src BIGINT, dst BIGINT", "src", 32)(tradeEdgesBuild(s, d))
+  }
 
   /** Materialize the shared PageRank intermediates from a raw (src, dst)
     * edge frame. Every member is persisted and eagerly computed; call

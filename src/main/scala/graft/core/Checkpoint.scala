@@ -99,12 +99,20 @@ object Checkpoint {
     try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dir, ManifestName)
-    if (!f.rename(tmp, dst)) {
-      // HDFS-style rename refuses to clobber; retry once after delete —
-      // last rename wins, matching claim()'s last-writer-supersedes spec.
+    // HDFS-style rename refuses to clobber, so a contended claim loops
+    // delete-then-rename. A racing writer can re-create dst between our
+    // delete and rename — under last-writer-supersedes that must NOT
+    // abort this claim (a single retry threw here and turned a benign
+    // race into a crash); keep contending a few rounds, then give up
+    // loudly only if the rename never lands (a genuinely broken FS).
+    var renamed = f.rename(tmp, dst)
+    var attempts = 0
+    while (!renamed && attempts < 5) {
       f.delete(dst, false)
-      require(f.rename(tmp, dst), s"claim: rename to $dst failed twice")
+      renamed = f.rename(tmp, dst)
+      attempts += 1
     }
+    require(renamed, s"claim: rename to $dst failed after $attempts retries")
     token
   }
 

@@ -433,14 +433,18 @@ object AnnOps {
     * assignment scan leaves the per-query plan. Freshness and
     * cross-session re-registration via [[graft.sources.ServedIndex]]. */
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    val fp = embFingerprint(s, d)
-    val assigned = graft.sources.ServedIndex(s, s"ivf_assign$sfx", s"ivf_assign$sfx", fp,
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    // by-name fingerprint: on the session-cached hot path neither table
+    // re-scans the embeddings (ServedIndex.cached evaluates fp only on a
+    // cache miss)
+    val assigned = graft.sources.ServedIndex.cached(
+      s, s"ivf_assign$sfx", s"ivf_assign$sfx", embFingerprint(s, d),
       "vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT", "cid", 8) {
       val v = vecs(s, d)
       ivfAssign(v, centroidsOf(v))
     }
-    val cents = graft.sources.ServedIndex(s, s"ivf_cents$sfx", s"ivf_cents$sfx", fp,
+    val cents = graft.sources.ServedIndex.cached(
+      s, s"ivf_cents$sfx", s"ivf_cents$sfx", embFingerprint(s, d),
       "cid BIGINT, ce ARRAY<DOUBLE>, cnrm DOUBLE", "cid", 0) {
       centroidsOf(vecs(s, d))
     }

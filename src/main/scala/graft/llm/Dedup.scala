@@ -695,9 +695,21 @@ object Dedup {
     s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
   }
 
-  def minhashIndex(s: SparkSession, d: String): DataFrame = {
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+  /** Uncached build-or-serve (every call re-checks the fingerprint and
+    * re-registers a cold catalog) — the semantics IndexedDedupSpec's
+    * freshness/tamper test exercises; gates use the session-cached
+    * [[minhashIndex]]. */
+  private[graft] def minhashIndexFresh(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
     graft.sources.ServedIndex(s, s"minhash_idx$sfx", s"minhash$sfx",
+      corpusFingerprint(s, d),
+      "doc_id BIGINT, sig ARRAY<BIGINT>, bkey STRING",
+      "bkey", IndexBuckets)(bandRows(minhashSigs(s, d)))
+  }
+
+  def minhashIndex(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"minhash_idx$sfx", s"minhash$sfx",
       corpusFingerprint(s, d),
       "doc_id BIGINT, sig ARRAY<BIGINT>, bkey STRING",
       "bkey", IndexBuckets)(bandRows(minhashSigs(s, d)))
@@ -710,8 +722,8 @@ object Dedup {
     * dedup_substring, and like the minhash signatures it depends only on
     * the corpus — pay it when the corpus lands, serve every query after. */
   def winnowIndex(s: SparkSession, d: String): DataFrame = {
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    graft.sources.ServedIndex(s, s"winnow_idx$sfx", s"winnow$sfx",
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"winnow_idx$sfx", s"winnow$sfx",
       corpusFingerprint(s, d),
       "doc_id BIGINT, fp BIGINT",
       "fp", IndexBuckets)(winnowFps(Tables.load(s, d, "documents")))
@@ -725,8 +737,8 @@ object Dedup {
     * adversarial sf1 replica those queries spend 31–40 s inline, almost
     * all of it re-deriving this table. */
   def shingleIndex(s: SparkSession, d: String): DataFrame = {
-    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    graft.sources.ServedIndex(s, s"shingle_idx$sfx", s"shingle$sfx",
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"shingle_idx$sfx", s"shingle$sfx",
       corpusFingerprint(s, d),
       "doc_id BIGINT, gram STRING",
       "gram", IndexBuckets)(shingles(s, d))

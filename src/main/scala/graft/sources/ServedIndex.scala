@@ -35,12 +35,61 @@ object ServedIndex {
   // + last-writer-wins, same as Checkpoint.claim.)
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Sanitized table-name suffix for a data directory — single-sourced
+    * so a collision fix lands at every index site at once. */
+  def suffix(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  // Build epoch per table, bumped on every rebuild: session-scoped serve
+  // caches (below) hold LAZY table-read plans whose resolved file listing
+  // a rebuild deletes — the epoch lets them invalidate instead of reading
+  // deleted part files. In-JVM only; a rebuild by another process cannot
+  // reach this JVM's cached plans (cross-process staleness is governed by
+  // the fingerprint check on the next uncached serve, and ultimately the
+  // shared oracle gate).
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def epoch(tbl: String): Long =
+    Option(epochs.get(tbl)).map(_.longValue).getOrElse(0L)
+
   def apply(s: SparkSession, tbl: String, dirName: String, fp: String,
       schemaDdl: String, bucketCol: String, buckets: Int)(
       build: => DataFrame): DataFrame =
     locks.computeIfAbsent(tbl, _ => new Object).synchronized {
       serve(s, tbl, dirName, fp, schemaDdl, bucketCol, buckets)(build)
     }
+
+  /** Session-scoped serve: skip the per-call freshness fingerprint (a
+    * full corpus scan — it was costing every serve-path gate one corpus
+    * read per invocation, twice for dedup_eval) after the first serve in
+    * a session. `fp` is by-name and only evaluated on a cache miss. The
+    * cached value is the lazy table-read plan tagged with the build
+    * epoch it was created under; a same-JVM rebuild bumps the epoch and
+    * the next call re-serves. Weakly keyed by session, same as the
+    * graph-family caches. */
+  private val serveCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, (Long, DataFrame)]]()
+
+  def cached(s: SparkSession, tbl: String, dirName: String, fp: => String,
+      schemaDdl: String, bucketCol: String, buckets: Int)(
+      build: => DataFrame): DataFrame = {
+    val hit = serveCache.synchronized {
+      serveCache.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty[String, (Long, DataFrame)])
+        .get(tbl).filter(_._1 == epoch(tbl)).map(_._2)
+    }
+    hit.getOrElse {
+      // fingerprint + build-or-serve OUTSIDE the cache lock (they run
+      // Spark jobs); concurrent misses race benignly — apply() is
+      // per-table-locked and the loser takes the serve path
+      val df = apply(s, tbl, dirName, fp, schemaDdl, bucketCol, buckets)(build)
+      serveCache.synchronized {
+        serveCache.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty[String, (Long, DataFrame)])
+          .put(tbl, (epoch(tbl), df))
+      }
+      df
+    }
+  }
 
   private def serve(s: SparkSession, tbl: String, dirName: String, fp0: String,
       schemaDdl: String, bucketCol: String, buckets: Int)(
@@ -70,6 +119,7 @@ object ServedIndex {
       val out = fs.create(fpFile, true)
       try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      epochs.merge(tbl, 1L, (a, b) => a + b)
     } else if (!s.catalog.tableExists(tbl)) {
       val cluster =
         if (buckets > 0)

@@ -65,9 +65,11 @@ class PlanSpec extends SparkSuite {
       l.contains("Scan parquet") && l.contains("lineitem"))
     assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans:\n$p")
     assert(p.contains("Window"), s"per-part min is not a window:\n$p")
-    // the window must be keyed (never an unpartitioned global window)
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
-      s"unpartitioned window in q2_mincost:\n$p")
+    // the window must be keyed on l_partkey (an unpartitioned global
+    // window renders windowspecdefinition(specifiedwindowframe(...))
+    // with no partition column before the frame)
+    assert("windowspecdefinition\\(l_partkey".r.findFirstIn(p).isDefined,
+      s"q2_mincost window is not partitioned by l_partkey:\n$p")
   }
 
   test("range_join bands to an equality join — no nested-loop from the inequality") {

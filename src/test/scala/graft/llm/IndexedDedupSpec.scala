@@ -68,7 +68,7 @@ class IndexedDedupSpec extends SparkSuite {
       val futures = (1 to 4).map(_ => pool.submit(
         new java.util.concurrent.Callable[Long] {
           override def call(): Long =
-            Dedup.indexedPairs(Dedup.minhashIndex(spark, sfDir), est = 0.5).count()
+            Dedup.indexedPairs(Dedup.minhashIndexFresh(spark, sfDir), est = 0.5).count()
         }))
       val counts = futures.map(_.get()).toSet
       assert(counts.size == 1, s"racing builders disagreed: $counts")
@@ -76,7 +76,10 @@ class IndexedDedupSpec extends SparkSuite {
   }
 
   test("a corpus fingerprint change forces a rebuild; a fresh catalog re-registers") {
-    Dedup.minhashIndex(spark, sfDir) // ensure built
+    // the uncached entry: per-call fingerprint check + cold-catalog
+    // re-registration are exactly what this test exercises (the cached
+    // gate path deliberately skips both within a session)
+    Dedup.minhashIndexFresh(spark, sfDir) // ensure built
     // tamper through the Hadoop FS API (direct java.io writes would leave
     // a stale .crc sidecar and fail with ChecksumException, not staleness)
     val fsPath = new org.apache.hadoop.fs.Path(
@@ -95,7 +98,7 @@ class IndexedDedupSpec extends SparkSuite {
 
     // 1. stale fingerprint → rebuild (fingerprint restored to current)
     writeFp("0|0|0")
-    Dedup.minhashIndex(spark, sfDir)
+    Dedup.minhashIndexFresh(spark, sfDir)
     assert(readFp() == fp0, "rebuild must restore the current corpus fingerprint")
 
     // 2. catalog forgets the table (a new session's in-memory catalog) →
@@ -105,7 +108,7 @@ class IndexedDedupSpec extends SparkSuite {
     val mtimes = files.map(f => f.getName -> f.lastModified()).toMap
     val tbl = s"minhash_idx${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val idx = Dedup.minhashIndex(spark, sfDir)
+    val idx = Dedup.minhashIndexFresh(spark, sfDir)
     assert(idx.count() > 0)
     val after = indexLoc.listFiles().filter(_.getName.startsWith("part-"))
       .map(f => f.getName -> f.lastModified()).toMap
