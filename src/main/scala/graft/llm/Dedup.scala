@@ -348,6 +348,49 @@ object Dedup {
       shinglesSql + minhashSql +
       " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32 ORDER BY id1, id2")),
 
+    // ---- Steady-state ingest NEAR-dup: documents arriving from the
+    // non-'src0' shards are checked against the EXISTING corpus (src0)
+    // through the persisted band index — the production shape for
+    // incremental corpus growth (dedup_incremental is the exact-hash
+    // delta path; this is its near-duplicate sibling). Both sides read
+    // the same bucketed index table; the band join is candidate
+    // generation against the corpus only, never delta-vs-delta, so the
+    // per-ingest cost is O(delta · bands), independent of corpus size
+    // beyond the bucketed probe. Oracle replays the full minhash chain
+    // and splits pairs by source.
+    QueryDef("dedup_delta", (s, d) => {
+      val srcOf = Tables.load(s, d, "documents").select("doc_id", "source")
+      val idx = minhashIndex(s, d)
+      val corpus = idx
+        .join(srcOf.filter(col("source") === "src0"), "doc_id")
+        .select(col("doc_id").as("corpus_id"), col("sig").as("csig"), col("bkey"))
+      val delta = idx
+        .join(srcOf.filter(col("source") =!= "src0"), "doc_id")
+        .select(col("doc_id").as("delta_id"), col("sig").as("dsig"), col("bkey"))
+      corpus.join(delta, "bkey")
+        .select(col("delta_id"), col("corpus_id"),
+          expr("size(filter(zip_with(csig, dsig, (x, y) -> x = y), v -> v))")
+            .cast("long").as("n_match"))
+        .distinct()
+        .filter(col("n_match") >= 32)
+        .groupBy("delta_id")
+        .agg(countDistinct(col("corpus_id")).as("n_near"),
+          min(col("corpus_id")).as("nearest_id"))
+        .orderBy("delta_id")
+    }, Some(
+      shinglesSql + minhashSql +
+      """, srcs AS (SELECT doc_id, source FROM documents),
+         split AS (
+           SELECT CASE WHEN s1.source = 'src0' THEN id2 ELSE id1 END AS delta_id,
+                  CASE WHEN s1.source = 'src0' THEN id1 ELSE id2 END AS corpus_id,
+                  n_match
+           FROM cand
+           JOIN srcs s1 ON s1.doc_id = id1 JOIN srcs s2 ON s2.doc_id = id2
+           WHERE (s1.source = 'src0') <> (s2.source = 'src0') AND n_match >= 32)
+         SELECT delta_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_near,
+           min(corpus_id) AS nearest_id
+         FROM split GROUP BY delta_id ORDER BY delta_id""".stripMargin)),
+
     // ---- Dedup quality evaluation as a first-class operator: before
     // trusting an approximate dedup at 100 TB, MEASURE it — candidate
     // pairs from MinHash-LSH (est >= 0.5) scored against exact-Jaccard
