@@ -61,11 +61,24 @@ object Iterative {
       s"${ro.getLong(0)}|${ro.getLong(1)}"
   }
 
+  /** [[tradeEdgesBuild]] with the out-degree annotated at build time —
+    * the degree is a pure function of the edge set, so persisting it in
+    * the table removes prepareGraph's per-gate degree groupBy+join over
+    * the full edge set. Locally this is inside noise (the sf0.1 floor is
+    * the superstep loop and job-scheduling overhead, measured unchanged
+    * at ~4.6 s); the point is the 100 TB shape — one less full-edge-set
+    * shuffle per consumer, paid once at index build instead. */
+  private[graft] def tradeEdgesDegBuild(s: SparkSession, d: String): DataFrame = {
+    val e = tradeEdgesBuild(s, d)
+    e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg"))
+  }
+
   private[graft] def tradeEdgesTable(s: SparkSession, d: String): DataFrame = {
     val sfx = graft.sources.ServedIndex.suffix(d)
     graft.sources.ServedIndex(s, s"tradeedges$sfx", s"tradeedges$sfx",
       tradeEdgesFp(s, d),
-      "src BIGINT, dst BIGINT", "src", 32)(tradeEdgesBuild(s, d))
+      "src BIGINT, dst BIGINT, deg BIGINT", "src", 32)(tradeEdgesDegBuild(s, d))
   }
 
   /** Session fast path via ServedIndex.cached: the fingerprint scan runs
@@ -75,7 +88,7 @@ object Iterative {
     val sfx = graft.sources.ServedIndex.suffix(d)
     graft.sources.ServedIndex.cached(s, s"tradeedges$sfx", s"tradeedges$sfx",
       tradeEdgesFp(s, d),
-      "src BIGINT, dst BIGINT", "src", 32)(tradeEdgesBuild(s, d))
+      "src BIGINT, dst BIGINT, deg BIGINT", "src", 32)(tradeEdgesDegBuild(s, d))
   }
 
   /** Materialize the shared PageRank intermediates from a raw (src, dst)
@@ -103,6 +116,24 @@ object Iterative {
     // static, so it is computed ONCE and each variant unions its own
     // constant over these ids instead of re-deriving it with a
     // per-superstep left-outer join against the full node set.
+    val noInIds = nodes
+      .join(edgesDeg.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"))
+      .persist()
+    noInIds.count()
+    PreparedGraph(nodes, n, edgesDeg, noInIds)
+  }
+
+  /** [[prepareGraph]] over an edge frame that ALREADY carries the
+    * out-degree (the persisted trade-edge table) — skips the per-gate
+    * degree groupBy+join over the full edge set; node set and no-in ids
+    * are still derived here (cheap distincts). */
+  def prepareGraphDegreed(edgesDeg0: DataFrame): PreparedGraph = {
+    val edgesDeg = edgesDeg0.select(col("src"), col("dst"), col("deg")).persist()
+    val nodes = edgesDeg.select(col("src").as("id"))
+      .union(edgesDeg.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count()
+    edgesDeg.count()
     val noInIds = nodes
       .join(edgesDeg.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
       .select(col("id"))
@@ -439,15 +470,14 @@ object Iterative {
     // femtos per superstep, so 1e-9 is a ~1000x margin. IterativeSpec
     // additionally validates against a sequential reference fold.
     QueryDef("pagerank", (s, d) => {
-      // Edge set served from the durable bucketed table (built once per
-      // corpus — see tradeEdgesTable).
-      val edges = tradeEdges(s, d)
+      // Edge set (WITH out-degrees) served from the durable bucketed
+      // table (built once per corpus — see tradeEdgesTable).
       // Both arithmetics ride ONE fused pipeline (one join + one agg per
       // superstep, late round 9 — the certificate compares the
       // arithmetic, not two executions); the run ends on an eager
       // localCheckpoint, so the shared graph cache can be dropped before
       // the certificate aggregate is materialized.
-      val g = prepareGraph(edges)
+      val g = prepareGraphDegreed(tradeEdges(s, d))
       val both = pageRankBothOn(g, iters = 5)
       g.unpersist()
       both
@@ -467,8 +497,10 @@ object Iterative {
     // full DuckDB CTE replay (closing the "iterative float has no
     // oracle" gap the same way kmeans_clusters did).
     QueryDef("pagerank_exact", (s, d) => {
-      val edges = tradeEdges(s, d)
-      pageRankExact(edges, iters = 5)
+      val g = prepareGraphDegreed(tradeEdges(s, d))
+      val out = pageRankExactOn(g, iters = 5)
+      g.unpersist()
+      out
         .select(col("id"), col("r").as("rank_fp"))
         .orderBy(desc("rank_fp"), col("id"))
         .limit(100)

@@ -16,11 +16,11 @@ class DurableGraphSpec extends SparkSuite {
     assert(served.nonEmpty)
   }
 
-  test("persisted trade-edge table equals the inline build") {
-    val built = Iterative.tradeEdgesBuild(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("persisted trade-edge table equals the inline build (incl. degrees)") {
+    val built = Iterative.tradeEdgesDegBuild(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val served = Iterative.tradeEdgesTable(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(served == built)
     assert(served.nonEmpty)
   }
