@@ -176,6 +176,45 @@ object StreamOps {
       .as[BandRow]
   }
 
+  /** Stream-side signature rows in the persisted index's OWN shape
+    * (doc_id, sig, bkey) — same md5 permutation family as the batch
+    * pipeline, computed map-only per row (streaming-safe, no state). */
+  def bandSigRows(docs: DataFrame): DataFrame = {
+    val h1 = "cast(conv(substr(md5(g), 1, 15), 16, 10) AS bigint) % 2147483647"
+    val h2 = "cast(conv(substr(md5(concat(g, '!')), 1, 15), 16, 10) AS bigint) % 2147483646 + 1"
+    docs
+      .select(col("doc_id"), graft.llm.TextNorm.toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("hs", expr(
+        "transform(transform(sequence(0, size(w)-3), i -> concat(w[i],' ',w[i+1],' ',w[i+2])), " +
+        s"g -> struct($h1 AS h1, $h2 AS h2))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 63), j -> " +
+        "aggregate(hs, 9223372036854775807L, (acc, h) -> least(acc, (h.h1 + j * h.h2) % 2147483647)))"))
+      .select(col("doc_id"), col("sig"), explode(expr(
+        "transform(sequence(0, 15), b -> " +
+        "concat(b, ':', array_join(transform(slice(sig, b*4+1, 4), x -> cast(x AS string)), ',')))"))
+        .as("bkey"))
+  }
+
+  /** Stream-static near-dup probe — the STREAMING sibling of the
+    * dedup_delta gate: arriving documents are checked against the
+    * PERSISTED corpus band index (graft.llm.Dedup.minhashIndex). The
+    * stream side is map-only signature computation; the static side is
+    * the bucketed index table, so every micro-batch's join probes
+    * bucket-co-located postings and the operator carries NO streaming
+    * state (pure append). A pair surfacing through several bands emits
+    * once per band — dedupe in the sink (foreachBatch), where batch
+    * semantics apply; the spec does exactly that. */
+  def indexProbe(deltaDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    bandSigRows(deltaDocs)
+      .join(corpusIndex.select(col("doc_id").as("corpus_id"),
+        col("sig").as("csig"), col("bkey")), "bkey")
+      .select(col("doc_id").as("delta_id"), col("corpus_id"),
+        expr("size(filter(zip_with(sig, csig, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_match"))
+      .where(col("n_match") >= 32)
+
   /** Band-owner state: the first document ever seen on a band key owns
     * it; every later arrival on the same key is reported against that
     * owner. Rows are folded in doc_id order within a micro-batch so

@@ -98,4 +98,52 @@ class StreamingMinhashSpec extends SparkSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stream-static probe against the persisted index matches the batch dedup_delta pairs") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val srcOf = docs.select("doc_id", "source")
+    val idx = graft.llm.Dedup.minhashIndex(spark, sfDir)
+    val corpusIdx = idx.join(srcOf.filter(col("source") === "src0"), "doc_id")
+
+    // expected: the batch dedup_delta candidate pairs (pre-grouping)
+    val deltaIdx = idx.join(srcOf.filter(col("source") =!= "src0"), "doc_id")
+    val expected = corpusIdx.select(col("doc_id").as("corpus_id"),
+        col("sig").as("csig"), col("bkey"))
+      .join(deltaIdx.select(col("doc_id").as("delta_id"),
+        col("sig").as("dsig"), col("bkey")), "bkey")
+      .select(col("delta_id"), col("corpus_id"),
+        expr("size(filter(zip_with(csig, dsig, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_match"))
+      .where(col("n_match") >= 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "corpus should contain cross-source near-dups")
+
+    // stream the delta documents in two micro-batches; dedupe multi-band
+    // hits in the sink (foreachBatch), where batch semantics apply
+    val delta = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val q = StreamOps.indexProbe(
+        in.toDF().toDF("doc_id", "text"), corpusIdx)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= batch.dropDuplicates("delta_id", "corpus_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream probe diverged: ${(got.toSet -- expected).take(3)} extra, " +
+      s"${(expected -- got).take(3)} missing")
+  }
 }
