@@ -39,8 +39,14 @@ object Bench {
       val sfRe = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
       if (!sfRe.findFirstMatchIn(txt).exists(_.group(1) == sf)) None
       else {
-        val qRe = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{\\s*\"min\"\\s*:\\s*([0-9.]+)".r
-        val m = qRe.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+        // Two-stage match (ADVICE r9): capture each query's whole object
+        // body, then find "min" anywhere WITHIN it — requiring "min" to
+        // be the first key would silently yield None (and disable the
+        // noise defense) for a serializer emitting {"med":...,"min":...}.
+        val objRe = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{([^{}]*)\\}".r
+        val minRe = "\"min\"\\s*:\\s*([0-9.]+)".r
+        val m = objRe.findAllMatchIn(txt).flatMap(x =>
+          minRe.findFirstMatchIn(x.group(2)).map(mm => x.group(1) -> mm.group(1).toDouble)).toMap
         if (m.isEmpty) None else Some(m)
       }
     } catch { case _: Throwable => None }

@@ -43,16 +43,26 @@ object Graph {
     *   session share one tiny in-memory scan and skip repeated
     *   fingerprint checks. Entries are weakly keyed by the session
     *   object: a new session never sees a dead session's RDD, and
-    *   collected sessions drop their entries. */
+    *   collected sessions drop their entries. Values hold the DataFrame
+    *   through a SoftReference (ADVICE r9): a Dataset strongly
+    *   references its SparkSession, so a strong value would pin the
+    *   weak key forever and entries would never collect — soft-held,
+    *   the only strong chain to a dead session is clearable, and a
+    *   cleared entry merely re-reads the tiny persisted table. */
   private val coPairsCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
+      scala.collection.mutable.Map[String,
+        java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]]()
 
   private def coPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     coPairsCache.synchronized {
       val perDir = coPairsCache.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty)
-      perDir.getOrElseUpdate(d, coPairsTable(s, d).localCheckpoint(true))
+      perDir.get(d).flatMap(r => Option(r.get)).getOrElse {
+        val df = coPairsTable(s, d).localCheckpoint(true)
+        perDir.put(d, new java.lang.ref.SoftReference(df))
+        df
+      }
     }
 
   /** The persisted edge table (exposed for DurableGraphSpec). */

@@ -50,15 +50,17 @@ object Iterative {
     * bucketed files (at 100 TB that read is the point: one shuffle paid
     * at build, zero afterwards). */
   private[graft] def tradeEdgesFp(s: SparkSession, d: String): String = {
+    // sum(hash(k1,k2)) rather than sum(k1)+sum(k2): plain column sums are
+    // permutation-blind (swapping o_custkey between two orders preserves
+    // count and sum but changes the edge set), while a per-ROW hash folds
+    // the key PAIRING into the aggregate, so any reassignment moves it.
     val rl = Tables.load(s, d, "lineitem").agg(
       count(lit(1)).cast("long"),
-      coalesce(sum("l_orderkey"), lit(0L)),
-      coalesce(sum("l_suppkey"), lit(0L))).head()
+      coalesce(sum(hash(col("l_orderkey"), col("l_suppkey")).cast("long")), lit(0L))).head()
     val ro = Tables.load(s, d, "orders").agg(
       count(lit(1)).cast("long"),
-      coalesce(sum("o_custkey"), lit(0L))).head()
-    s"${rl.getLong(0)}|${rl.getLong(1)}|${rl.getLong(2)}|" +
-      s"${ro.getLong(0)}|${ro.getLong(1)}"
+      coalesce(sum(hash(col("o_orderkey"), col("o_custkey")).cast("long")), lit(0L))).head()
+    s"${rl.getLong(0)}|${rl.getLong(1)}|${ro.getLong(0)}|${ro.getLong(1)}"
   }
 
   /** [[tradeEdgesBuild]] with the out-degree annotated at build time —

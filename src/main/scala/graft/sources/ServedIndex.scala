@@ -62,30 +62,47 @@ object ServedIndex {
     * full corpus scan — it was costing every serve-path gate one corpus
     * read per invocation, twice for dedup_eval) after the first serve in
     * a session. `fp` is by-name and only evaluated on a cache miss. The
-    * cached value is the lazy table-read plan tagged with the build
-    * epoch it was created under; a same-JVM rebuild bumps the epoch and
-    * the next call re-serves. Weakly keyed by session, same as the
-    * graph-family caches. */
+    * cached value is ONLY the build epoch the table was last verified
+    * fresh under in this session — NOT the DataFrame: a Dataset strongly
+    * references its SparkSession, and a DataFrame value would pin the
+    * WeakHashMap's weak session key forever (session leak). A hit
+    * re-derives the lazy plan via s.table(tbl) (a catalog lookup — the
+    * expensive part being skipped is the fingerprint corpus scan). A
+    * same-JVM rebuild bumps the epoch and the next call re-serves. */
   private val serveCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, (Long, DataFrame)]]()
+    scala.collection.mutable.Map[String, Long]]()
+
+  /** Invalidate every session's serve cache (ADVICE r9): a long-lived
+    * session (e.g. the Python entry path) otherwise never re-checks the
+    * corpus fingerprint, silently serving a stale index after an on-disk
+    * corpus regen. Call after any external data regen; the next serve of
+    * each table redoes the freshness check. */
+  def resetCaches(): Unit = serveCache.synchronized { serveCache.clear() }
 
   def cached(s: SparkSession, tbl: String, dirName: String, fp: => String,
       schemaDdl: String, bucketCol: String, buckets: Int)(
       build: => DataFrame): DataFrame = {
+    // Capture the epoch BEFORE the serve (ADVICE r9 TOCTOU): a rebuild
+    // landing between apply() and the cache put would otherwise tag the
+    // pre-rebuild plan with the post-rebuild epoch and serve a plan over
+    // deleted part files. Under the pre-read epoch a concurrent rebuild
+    // merely invalidates this entry → one extra re-serve, never staleness.
+    val preEpoch = epoch(tbl)
     val hit = serveCache.synchronized {
       serveCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty[String, (Long, DataFrame)])
-        .get(tbl).filter(_._1 == epoch(tbl)).map(_._2)
+        _ => scala.collection.mutable.Map.empty[String, Long])
+        .get(tbl).contains(preEpoch)
     }
-    hit.getOrElse {
+    if (hit) s.table(tbl)
+    else {
       // fingerprint + build-or-serve OUTSIDE the cache lock (they run
       // Spark jobs); concurrent misses race benignly — apply() is
       // per-table-locked and the loser takes the serve path
       val df = apply(s, tbl, dirName, fp, schemaDdl, bucketCol, buckets)(build)
       serveCache.synchronized {
         serveCache.computeIfAbsent(s,
-          _ => scala.collection.mutable.Map.empty[String, (Long, DataFrame)])
-          .put(tbl, (epoch(tbl), df))
+          _ => scala.collection.mutable.Map.empty[String, Long])
+          .put(tbl, preEpoch)
       }
       df
     }
