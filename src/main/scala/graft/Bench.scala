@@ -54,20 +54,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      // local[N, 2]: allow ONE task retry — local mode defaults to
-      // maxFailures=1, where a single transient task failure (memory
-      // pressure in a long census, a GC pause mid-fetch) kills the whole
-      // query; a real cluster always runs with retries, so zero-retry
-      // local runs are stricter than the deployment they model. The
-      // census remains failure-loud: a DETERMINISTIC error still fails
-      // both attempts and surfaces in the errors map / gate.
-      .master(s"local[$cpus, 2]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Master selection (incl. multi-JVM local-cluster) lives in Sessions.
+    val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     // Warm up the JVM/codegen/IO paths so the first measured query does
     // not absorb session start-up cost.

@@ -7,20 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      // local[N, 2]: allow ONE task retry — local mode defaults to
-      // maxFailures=1, where a single transient task failure (memory
-      // pressure in a long census, a GC pause mid-fetch) kills the whole
-      // query; a real cluster always runs with retries, so zero-retry
-      // local runs are stricter than the deployment they model. The
-      // census remains failure-loud: a DETERMINISTIC error still fails
-      // both attempts and surfaces in the errors map / gate.
-      .master(s"local[$cpus, 2]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Master selection (incl. multi-JVM local-cluster) lives in Sessions.
+    val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // queries are independent — run a few concurrently so the gate's
