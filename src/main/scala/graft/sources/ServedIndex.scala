@@ -7,21 +7,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * counterpart of the reference's inverted-index join kernel kmr_match,
   * src/kmrmoreops.c:695-728).
   *
-  * Contract: the index lives at a stable EXTERNAL location under
-  * target/graft-index/, with a caller-supplied corpus fingerprint file
-  * beside the data. Three paths:
-  * - fingerprint missing/stale → (re)build: drop table, delete dir,
-  *   write fresh (bucketed+sorted when buckets>0), commit fingerprint
-  *   LAST so a torn build can never serve;
-  * - fingerprint fresh, catalog knows the table → serve as-is (the hot
-  *   path — zero I/O beyond the fingerprint read);
-  * - fingerprint fresh, catalog cold (a NEW SparkSession — the
-  *   in-memory catalog forgets tables) → re-register DDL against the
-  *   existing files, no rewrite.
+  * Contract: the index lives under a stable EXTERNAL root at
+  * target/graft-index/<dirName>/ holding immutable VERSIONED data
+  * directories (v_<token>/) plus one small `_graft_meta` pointer file
+  * (active version + previous version + corpus fingerprint) that is
+  * committed ATOMICALLY (temp file + rename) and only AFTER the data
+  * dir is fully written. Three paths:
+  * - meta missing/stale fingerprint → (re)build into a FRESH version
+  *   dir, swing the pointer, then GC superseded versions — keeping the
+  *   immediately-previous version as a grace copy so a reader that
+  *   resolved its file listing before the swing never observes a
+  *   mid-rebuild delete;
+  * - fingerprint fresh, this process registered the active version →
+  *   serve as-is (the hot path — zero I/O beyond the meta read);
+  * - fingerprint fresh but the catalog is cold (a NEW SparkSession /
+  *   JVM) or points at a superseded version (ANOTHER process rebuilt)
+  *   → re-register DDL against the active files, no rewrite.
+  *
+  * Cross-process writers race safely: each builds into its own version
+  * dir and the atomic pointer rename is last-writer-wins — there is
+  * never a moment where the pointer names a torn or deleted dir. The
+  * GC age guard keeps a winner from deleting a concurrent loser's
+  * still-being-written dir.
   *
   * At 100 TB the shape is identical with thousands of buckets: the
-  * index write is the one full shuffle the corpus ever pays, and every
-  * downstream query joins bucket-co-located. */
+  * index write is the one full shuffle the corpus ever pays, every
+  * downstream query joins bucket-co-located, and the version pointer
+  * is the same snapshot-isolation shape Delta/Iceberg commit logs use. */
 object ServedIndex {
 
   // Per-table build lock: several gate queries legitimately SHARE one
@@ -31,25 +43,28 @@ object ServedIndex {
   // concurrent first call sees the missing fingerprint and races the
   // CREATE TABLE. The lock serializes build-or-serve per table within
   // this JVM; the loser of the build re-checks freshness and takes the
-  // serve path. (Cross-PROCESS writers are governed by the fingerprint
-  // + last-writer-wins, same as Checkpoint.claim.)
+  // serve path. (Cross-PROCESS writers are governed by the versioned
+  // dirs + atomic pointer, above.)
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Sanitized table-name suffix for a data directory — single-sourced
     * so a collision fix lands at every index site at once. */
   def suffix(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
-  // Build epoch per table, bumped on every rebuild: session-scoped serve
-  // caches (below) hold LAZY table-read plans whose resolved file listing
-  // a rebuild deletes — the epoch lets them invalidate instead of reading
-  // deleted part files. In-JVM only; a rebuild by another process cannot
-  // reach this JVM's cached plans (cross-process staleness is governed by
-  // the fingerprint check on the next uncached serve, and ultimately the
-  // shared oracle gate).
+  // Build epoch per table, bumped on every rebuild (and on observing a
+  // cross-process rebuild): session-scoped serve caches (below) hold
+  // verified-fresh markers — the epoch lets them invalidate instead of
+  // serving a superseded version for the rest of the session.
   private val epochs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def epoch(tbl: String): Long =
     Option(epochs.get(tbl)).map(_.longValue).getOrElse(0L)
+
+  // The version dir this PROCESS last registered the table against —
+  // lets a serve detect that another process swung the pointer (the
+  // catalog entry still resolves, but to a superseded dir).
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def apply(s: SparkSession, tbl: String, dirName: String, fp: String,
       schemaDdl: String, bucketCol: String, buckets: Int)(
@@ -108,6 +123,59 @@ object ServedIndex {
     }
   }
 
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Index root for a data-dir name (absolute, file: URI). */
+  private[graft] def rootPath(dirName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new java.io.File(s"target/graft-index/$dirName").getAbsoluteFile.toURI)
+
+  /** Read the pointer file: (activeToken, prevToken, fingerprint).
+    * Exposed private[graft] so specs can tamper with the fingerprint /
+    * locate the active version dir through the same parser. */
+  private[graft] def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[(String, String, String)] = {
+    val metaFile = new org.apache.hadoop.fs.Path(root, "_graft_meta")
+    if (!fs.exists(metaFile)) None
+    else {
+      val in = fs.open(metaFile)
+      val txt = try new String(in.readAllBytes(), UTF8) finally in.close()
+      // active \n prev \n fp (fp may itself contain anything but \n —
+      // fingerprints are single-line by construction)
+      txt.split("\n", 3) match {
+        case Array(a, p, f) => Some((a, p, f))
+        case _ => None
+      }
+    }
+  }
+
+  /** Atomically publish the pointer: write a temp sibling, then a
+    * rename-with-overwrite (FileContext — atomic where the filesystem
+    * supports it; local FS and HDFS both do). A reader concurrent with
+    * the commit sees either the old complete pointer or the new one,
+    * never a torn write. */
+  private[graft] def writeMeta(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      active: String, prev: String, fp: String): Unit = {
+    val metaFile = new org.apache.hadoop.fs.Path(root, "_graft_meta")
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_graft_meta.tmp.$active")
+    val out = fs.create(tmp, true)
+    try out.write(s"$active\n$prev\n$fp".getBytes(UTF8)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(root.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(tmp, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The active version's data directory as a local File (spec helper —
+    * part-file mtime checks must look inside the versioned dir). */
+  private[graft] def activeDir(s: SparkSession, dirName: String): java.io.File = {
+    val root = rootPath(dirName)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m = readMeta(fs, root).getOrElse(sys.error(s"no _graft_meta under $root"))
+    new java.io.File(new java.net.URI(
+      new org.apache.hadoop.fs.Path(root, m._1).toString))
+  }
+
   private def serve(s: SparkSession, tbl: String, dirName: String, fp0: String,
       schemaDdl: String, bucketCol: String, buckets: Int)(
       build: => DataFrame): DataFrame = {
@@ -116,34 +184,60 @@ object ServedIndex {
     // the executor count) must rebuild, or a stale layout silently caps
     // join parallelism at the old bucket count.
     val fp = s"$fp0|$schemaDdl|$bucketCol|$buckets"
-    val loc = new org.apache.hadoop.fs.Path(
-      new java.io.File(s"target/graft-index/$dirName").getAbsoluteFile.toURI)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fpFile = new org.apache.hadoop.fs.Path(loc, "_graft_fingerprint")
-    val stored =
-      if (!fs.exists(fpFile)) None
-      else {
-        val in = fs.open(fpFile)
-        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
-      }
-    if (!stored.contains(fp)) {
+    val root = rootPath(dirName)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // pre-versioning layout (data files directly at the root, fingerprint
+    // in _graft_fingerprint): no pointer protocol to respect — clear the
+    // root and rebuild versioned
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_meta")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_fingerprint")))
+      fs.delete(root, true)
+    val meta = readMeta(fs, root)
+    if (!meta.exists(_._3 == fp)) {
+      // (re)build into a FRESH version dir. The currently-active dir (if
+      // any) is left in place as the grace copy — a concurrent reader
+      // holding a resolved plan over it keeps reading complete files.
+      val token = "v_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val dataDir = new org.apache.hadoop.fs.Path(root, token)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      if (fs.exists(loc)) fs.delete(loc, true)
-      val w = build.write.mode("overwrite").option("path", loc.toString)
+      val w = build.write.mode("overwrite").option("path", dataDir.toString)
       (if (buckets > 0) w.bucketBy(buckets, bucketCol).sortBy(bucketCol) else w)
         .saveAsTable(tbl)
-      val out = fs.create(fpFile, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // pointer LAST and atomic: a torn build can never serve; racing
+      // cross-process builders are last-writer-wins on the rename
+      val prev = meta.map(_._1).getOrElse("")
+      writeMeta(s, fs, root, token, prev, fp)
+      // GC superseded versions — never the new active, never the grace
+      // copy, and never anything recent enough to be a concurrent
+      // builder's in-progress dir (age guard)
+      val keep = Set(token, prev)
+      val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+      Option(if (fs.exists(root)) fs.listStatus(root) else null).toSeq.flatten
+        .foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("v_") && !keep(n) &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+      registered.put(tbl, token)
       epochs.merge(tbl, 1L, (a, b) => a + b)
-    } else if (!s.catalog.tableExists(tbl)) {
-      val cluster =
-        if (buckets > 0)
-          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS "
-        else ""
-      s.sql(s"CREATE TABLE $tbl ($schemaDdl) USING PARQUET " +
-        cluster + s"LOCATION '${loc.toString}'")
+    } else {
+      val active = meta.get._1
+      val crossProcessSwing = Option(registered.get(tbl)).exists(_ != active)
+      if (crossProcessSwing || !s.catalog.tableExists(tbl)) {
+        val loc = new org.apache.hadoop.fs.Path(root, active)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val cluster =
+          if (buckets > 0)
+            s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS "
+          else ""
+        s.sql(s"CREATE TABLE $tbl ($schemaDdl) USING PARQUET " +
+          cluster + s"LOCATION '${loc.toString}'")
+        registered.put(tbl, active)
+        // another process rebuilt: cached serves in this JVM verified an
+        // older epoch — invalidate them so they re-resolve the pointer
+        if (crossProcessSwing) epochs.merge(tbl, 1L, (a, b) => a + b)
+      }
     }
     s.table(tbl)
   }

@@ -28,7 +28,7 @@ class DurableGraphSpec extends SparkSuite {
   test("a cold catalog re-registers the trade-edge table without rewriting files") {
     Iterative.tradeEdgesTable(spark, sfDir).count() // ensure built
     val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = new java.io.File(s"target/graft-index/tradeedges$sfx")
+    val dir = graft.sources.ServedIndex.activeDir(spark, s"tradeedges$sfx")
     val mtimes = dir.listFiles().filter(_.getName.startsWith("part-"))
       .map(f => f.getName -> f.lastModified()).toMap
     assert(mtimes.nonEmpty)
@@ -42,7 +42,7 @@ class DurableGraphSpec extends SparkSuite {
   test("a cold catalog re-registers the edge table without rewriting files") {
     Graph.coPairsTable(spark, sfDir).count() // ensure built
     val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = new java.io.File(s"target/graft-index/copairs$sfx")
+    val dir = graft.sources.ServedIndex.activeDir(spark, s"copairs$sfx")
     val mtimes = dir.listFiles().filter(_.getName.startsWith("part-"))
       .map(f => f.getName -> f.lastModified()).toMap
     assert(mtimes.nonEmpty)

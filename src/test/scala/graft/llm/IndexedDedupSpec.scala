@@ -56,10 +56,10 @@ class IndexedDedupSpec extends SparkSuite {
 
   test("concurrent build-or-serve is race-free (the Verify thread-pool shape)") {
     // the driver's Verify runs gate queries on a 4-thread pool, and four
-    // queries share this index — force the worst case: no fingerprint,
+    // queries share this index — force the worst case: no pointer file,
     // no catalog entry, four simultaneous first calls
     val fsPath = new org.apache.hadoop.fs.Path(
-      indexLoc.getAbsoluteFile.toURI.toString, "_graft_fingerprint")
+      indexLoc.getAbsoluteFile.toURI.toString, "_graft_meta")
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(fsPath, false)
     spark.sql(s"DROP TABLE IF EXISTS minhash_idx${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
@@ -80,37 +80,38 @@ class IndexedDedupSpec extends SparkSuite {
     // re-registration are exactly what this test exercises (the cached
     // gate path deliberately skips both within a session)
     Dedup.minhashIndexFresh(spark, sfDir) // ensure built
-    // tamper through the Hadoop FS API (direct java.io writes would leave
-    // a stale .crc sidecar and fail with ChecksumException, not staleness)
-    val fsPath = new org.apache.hadoop.fs.Path(
-      indexLoc.getAbsoluteFile.toURI.toString, "_graft_fingerprint")
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readFp(): String = {
-      val in = fs.open(fsPath)
-      try new String(in.readAllBytes()) finally in.close()
-    }
-    def writeFp(v: String): Unit = {
-      val out = fs.create(fsPath, true)
-      try out.write(v.getBytes) finally out.close()
-    }
-    assert(fs.exists(fsPath))
-    val fp0 = readFp()
+    // tamper with the pointer's FINGERPRINT field through ServedIndex's
+    // own meta reader/writer (the versioned layout keeps active/prev
+    // tokens beside the fp; direct java.io writes would leave a stale
+    // .crc sidecar and fail with ChecksumException, not staleness)
+    val dirName = s"minhash${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val root = graft.sources.ServedIndex.rootPath(dirName)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def meta() = graft.sources.ServedIndex.readMeta(fs, root).get
+    val (a0, p0, fp0) = meta()
 
-    // 1. stale fingerprint → rebuild (fingerprint restored to current)
-    writeFp("0|0|0")
+    // 1. stale fingerprint → rebuild into a NEW version dir (fingerprint
+    // restored to current; old active dir retained as the grace copy)
+    graft.sources.ServedIndex.writeMeta(spark, fs, root, a0, p0, "0|0|0")
     Dedup.minhashIndexFresh(spark, sfDir)
-    assert(readFp() == fp0, "rebuild must restore the current corpus fingerprint")
+    val (a1, p1, fp1) = meta()
+    assert(fp1 == fp0, "rebuild must restore the current corpus fingerprint")
+    assert(a1 != a0, "rebuild must write a fresh version dir")
+    assert(p1 == a0, "the superseded version must be kept as the grace copy")
+    assert(new java.io.File(indexLoc, a0).exists(),
+      "grace copy must survive the rebuild (mid-read delete protection)")
 
     // 2. catalog forgets the table (a new session's in-memory catalog) →
     // re-register DDL against existing files, no rewrite (mtime check)
-    val files = indexLoc.listFiles().filter(_.getName.startsWith("part-"))
+    val active = graft.sources.ServedIndex.activeDir(spark, dirName)
+    val files = active.listFiles().filter(_.getName.startsWith("part-"))
     assert(files.nonEmpty)
     val mtimes = files.map(f => f.getName -> f.lastModified()).toMap
     val tbl = s"minhash_idx${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     val idx = Dedup.minhashIndexFresh(spark, sfDir)
     assert(idx.count() > 0)
-    val after = indexLoc.listFiles().filter(_.getName.startsWith("part-"))
+    val after = active.listFiles().filter(_.getName.startsWith("part-"))
       .map(f => f.getName -> f.lastModified()).toMap
     assert(after == mtimes, "re-registration must not rewrite index files")
   }

@@ -31,8 +31,8 @@ class IvfIndexSpec extends SparkSuite {
 
   test("second call serves without rebuilding (index files untouched)") {
     AnnOps.ivfTopkIndexed(spark, sfDir).collect() // ensure built
-    val dir = new java.io.File(
-      s"target/graft-index/ivf_assign${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val dir = graft.sources.ServedIndex.activeDir(spark,
+      s"ivf_assign${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
     val mtimes = dir.listFiles().filter(_.getName.startsWith("part-"))
       .map(f => f.getName -> f.lastModified()).toMap
     assert(mtimes.nonEmpty)
