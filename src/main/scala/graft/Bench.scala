@@ -61,6 +61,24 @@ object Bench {
     // not absorb session start-up cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "nation").count()
+    // Pre-build every persisted index DURING warmup, timed per index
+    // (round-9 verdict item 3): a cold window otherwise charges the
+    // one-off build to whichever indexed gate runs first (dedup_delta
+    // med 5.6 s vs min 0.58 s in BENCH_r09), conflating ingest-time and
+    // query-time cost. After this loop the gates measure SERVE cost;
+    // the builds are reported as their own index_build_s map. On a warm
+    // corpus these are cheap serves (fingerprint check only) — the map
+    // then records ~0 s, which is itself the signal that nothing was
+    // rebuilt. Build failures go to the errors map (prefixed) rather
+    // than killing the bench.
+    val indexBuilds = SparkEntry.indexes.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(80)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Optional comma-separated subset for local iteration, e.g.
@@ -152,13 +170,20 @@ object Bench {
     val fastFields =
       if (fast.isEmpty) ""
       else s""","fast_omitted":${fast.size},"fast_total":${fmt(fast.map(_._2).sum)},"fast_total_med":${fmt(fast.map(_._3).sum)}"""
-    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
+    val errs = (results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" } ++
+      indexBuilds.collect { case (k, _, Some(e)) => s"${jstr("index:" + k)}:${jstr(e)}" })
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalMed = ok.map(_._3).sum
+    // one-off index-build (ingest-time) cost, reported separately from
+    // the per-query (serve-time) numbers in both the detail file and
+    // the stdout line
+    val buildJson = indexBuilds.collect { case (k, v, None) => s"${jstr(k)}:${fmt2(v)}" }
+      .mkString("{", ",", "}")
     val detail = ok.sortBy(_._1)
       .map { case (k, v, m, _) => s"""${jstr(k)}:{"min":${fmt(v)},"med":${fmt(m)}}""" }
-      .mkString("{\"queries\":{", ",", s"""},"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
+      .mkString("{\"queries\":{", ",",
+        s"""},"index_build_s":$buildJson,"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed
     // full-census detail file, and neither may a full run at a DIFFERENT
     // SF (a local sf0.01 smoke would silently replace the sf0.1 baseline
@@ -197,7 +222,7 @@ object Bench {
     // end survives carries the total. sf as basename: every byte here
     // trades against per-query map capacity.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset$suspectField,"sf":${jstr(sfName)},"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset$suspectField,"sf":${jstr(sfName)},"index_build_s":$buildJson,"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout

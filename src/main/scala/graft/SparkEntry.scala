@@ -36,4 +36,25 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Build-or-serve entry points for every PERSISTED index table
+    * (ServedIndex call sites). Bench drives these during warmup, timing
+    * each, so the one-off index-build cost is reported as its own
+    * `index_build_s` metric instead of being silently charged to
+    * whichever indexed gate happens to run first in a cold window —
+    * exactly the split a production deployment sees (index build =
+    * ingest-time cost, gates = query-time cost). Each function forces
+    * the build when stale and is a cheap serve when fresh. */
+  def indexes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "copairs" -> ((s, d) => graft.algos.Graph.coPairsTable(s, d)),
+    "tradeedges" -> ((s, d) => graft.algos.Iterative.tradeEdgesTable(s, d)),
+    "minhash" -> ((s, d) => graft.llm.Dedup.minhashIndex(s, d)),
+    "winnow" -> ((s, d) => graft.llm.Dedup.winnowIndex(s, d)),
+    "shingle" -> ((s, d) => graft.llm.Dedup.shingleIndex(s, d)),
+    // two tables (assignment + centroids); force the small one inline
+    "ivf" -> ((s, d) => {
+      val (assigned, cents) = graft.llm.AnnOps.ivfIndex(s, d)
+      cents.count(); assigned
+    }),
+  )
 }
