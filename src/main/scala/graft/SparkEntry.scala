@@ -37,6 +37,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
+  /** Java-friendly oracled-query name list for the Python harness
+    * (tools/pysmoke.py): py4j cannot iterate a scala Map's keys. */
+  def oracleNames: java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    oracleSql.keys.toSeq.sorted.asJava
+  }
+
   /** Build-or-serve entry points for every PERSISTED index table
     * (ServedIndex call sites). Bench drives these during warmup, timing
     * each, so the one-off index-build cost is reported as its own

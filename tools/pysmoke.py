@@ -12,10 +12,11 @@ real correctness check of the Python-driven path, not a smoke-print.
 Usage:
   /opt/spark/bin/spark-submit --master 'local[8]' \
     --driver-class-path target/scala-2.13/classes \
-    tools/pysmoke.py [sfDir]
+    tools/pysmoke.py [sfDir] [--quick]
 
-Selection covers one query per major family, including a KVS verb
-chain (kvs_reduce = create/add/shuffle/reduce, SURVEY §2.1).
+Default sweeps EVERY oracled query in the census (round-9 verdict item
+8); --quick restricts to one query per major family, including a KVS
+verb chain (kvs_reduce = create/add/shuffle/reduce, SURVEY §2.1).
 """
 import math
 import sys
@@ -24,7 +25,7 @@ import duckdb
 from pyspark.sql import SparkSession
 from pyspark.sql.dataframe import DataFrame
 
-QUERIES = [
+QUICK_QUERIES = [
     "q1_pricing",      # TPC-H relational surface
     "kvs_reduce",      # KVS verb chain (create/add/shuffle/reduce)
     "wordcount",       # the canonical KMR map/reduce example
@@ -46,8 +47,15 @@ def rows_equal(a, b):
         if len(ra) != len(rb):
             return False
         for va, vb in zip(ra, rb):
-            if va is None and vb is None:
-                continue
+            # DuckDB's fetchdf() surfaces SQL NULL as pandas NaN/NaT in
+            # numeric columns while Spark collect() gives None — treat
+            # any null-ish pair as equal, any null/non-null pair as not
+            def _null(v):
+                return v is None or (isinstance(v, float) and math.isnan(v))
+            if _null(va) or _null(vb):
+                if _null(va) and _null(vb):
+                    continue
+                return False
             if isinstance(va, float) or isinstance(vb, float):
                 fa, fb = float(va), float(vb)
                 if math.isnan(fa) and math.isnan(fb):
@@ -59,7 +67,7 @@ def rows_equal(a, b):
     return True
 
 
-def main(sf_dir):
+def main(sf_dir, quick):
     spark = (SparkSession.builder
              .appName("graft-pysmoke")
              .config("spark.sql.shuffle.partitions", "8")
@@ -72,6 +80,7 @@ def main(sf_dir):
     entry = jvm.graft.SparkEntry
     queries = entry.queries()
     oracles = entry.oracleSql()
+    names = QUICK_QUERIES if quick else list(entry.oracleNames())
 
     con = duckdb.connect()
     for t in TABLES:
@@ -79,7 +88,7 @@ def main(sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
-    for name in QUERIES:
+    for name in names:
         fn = queries.apply(name)
         jdf = fn.apply(spark._jsparkSession, sf_dir)
         df = DataFrame(jdf, spark)
@@ -102,9 +111,11 @@ def main(sf_dir):
     if failures:
         print("\n".join(failures))
         sys.exit(1)
-    print(f"pysmoke: {len(QUERIES)}/{len(QUERIES)} python-driven queries "
+    print(f"pysmoke: {len(names)}/{len(names)} python-driven queries "
           "row-identical to the DuckDB oracle")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    args = [a for a in sys.argv[1:] if a != "--quick"]
+    main(args[0] if args else "/root/testdata/sf0.001",
+         quick="--quick" in sys.argv)
