@@ -275,6 +275,24 @@ object Dedup {
       jaccardPairsFrom(shingleIndex(s, d), minJ = 0.6, dfCap = JaccardDfCap),
     Some(jaccardOracleSql)),
 
+    // ---- The SAME exact-Jaccard pairs via PREFIX FILTERING (AllPairs/
+    // PPJoin, Bayardo et al. WWW'07): instead of self-joining the full
+    // inverted index — O(Σ df²) over every shingle — only each doc's
+    // rarest nᵏ−⌈t·nᵏ⌉+1 shingles (under a global df-ascending order)
+    // are indexed, which is provably sufficient to generate every pair
+    // with J ≥ t. This removes the mid-frequency df² mass the stop-gram
+    // cap can't touch, making the EXACT path viable far beyond the
+    // "small-corpus oracle" regime; verification is per-candidate over
+    // per-doc shingle arrays (bounded by doc length, not corpus size).
+    // Shares dedup_jaccard's oracle — an unsound prefix bound that
+    // drops a true pair fails the hash gate. PrefixJoinSpec proves
+    // pair-set equality with the inverted-index path on adversarial
+    // fixtures (threshold-boundary pairs, cap-firing corpora).
+    QueryDef("dedup_jaccard_prefix", (s, d) =>
+      jaccardPairsPrefix(shinglesOf(Tables.load(s, d, "documents")),
+        jNum = 3, jDen = 5, dfCap = JaccardDfCap),
+    Some(jaccardOracleSql)),
+
     // ---- Asymmetric containment dedup: |A∩B| / min(|A|,|B|) >= 0.8.
     // Catches the subset-duplication shape Jaccard structurally misses
     // (a short doc fully quoted inside a long one scores J ≈ |A|/|B| ≈ 0
@@ -630,6 +648,80 @@ object Dedup {
     pairs
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** Prefix-filtered exact-Jaccard pairs — the AllPairs/PPJoin family
+    * (Bayardo, Ma, Srikant "Scaling Up All Pairs Similarity Search",
+    * WWW'07): identical output to [[jaccardPairsFrom]] for the same
+    * (threshold, dfCap), but candidate generation indexes only each
+    * document's PREFIX under a global rarest-first shingle order
+    * instead of its full posting list.
+    *
+    * Why it is lossless: order all kept shingles by (df, gram)
+    * ascending. For a qualifying pair, J ≥ t with FULL-set denominators
+    * n1,n2 and kept-set intersection I gives I·(1+t) ≥ t·(n1+n2)
+    * ≥ t·(n1ᵏ + I) (full ≥ kept ≥ I), hence I ≥ t·n1ᵏ — so
+    * I ≥ ⌈t·nᵏ⌉ =: α for BOTH docs. The smallest common shingle w in
+    * the global order has at least α−1 intersection shingles after it
+    * in each doc, so w sits within the first nᵏ−α+1 shingles of both —
+    * both prefixes contain w and the prefix self-join finds the pair.
+    *
+    * Why it scales where the inverted index cannot: the posting join's
+    * cost is O(Σ df²) over ALL shingles; here only prefix occurrences
+    * are indexed, and the rarest-first order makes prefix shingles
+    * exactly the LOW-df ones — the df² mass concentrated in
+    * mid-frequency shingles (too common to be rare, too rare for the
+    * stop-gram cap) never reaches the join. α is exact integer
+    * arithmetic (⌈num·nᵏ/den⌉ via div), never float-ceil, so a
+    * rounding-up error can't shorten a prefix and drop a true pair.
+    * Verification touches only candidate pairs: per-doc kept-shingle
+    * arrays (bounded by document length, never corpus size) meet in an
+    * equality join and one array_intersect. The threshold is num/den
+    * (3/5 at the gate = the 0.6 the oracle replays). */
+  def jaccardPairsPrefix(grams: DataFrame, jNum: Int, jDen: Int,
+      dfCap: Long): DataFrame = {
+    require(jNum > 0 && jNum <= jDen, s"threshold $jNum/$jDen not in (0,1]")
+    val minJ = jNum.toDouble / jDen
+    // Shingle identity inside this operator is its 60-bit md5 prefix:
+    // 8-byte longs (not ~20-char strings) are what cross every shuffle
+    // and fill the per-doc arrays — the same trust the whole MinHash
+    // chain already places in md5 distinctness, and PrefixJoinSpec's
+    // parity against the string-exact inverted index would fail loudly
+    // on a collision in any test corpus.
+    val hashed = grams.select(col("doc_id"), md5Long(col("gram")).as("h"))
+    val dfs = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    // ONE aggregate per doc: full size for the denominator AND the
+    // kept (df ≤ cap) shingles as a rarest-first sorted array —
+    // collect_list drops the nulls `when` leaves on capped-out grams.
+    val docs = hashed.join(dfs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(
+          when(col("df") <= dfCap, struct(col("df"), col("h"))))).as("sg"))
+      .select(col("doc_id"), col("n"),
+        expr("transform(sg, x -> x.h)").as("gs"),
+        size(col("sg")).as("nk"))
+    // α = ⌈jNum·nk/jDen⌉ exactly; prefix = first nk − α + 1 shingles
+    val probe = docs
+      .select(col("doc_id"), explode(expr(
+        s"slice(gs, 1, cast(nk - (($jNum * nk + ${jDen - 1}) div $jDen) + 1 as int))"))
+        .as("h"))
+    val cand = probe.as("a")
+      .join(probe.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id1"), col("gs").as("g1"),
+        col("n").as("n1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("gs").as("g2"),
+        col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jaccard") >= minJ)

@@ -34,6 +34,8 @@ class GateOutputSpec extends SparkSuite {
     "dedup_jaccard" -> Set("jaccard"),
     // index-served twin: identical output shape, same three-SF hash proof
     "dedup_jaccard_indexed" -> Set("jaccard"),
+    // prefix-filtered twin: identical output shape, PrefixJoinSpec-proven
+    "dedup_jaccard_prefix" -> Set("jaccard"),
     "embed_quantize" -> Set("scale_r"),
     "histogram_ranks" -> Set("avg_cnt"),
     "matmul_gram" -> Set("dot"),
