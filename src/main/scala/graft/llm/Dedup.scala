@@ -706,14 +706,30 @@ object Dedup {
       .select(col("doc_id"), col("n"),
         expr("transform(sg, x -> x.h)").as("gs"),
         size(col("sg")).as("nk"))
-    // α = ⌈jNum·nk/jDen⌉ exactly; prefix = first nk − α + 1 shingles
+    // α = ⌈jNum·nk/jDen⌉ exactly; prefix = first nk − α + 1 shingles.
+    // posexplode keeps each prefix occurrence's 0-based position for
+    // the PPJoin positional filter below.
     val probe = docs
-      .select(col("doc_id"), explode(expr(
-        s"slice(gs, 1, cast(nk - (($jNum * nk + ${jDen - 1}) div $jDen) + 1 as int))"))
-        .as("h"))
+      .select(col("doc_id"), col("nk"), col("n"), posexplode(expr(
+        s"slice(gs, 1, cast(nk - (($jNum * nk + ${jDen - 1}) div $jDen) + 1 as int))")))
+      .withColumnRenamed("col", "h")
+    // PPJoin's two candidate-time prunes (both exact-integer, both
+    // lossless):
+    // - length filter: J ≥ t forces min(n1,n2) ≥ t·max(n1,n2), i.e.
+    //   jDen·min ≥ jNum·max over the FULL sizes.
+    // - positional filter: for the FIRST common shingle (at kept-array
+    //   positions p1,p2) the kept intersection I ≤ min(nk1−p1, nk2−p2),
+    //   and J ≥ t forces I·(jNum+jDen) ≥ jNum·(n1+n2); a true pair's
+    //   first-common occurrence always passes, a false candidate whose
+    //   every shared prefix occurrence fails is pruned before the
+    //   verification join ever sees it.
     val cand = probe.as("a")
       .join(probe.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          lit(jDen) * least(col("a.n"), col("b.n")) >=
+            lit(jNum) * greatest(col("a.n"), col("b.n")) &&
+          least(col("a.nk") - col("a.pos"), col("b.nk") - col("b.pos")) *
+            lit(jNum + jDen) >= lit(jNum) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     cand
