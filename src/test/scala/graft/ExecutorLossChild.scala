@@ -18,27 +18,50 @@ import org.apache.spark.sql.SparkSession
   * never landed (vacuous run must FAIL the spec). */
 object ExecutorLossChild {
 
-  private def addOpens: String =
+  private[graft] def addOpens: String =
     java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filter(_.startsWith("--add-opens")).mkString(" ")
 
-  def main(args: Array[String]): Unit = {
-    val Array(query, dir) = args
-    val spark = SparkSession.builder()
+  /** Session against a freshly-forked 2-worker standalone cluster,
+    * with the current (classes-dir) classpath shipped to the executor
+    * JVMs — shared by the batch and streaming chaos children. */
+  private[graft] def clusterSession(name: String): SparkSession = {
+    val s = SparkSession.builder()
       .master("local-cluster[2,2,1536]")
-      .appName("executor-loss")
+      .appName(name)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.memory", "1g")
-      // ship the test classpath to the executor JVMs directly — the
-      // spec runs from compiled class directories, not a packaged jar
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.executor.extraJavaOptions", addOpens)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** kill -9 one executor JVM (a descendant running
+    * CoarseGrainedExecutorBackend); returns its pid or -1 if none
+    * found. ProcessHandle.info().commandLine() TRUNCATES long command
+    * lines (the executor's -cp alone is ~16 KB, so the class name
+    * never survives) — read /proc/<pid>/cmdline instead. */
+  private[graft] def killOneExecutor(): Long = {
+    import scala.jdk.CollectionConverters._
+    def cmdOf(pid: Long): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/cmdline"))).replace('\u0000', ' ')
+    } catch { case _: Throwable => "" }
+    ProcessHandle.current().descendants().iterator().asScala
+      .find(h => cmdOf(h.pid()).contains("ExecutorBackend"))
+      .map { v => v.destroyForcibly(); println(s"KILLED pid=${v.pid()}"); v.pid() }
+      .getOrElse(-1L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(query, dir) = args
+    val spark = clusterSession("executor-loss")
 
     def run(): Array[String] =
       SparkEntry.queries(query)(spark, dir)
@@ -47,32 +70,15 @@ object ExecutorLossChild {
     val clean = run()
 
     // arm the chaos: on the FIRST task start of the recovered run,
-    // kill -9 one executor JVM (a descendant process running
-    // CoarseGrainedExecutorBackend)
+    // kill -9 one executor JVM
     val killed = new java.util.concurrent.atomic.AtomicLong(-1)
     val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskStart(
             t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-          if (armed.compareAndSet(true, false)) {
-            import scala.jdk.CollectionConverters._
-            // ProcessHandle.info().commandLine() TRUNCATES long command
-            // lines (the executor's -cp alone is ~16 KB, so the class
-            // name never survives) — read /proc/<pid>/cmdline instead
-            def cmdOf(pid: Long): String = try {
-              new String(java.nio.file.Files.readAllBytes(
-                java.nio.file.Paths.get(s"/proc/$pid/cmdline"))).replace('\u0000', ' ')
-            } catch { case _: Throwable => "" }
-            val victims = ProcessHandle.current().descendants().iterator().asScala
-              .filter(h => cmdOf(h.pid()).contains("ExecutorBackend"))
-              .toSeq
-            victims.headOption.foreach { v =>
-              killed.set(v.pid())
-              v.destroyForcibly()
-              println(s"KILLED pid=${v.pid()}")
-            }
-          }
+          if (armed.compareAndSet(true, false))
+            killed.set(killOneExecutor())
       })
 
     val recovered = run()
