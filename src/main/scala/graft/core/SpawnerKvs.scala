@@ -1,0 +1,175 @@
+package graft.core
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** Spawner↔spawned KVS exchange — the data plane the reference gives
+  * dynamically-spawned worker programs (`kmr_send_kvs_to_spawner`,
+  * src/kmrmapms.c:2127-2152, and its receiving map-function
+  * `kmr_receive_kvs_from_spawned_fn`, src/kmrmapms.c:2158-2201).
+  *
+  * Reference protocol: the spawned process marshals a whole KVS with
+  * `kmr_save_kvs` and sends it to the spawner as a size header plus the
+  * marshaled byte stream (tag KMR_TAG_SPAWN_REPLY1); the spawner's
+  * map-function `kmr_restore_kvs`es the stream and identity-maps the
+  * pairs into its output KVS. The channel is the spawn
+  * inter-communicator; the payload is the SAME marshaled image
+  * `kmr_save_kvs`/`kmr_restore_kvs` use for durable snapshots.
+  *
+  * Spark-first re-expression: the "spawn inter-communicator" is the
+  * child process's stdin/stdout (Spark has no MPI_Comm_spawn — the same
+  * mapping [[KVS.mapBarrier]] uses), and the marshaled image is a
+  * length-framed binary stream (below) rather than tab-separated lines,
+  * so ARBITRARY byte-content keys/values round-trip — the property the
+  * reference gets from kmr_save_kvs's opaque boxes and the one thing the
+  * kmrshell text protocol cannot do. The stream is symmetric (spawner→
+  * child and child→spawner use the same framing), so `cat` is the
+  * identity worker and any program linking [[receiveFromSpawner]] /
+  * [[sendToSpawner]] is a full worker — the analogue of a spawned
+  * binary calling kmr_create_dummy_context + kmr_send_kvs_to_spawner
+  * (src/kmrmapms.c:2117-2125).
+  *
+  * Framing (big-endian, java.io.DataOutputStream): magic "KVS1", then
+  * per pair klen:int32, vlen:int32, key bytes, value bytes; terminated
+  * by klen = -1. The terminator (not EOF) marks a COMPLETE stream, so a
+  * child dying mid-write can never pass off a truncated KVS as a result
+  * — the spawner fails loudly (the kmrwatch0 contract).
+  *
+  * Scale shape: one child per partition, pairs stream both ways without
+  * buffering the whole KVS in memory on the feed side; the reply is
+  * drained before the exit-code check exactly like mapBarrier. Only the
+  * partition's own pairs cross the pipe — no shuffle is introduced.
+  */
+object SpawnerKvs {
+
+  private val Magic = 0x4B565331 // "KVS1"
+
+  /** Marshal pairs onto `out` (kmr_save_kvs image analogue). Closes the
+    * stream so the peer's read terminates. */
+  def marshal(out: OutputStream, pairs: Iterator[(Array[Byte], Array[Byte])]): Unit = {
+    val o = new DataOutputStream(new BufferedOutputStream(out, 1 << 16))
+    try {
+      o.writeInt(Magic)
+      pairs.foreach { case (k, v) =>
+        o.writeInt(k.length); o.writeInt(v.length)
+        o.write(k); o.write(v)
+      }
+      o.writeInt(-1)
+    } finally o.close()
+  }
+
+  /** Unmarshal a complete stream from `in` (kmr_restore_kvs analogue).
+    * Strict: a missing magic or a stream ending before the terminator
+    * throws — truncated replies must fail the task, not shrink it. */
+  def unmarshal(in: InputStream): Vector[(Array[Byte], Array[Byte])] = {
+    val i = new DataInputStream(new BufferedInputStream(in, 1 << 16))
+    val m = i.readInt()
+    require(m == Magic, f"spawner-KVS stream: bad magic 0x$m%08x")
+    val buf = Vector.newBuilder[(Array[Byte], Array[Byte])]
+    try {
+      var klen = i.readInt()
+      while (klen != -1) {
+        val vlen = i.readInt()
+        val k = new Array[Byte](klen); i.readFully(k)
+        val v = new Array[Byte](vlen); i.readFully(v)
+        buf += ((k, v))
+        klen = i.readInt()
+      }
+    } catch {
+      case _: EOFException =>
+        throw new java.io.IOException(
+          "spawner-KVS stream truncated before terminator — child died mid-send")
+    }
+    buf.result()
+  }
+
+  // ---- child-side API (what a spawned program links — the analogue of
+  // kmr_create_dummy_context + kmr_send_kvs_to_spawner in the worker).
+
+  /** kmr_receive-side of the child: the KVS the spawner fed this
+    * process, read from stdin. */
+  def receiveFromSpawner(): Vector[(String, String)] =
+    unmarshal(System.in).map { case (k, v) =>
+      (new String(k, "UTF-8"), new String(v, "UTF-8"))
+    }
+
+  /** kmr_send_kvs_to_spawner: marshal the child's result KVS onto
+    * stdout for the spawner's receiving map-function. */
+  def sendToSpawner(pairs: Iterator[(String, String)]): Unit =
+    marshal(System.out, pairs.map { case (k, v) =>
+      (k.getBytes("UTF-8"), v.getBytes("UTF-8"))
+    })
+
+  // ---- spawner side.
+
+  /** kmr_map_via_spawn + kmr_receive_kvs_from_spawned_fn in one verb:
+    * per partition, spawn `cmd`, feed the partition's pairs as a
+    * marshaled KVS, and restore the child's marshaled reply as the
+    * output pairs (0..n per input — the child returns a whole KVS, not
+    * a per-pair answer). Child failure, a truncated reply, or a stdin
+    * feed failure all fail the task loudly. */
+  def mapViaSpawnKvs(kvs: Dataset[(String, String)], cmd: Seq[String])
+      : Dataset[(String, String)] = {
+    require(cmd.nonEmpty, "mapViaSpawnKvs: empty command")
+    import kvs.sparkSession.implicits._
+    kvs.mapPartitions { it =>
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // Feed from a separate thread (same deadlock/partial-input
+      // discipline as KVS.mapBarrier): a child writing before draining
+      // stdin must not deadlock; a feed failure must fail the TASK.
+      @volatile var writerFailure: Throwable = null
+      val writer = new Thread(() => {
+        try marshal(p.getOutputStream,
+          it.map { case (k, v) => (k.getBytes("UTF-8"), v.getBytes("UTF-8")) })
+        catch { case t: Throwable => writerFailure = t }
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val reply = unmarshal(p.getInputStream)
+      writer.join()
+      val rc = p.waitFor()
+      require(rc == 0, s"mapViaSpawnKvs: child exited $rc")
+      if (writerFailure != null)
+        throw new java.io.IOException(
+          "mapViaSpawnKvs: stdin feed failed mid-stream — refusing partial results",
+          writerFailure)
+      reply.iterator.map { case (k, v) =>
+        (new String(k, "UTF-8"), new String(v, "UTF-8"))
+      }
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- The spawner round-trip as a census gate: orders pairs are
+    // marshaled to a spawned process and its marshaled reply restored.
+    // `cat` is the identity worker (the stream is symmetric by design),
+    // so the gate proves framing, feed, restore and exit discipline
+    // end-to-end on real data; the oracle re-derives the aggregate the
+    // round-tripped pairs feed. Values deliberately carry a '\t' and a
+    // '\n' — content the TEXT pipe protocol would corrupt — so the gate
+    // fails if anyone "simplifies" this back to line framing.
+    QueryDef("spawn_kvs", (s, d) => {
+      import s.implicits._
+      val kvs = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority").as("k"),
+          concat_ws("\t", col("o_orderkey").cast("string"),
+            concat(col("o_orderdate").cast("string"), lit("\n"))).as("v"))
+        .as[(String, String)]
+        .repartition(8)
+      SpawnerKvs.mapViaSpawnKvs(kvs, Seq("cat"))
+        .map { case (k, v) => (k, v.split('\t')(0).toLong) }
+        .toDF("o_orderpriority", "okey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("okey").as("key_sum"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      "SELECT o_orderpriority, count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+  )
+}
