@@ -20,6 +20,7 @@ object SparkEntry {
       graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++
       graft.sources.Ingest.defs ++ graft.sources.CmdFarm.defs ++
       graft.core.Checkpoint.defs ++ graft.core.SpawnerKvs.defs ++
+      graft.core.Lanes.defs ++
       graft.algos.Iterative.defs ++ graft.algos.Graph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
