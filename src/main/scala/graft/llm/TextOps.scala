@@ -30,18 +30,26 @@ object TextOps {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Corpus distribution per (lang, source): the basic profiling
-    // pass over a crawl.
+    // pass over a crawl. The mean is emitted in exact integer
+    // CENTI-chars ((100·Σ) div n), not round(avg,2): a double mean
+    // whose true quotient sits on a .xx5 boundary rounds differently
+    // per engine (Spark's round(double) goes through
+    // BigDecimal.valueOf's shortest-decimal string and HALF_UP, DuckDB
+    // rounds the binary double — observed at sf1: 320.53 vs 320.52 on
+    // exactly 320.525), while integer division is bit-identical at any
+    // scale — the same discipline every money aggregate here follows.
     QueryDef("text_stats", (s, d) => {
       Tables.load(s, d, "documents")
         .select(col("lang"), col("source"), col("n_chars"), size(toks).as("n_toks"))
         .groupBy("lang", "source")
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg("n_chars"), 2).as("avg_chars"),
+          expr("(100 * sum(n_chars)) div count(*)").as("avg_chars_centi"),
           sum(col("n_toks").cast("long")).as("total_tokens"))
         .orderBy("lang", "source")
     }, Some(
-      s"SELECT lang, source, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars, " +
+      s"SELECT lang, source, count(*) AS n_docs, " +
+      s"CAST((100 * sum(n_chars)) // count(*) AS BIGINT) AS avg_chars_centi, " +
       s"CAST(sum(len($normSql)) AS BIGINT) AS total_tokens " +
       "FROM documents GROUP BY lang, source ORDER BY lang, source")),
 

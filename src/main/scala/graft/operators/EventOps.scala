@@ -191,6 +191,19 @@ object EventOps {
     // nothing at equal lgK), and err_ok pins the estimate within 5% of
     // the exact distinct count (lgK=14 -> rse ~0.8%). SketchSpec
     // additionally exercises the raw-estimate shape.
+    //
+    // The register identity must be certified at the REGISTER level,
+    // not on raw estimates: a direct Datasketches sketch answers with
+    // the HIP estimator, but any union result falls back to the
+    // composite estimator (out-of-order merge destroys HIP state), so
+    // estimate(union(per-day)) == estimate(direct) only while the
+    // groups sit in the exact/sparse range — true at sf<=0.1, false at
+    // sf1 (observed: direct 14914 vs union 14956 on 15000 exact). The
+    // one-level side therefore passes through hll_union(sk, sk): a
+    // self-union is register-idempotent (max with itself) but routes
+    // the estimate through the SAME composite path, making the
+    // certificate the scale-invariant truth "merging per-partition
+    // registers loses nothing" rather than an estimator-mode artifact.
     QueryDef("hll_partitioned", (s, d) => {
       val e = Tables.load(s, d, "events")
         .select(col("event_type"), expr("ts div 86400000000000").as("day"),
@@ -203,7 +216,9 @@ object EventOps {
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("est2"))
       val oneLevel = e
         .groupBy("event_type")
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est1"),
+        .agg(expr(
+          "hll_sketch_estimate(hll_union(hll_sketch_agg(user_id, 14), " +
+            "hll_sketch_agg(user_id, 14)))").as("est1"),
           countDistinct(col("user_id")).as("exact"))
       twoLevel.join(oneLevel, "event_type")
         .select(col("event_type"), col("n_days"),

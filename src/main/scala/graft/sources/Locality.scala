@@ -161,20 +161,22 @@ object Locality {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- The assignment transform as a census gate over a synthetic
-    // "file catalog" derived from supplier (file=s_name, size=exact
-    // acctbal cents, host=nation): 64 ranks block-cyclic over 25 hosts.
-    // Every supplier nation holds a rank (25 < 64), so the locality
-    // invariant rank≡host (mod 25) holds for every row — the oracle
-    // replays the same windowed round-robin declaratively.
+    // "file catalog" derived from supplier (file=s_name#s_suppkey —
+    // suffixed because sf1+ replicas repeat s_name 10× and a non-total
+    // (size, file) order would make row_number engine-dependent; size=
+    // exact acctbal cents; host=nation): 64 ranks block-cyclic over 25
+    // hosts. Every supplier nation holds a rank (25 < 64), so the
+    // locality invariant rank≡host (mod 25) holds for every row — the
+    // oracle replays the same windowed round-robin declaratively.
     QueryDef("locality_assign", (s, d) => {
       val files = Tables.load(s, d, "supplier")
-        .select(col("s_name").as("file"),
+        .select(concat(col("s_name"), lit("#"), col("s_suppkey")).as("file"),
           expr("try_cast(round(s_acctbal * 100, 0) AS LONG)").as("size"),
           col("s_nationkey").cast("int").as("host_idx"))
       assignByHost(files, nRanks = 64, nHosts = 25)
         .orderBy("file")
     }, Some(
-      "WITH f AS (SELECT s_name AS file, TRY_CAST(round(s_acctbal*100,0) AS BIGINT) AS size, " +
+      "WITH f AS (SELECT s_name || '#' || s_suppkey AS file, TRY_CAST(round(s_acctbal*100,0) AS BIGINT) AS size, " +
       "CAST(s_nationkey AS INT) AS host_idx FROM supplier), " +
       "w AS (SELECT file, host_idx, row_number() OVER " +
       "(PARTITION BY host_idx ORDER BY size DESC, file) AS rn FROM f) " +

@@ -55,7 +55,6 @@ class GateOutputSpec extends SparkSuite {
     "rep_tokens" -> Set("dup_frac"),
     "sort_global" -> Set("o_totalprice"),
     "text_quality" -> Set("ttr", "avg_word_len", "quality"),
-    "text_stats" -> Set("avg_chars"),
     "window_analytics" -> Set("mov3_cents"))
 
   private def isFloaty(dt: DataType): Boolean = dt match {
