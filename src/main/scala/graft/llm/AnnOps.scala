@@ -30,6 +30,7 @@ object AnnOps {
   private val TOPK = 5
   private val NQUERY = 10
   private val NPLANES = 64 // RP-LSH hyperplanes
+  private val SemDedupEps = 0.4 // semdedup near-dup cosine threshold
   private val BANDBITS = 8 // bits per LSH band (8 bands)
 
   /** Native codegen'd dot product (graft.functions.DotProductD): one
@@ -275,6 +276,48 @@ object AnnOps {
           FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2"""
     }),
 
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // dedup by k-means-cell blocking — cluster the embedding space,
+    // compute pairwise cosine ONLY within each cell, and evict, for
+    // every near-dup pair, the member whose cosine to its cell centroid
+    // is HIGHER (the paper's keep-low-centroid-similarity rule; vec_id
+    // breaks exact ties so the decision is total). Blocking reuses the
+    // PERSISTED IVF index ([[ivfIndex]]): the per-query plan reads the
+    // bucketed assignment table — no embeddings scan, no O(nK) assign.
+    // Scale shape: the only join keys are cid (bucket-co-located) and
+    // the intra-cell pair cost is O(Σ|cell|²) — the production regime
+    // grows K with the corpus so cells stay O(1) (the paper runs 50k
+    // clusters on LAION); K here is the test-scale stub. Every float op
+    // is the shared ascending-index dot, so DuckDB replays assignment,
+    // centroid-similarity, pair cosine, and the eviction rule exactly.
+    QueryDef("semdedup", (s, d) => semDedup(s, d), Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+          cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn WHERE vec_id < $K),
+          assigned AS (
+            SELECT vec_id, e, nrm, cid FROM (
+              SELECT a.vec_id, a.e, a.nrm, c.cid,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0) DESC, c.cid) AS ark
+              FROM vn a, cents c) t WHERE ark = 1),
+          m AS (
+            SELECT s.cid, s.vec_id, s.e, s.nrm,
+              COALESCE(list_dot_product(c.ce, s.e)/nullif(c.cnrm*s.nrm, 0),
+                       CAST('-infinity' AS DOUBLE)) AS ccos
+            FROM assigned s JOIN cents c USING (cid)),
+          pairs AS (
+            SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb, a.ccos AS ca, b.ccos AS cb,
+              list_dot_product(a.e, b.e)/nullif(a.nrm*b.nrm, 0) AS cos
+            FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          ev AS (
+            SELECT cid,
+              CASE WHEN ca > cb OR (ca = cb AND ida > idb) THEN ida ELSE idb END AS evict_id,
+              cos
+            FROM pairs WHERE cos >= $SemDedupEps)
+          SELECT cid, evict_id, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+            round(max(cos), 6) AS max_cos
+          FROM ev GROUP BY cid, evict_id ORDER BY cid, evict_id""")),
+
     // ---- Quantized prefilter + exact re-rank (the production two-stage
     // retrieval): stage 1 scans INT8 vectors (4× the memory bandwidth of
     // float32, SIMD-able integer dot products) and keeps the top-50
@@ -457,5 +500,36 @@ object AnnOps {
   def ivfTopkIndexed(s: SparkSession, d: String): DataFrame = {
     val (assigned, cents) = ivfIndex(s, d)
     ivfServe(assigned, cents.select(col("cid"), col("ce"), col("cnrm")))
+  }
+
+  /** SemDeDup over the persisted IVF cells (see the `semdedup` gate doc).
+    * Reads ONLY the index tables; the centroid side is a broadcast of K
+    * rows, the pair join is an equality self-join on cid. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = ivfIndex(s, d)
+    // cosine of every member to ITS centroid — the paper's keep/evict
+    // ranking; NULL (zero-norm member) coalesces to -Inf = "always keep"
+    // (a direction-less vector is never the redundant copy of anything).
+    val m = assigned.join(broadcast(cents), "cid")
+      .withColumn("ccos",
+        coalesce(cosCol("ce", "e", "cnrm", "nrm"), lit(Double.NegativeInfinity)))
+      .select(col("cid"), col("vec_id"), col("e"), col("nrm"), col("ccos"))
+    val a = m.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"),
+      col("nrm").as("na"), col("ccos").as("ca"))
+    val b = m.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"),
+      col("nrm").as("nb"), col("ccos").as("cb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos", cosCol("ea", "eb", "na", "nb"))
+      .filter(col("cos") >= SemDedupEps)
+    pairs
+      .select(col("cid"),
+        when(col("ca") > col("cb") ||
+             (col("ca") === col("cb") && col("ida") > col("idb")),
+          col("ida")).otherwise(col("idb")).as("evict_id"),
+        col("cos"))
+      .groupBy("cid", "evict_id")
+      .agg(count(lit(1)).as("n_dup_pairs"), round(max("cos"), 6).as("max_cos"))
+      .orderBy("cid", "evict_id")
   }
 }
