@@ -12,8 +12,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // queries are independent — run a few concurrently so the gate's
-    // wall-clock is bounded by the slowest queries, not the sum
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // wall-clock is bounded by the slowest queries, not the sum.
+    // SPARK_GRAFT_VERIFY_POOL tunes the width: at big SFs (sf10) four
+    // concurrent quadratic similarity queries spill simultaneously and
+    // can exhaust /tmp; pool=1 serializes them (what the bench does).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_POOL", "4").toInt)
     // Optional comma-separated subset for local iteration (driver runs the
     // full set); same contract as SPARK_GRAFT_BENCH_ONLY.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
