@@ -246,7 +246,15 @@ object AnnOps {
         .distinct()
       val va = v.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
       val vb = v.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
-      cand.join(va, "id1").join(vb, "id2")
+      // The re-rank joins BROADCAST the vector table (O(n) rows, the
+      // shared vector-store shape): with default SMJ the second join
+      // sorts the candidate stream WITH e1 attached — at sf10 that is
+      // ~600M pairs × 520 B ≈ 320 GB of sort spill (measured: ENOSPC) —
+      // whereas broadcast-hash lets the wide pair stream pipeline
+      // through both lookups and the cosine filter in one stage with
+      // zero sorts. Beyond broadcastable n, the production variant is a
+      // bucketed-by-id vector table (ServedIndex) probed per pair side.
+      cand.join(broadcast(va), "id1").join(broadcast(vb), "id2")
         .withColumn("cos", cosCol("e1", "e2", "n1", "n2"))
         .filter(col("cos") >= 0.4)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
