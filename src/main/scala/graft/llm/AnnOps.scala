@@ -18,20 +18,35 @@ import org.apache.spark.sql.functions._
   *   assigns every vector to its nearest centroid ONCE (O(nK) scan,
   *   shuffle on centroid id); queries probe only their nprobe nearest
   *   buckets, so the per-query work drops from O(n) to O(n·nprobe/K).
-  *   Centroid "training" is stubbed deterministically (first K vectors)
-  *   — the plumbing (assignment, bucket join, re-rank) is the real
-  *   thing; AnnSpec asserts recall vs the exact baseline.
+  *   Centroids are Lloyd-refined ([[lloydArray]]) with K = ⌈√n⌉ —
+  *   cells average √n members, the constant-cell-size regime the
+  *   SemDeDup paper (Abbas et al. 2023) runs at production scale —
+  *   and the whole iterative training is DECIMAL-exact, so every
+  *   downstream gate still hash-compares against an unrolled DuckDB
+  *   replay. LlmSpec asserts recall vs the exact baseline.
   */
 object AnnOps {
 
-  private val K = 16 // IVF centroids
-  private val NPROBE = 4
+  private val MinK = 16 // IVF centroid floor (K = max(MinK, ⌈√n⌉))
+  private val LloydIters = 2 // centroid refinement rounds (oracle-unrolled)
   private val CAND = 50 // ann_rerank prefilter pool per query
   private val TOPK = 5
   private val NQUERY = 10
   private val NPLANES = 64 // RP-LSH hyperplanes
   private val SemDedupEps = 0.4 // semdedup near-dup cosine threshold
+  private[llm] val SemCellCap = 100000L // semdedup per-cell size guard
   private val BANDBITS = 8 // bits per LSH band (8 bands)
+
+  /** K grows with the corpus so cells stay ≈ √n: the intra-cell pair
+    * join is O(Σ cell²) ≈ O(n^1.5) instead of O(n²/const), and the
+    * centroid table stays a bounded O(√n · dim) driver/broadcast carry
+    * (≈ 16 MB at 10⁹ vectors × 64 dims). */
+  private def kFor(n: Long): Int =
+    math.max(MinK, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Probe a constant FRACTION of the cells (K/4, floor 4) — per-query
+    * candidate work stays ≈ n/4 regardless of corpus size. */
+  private def nprobeFor(k: Int): Int = math.max(4, k / 4)
 
   /** Native codegen'd dot product (graft.functions.DotProductD): one
     * tight primitive loop, ascending-index accumulation — bit-identical
@@ -57,26 +72,62 @@ object AnnOps {
     when(den === 0, lit(null)).otherwise(dot(col(q), col(v)) / den)
   }
 
+  /** Shared DuckDB CTE prefix replaying the Lloyd-refined IVF build
+    * bit-for-bit (see [[lloydArray]]/[[ivfAssign]]): vn (normed
+    * vectors) → kk (K = max($MinK, ⌈√n⌉)) → c0 (first-K init) → per-
+    * iteration cosine-argmax assignment + DECIMAL(28,12) component
+    * means (keep-previous for empty cells) → `cents` (final
+    * centroids) → `assigned` (final assignment). Like the
+    * kmeans_clusters oracle it assumes well-formed fixed-dim vectors;
+    * the engine's hostile-input branches never fire on such input. */
+  private def ivfCtes: String = {
+    def assign(out: String, cin: String) =
+      s"""$out AS (
+          SELECT a.vec_id AS vec_id,
+            (min(struct_pack(nc := -coalesce(
+               list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0),
+               CAST('-infinity' AS DOUBLE)), cid := c.cid))).cid AS cid
+          FROM vn a, $cin c GROUP BY a.vec_id)"""
+    val iters = (1 to LloydIters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+         s$i AS (
+           SELECT t.cid, generate_subscripts(v.e, 1) - 1 AS pos,
+             TRY_CAST(unnest(v.e) AS DECIMAL(28,12)) AS q
+           FROM a$i t JOIN vn v USING (vec_id)),
+         u$i AS (
+           SELECT cid, list(m ORDER BY pos) AS ce FROM (
+             SELECT cid, pos, CAST(sum(q) AS DOUBLE) / count(q) AS m
+             FROM s$i GROUP BY cid, pos HAVING count(q) > 0) GROUP BY cid),
+         c$i AS (
+           SELECT c.cid, coalesce(u.ce, c.ce) AS ce,
+             sqrt(list_dot_product(coalesce(u.ce, c.ce), coalesce(u.ce, c.ce))) AS cnrm
+           FROM c${i - 1} c LEFT JOIN u$i u USING (cid))"""
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       kk AS (SELECT greatest($MinK, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k FROM vn),
+       c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn
+              QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       $iters,
+       cents AS (SELECT cid, ce, cnrm FROM c$LloydIters),
+       ${assign("fin", "cents")},
+       assigned AS (SELECT f.vec_id, v.e, v.nrm, f.cid
+                    FROM fin f JOIN vn v USING (vec_id))"""
+  }
+
   /** Shared DuckDB oracle for ann_ivf_topk AND ann_ivf_indexed — both
     * must produce the identical ranking whether the assignment is inline
     * or served from the persisted index. */
-  private val ivfOracle: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-        cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn WHERE vec_id < $K),
-        assigned AS (
-          SELECT vec_id, e, nrm, cid FROM (
-            SELECT a.vec_id, a.e, a.nrm, c.cid,
-              row_number() OVER (PARTITION BY a.vec_id
-                ORDER BY list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0) DESC, c.cid) AS ark
-            FROM vn a, cents c) t WHERE ark = 1),
+  private def ivfOracle: String =
+    s"""WITH $ivfCtes,
         q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id < $NQUERY),
+        np AS (SELECT greatest(4, count(*) // 4) AS np FROM cents),
         probes AS (
           SELECT qid, qe, qnrm, cid FROM (
             SELECT q.qid, q.qe, q.qnrm, c.cid,
               row_number() OVER (PARTITION BY q.qid
                 ORDER BY list_dot_product(c.ce, q.qe)/nullif(c.cnrm*q.qnrm, 0) DESC, c.cid) AS prk
-            FROM q, cents c) t WHERE prk <= $NPROBE),
+            FROM q, cents c) t WHERE prk <= (SELECT np FROM np)),
         cand AS (
           SELECT p.qid, a.vec_id, list_dot_product(p.qe, a.e)/nullif(p.qnrm*a.nrm, 0) AS cos
           FROM assigned a JOIN probes p ON a.cid = p.cid
@@ -292,27 +343,22 @@ object AnnOps {
     // breaks exact ties so the decision is total). Blocking reuses the
     // PERSISTED IVF index ([[ivfIndex]]): the per-query plan reads the
     // bucketed assignment table — no embeddings scan, no O(nK) assign.
-    // Scale shape: the only join keys are cid (bucket-co-located) and
-    // the intra-cell pair cost is O(Σ|cell|²) — the production regime
-    // grows K with the corpus so cells stay O(1) (the paper runs 50k
-    // clusters on LAION); K here is the test-scale stub. Every float op
-    // is the shared ascending-index dot, so DuckDB replays assignment,
+    // Scale shape: the only join keys are cid (bucket-co-located); K =
+    // ⌈√n⌉ Lloyd-refined cells keep the intra-cell pair cost at
+    // O(n^1.5) (the paper's constant-cell-size regime — 50k clusters
+    // on LAION), and [[SemCellCap]] drops a degenerate over-cap cell
+    // WHOLE (CapFiringSpec proves the capped semantics). Every float
+    // op is the shared ascending-index dot and the centroid training
+    // is DECIMAL-exact, so DuckDB replays training, assignment,
     // centroid-similarity, pair cosine, and the eviction rule exactly.
     QueryDef("semdedup", (s, d) => semDedup(s, d), Some(
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-          vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-          cents AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn WHERE vec_id < $K),
-          assigned AS (
-            SELECT vec_id, e, nrm, cid FROM (
-              SELECT a.vec_id, a.e, a.nrm, c.cid,
-                row_number() OVER (PARTITION BY a.vec_id
-                  ORDER BY list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0) DESC, c.cid) AS ark
-              FROM vn a, cents c) t WHERE ark = 1),
+      s"""WITH $ivfCtes,
+          ok AS (SELECT cid FROM assigned GROUP BY cid HAVING count(*) <= $SemCellCap),
           m AS (
             SELECT s.cid, s.vec_id, s.e, s.nrm,
               COALESCE(list_dot_product(c.ce, s.e)/nullif(c.cnrm*s.nrm, 0),
                        CAST('-infinity' AS DOUBLE)) AS ccos
-            FROM assigned s JOIN cents c USING (cid)),
+            FROM assigned s JOIN ok USING (cid) JOIN cents c USING (cid)),
           pairs AS (
             SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb, a.ccos AS ca, b.ccos AS cb,
               list_dot_product(a.e, b.e)/nullif(a.nrm*b.nrm, 0) AS cos
@@ -323,7 +369,7 @@ object AnnOps {
               cos
             FROM pairs WHERE cos >= $SemDedupEps)
           SELECT cid, evict_id, CAST(count(*) AS BIGINT) AS n_dup_pairs,
-            round(max(cos), 6) AS max_cos
+            TRY_CAST(round(max(cos) * 1000000, 0) AS BIGINT) AS max_cos_micro
           FROM ev GROUP BY cid, evict_id ORDER BY cid, evict_id""")),
 
     // ---- Quantized prefilter + exact re-rank (the production two-stage
@@ -409,19 +455,75 @@ object AnnOps {
       .orderBy("qid", "rk")
   }
 
-  /** IVF: coarse-quantize all vectors to K buckets, probe NPROBE buckets
-    * per query, exact re-rank inside the probed buckets only. */
+  /** IVF: coarse-quantize all vectors to K = ⌈√n⌉ Lloyd-refined
+    * buckets, probe nprobe buckets per query, exact re-rank inside the
+    * probed buckets only. */
   def ivfTopk(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
-    val cents = centroidsOf(v)
-    ivfServe(ivfAssign(v, cents), cents)
+    val cs = lloydArray(v, kFor(v.count()))
+    ivfServe(ivfAssign(v, centDf(s, cs)), centDf(s, cs), nprobeFor(cs.length))
   }
 
-  /** Deterministic centroid stub: the first K vectors. A production
-    * build would k-means on a sample; the dataflow is unchanged. */
-  private def centroidsOf(v: DataFrame): DataFrame =
-    v.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+  /** Lloyd-refined spherical centroids (the IVF/SemDeDup coarse
+    * quantizer): init = first k vectors by id, then [[LloydIters]]
+    * rounds of cosine-argmax assignment ([[ivfAssign]] — one O(nK)
+    * scan with a map-side argmin, never an nK shuffle) and per-
+    * component DECIMAL(28,12) mean update. Decimal sums are order-
+    * independent, so the trained centroids — and every gate downstream
+    * of them — are identical across partitionings and engines (the
+    * kmeans_clusters technique; [[ivfCtes]] is the unrolled DuckDB
+    * replay). Empty cells keep their previous centroid and a component
+    * no member carries keeps its previous coordinate (Lloyd's
+    * convention, matching algos/Iterative.kMeans). Driver carry is the
+    * bounded O(K·dim) centroid set per round — ≈ 16 MB at 10⁹ vectors
+    * — the documented O(k) class of driver-side carries. */
+  private[llm] def lloydArray(v: DataFrame, k: Int): Array[(Long, Array[Double])] = {
+    val s = v.sparkSession
+    var cents: Array[(Long, Array[Double])] = v.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getSeq[Double](1)).map(_.toArray).getOrElse(Array.empty[Double]))
+    for (_ <- 1 to LloydIters) {
+      val assigned = ivfAssign(v, centDf(s, cents))
+      // one scan per round: assignment argmin + posexplode + (cid, pos)
+      // partial-aggregated means ride a single job; try_cast degrades
+      // NaN / beyond-range components to null, counted out of the mean
+      // denominator by the SAME expression the sum consumed
+      val means = assigned.select(col("cid"), posexplode(col("e")))
+        .select(col("cid"), col("pos"), expr("try_cast(col AS DECIMAL(28,12))").as("q"))
+        .groupBy("cid", "pos")
+        .agg(sum("q").as("sq"), count("q").as("cq"))
+        .filter(col("cq") > 0)
+        // nearest-double of the exact decimal sum, THEN an IEEE double
+        // division — both engine-portable (dividing in decimal is not:
+        // engines disagree on quotient scale rules)
+        .select(col("cid"), col("pos"),
+          (col("sq").cast("double") / col("cq")).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byCid.get(cid) match {
+          case None => (cid, prev) // empty cell keeps its centroid
+          case Some(rows) =>
+            val m = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+            val dim = math.max(prev.length, m.keysIterator.max + 1)
+            (cid, Array.tabulate(dim)(i =>
+              m.getOrElse(i, if (i < prev.length) prev(i) else 0.0)))
+        }
+      }
+    }
+    cents
+  }
+
+  /** Driver-held centroids as a (cid, ce, cnrm) DataFrame; the norm
+    * folds ascending on the driver — bit-identical to sqrt(dot(ce, ce))
+    * and to the oracle's list_dot_product. */
+  private def centDf(s: SparkSession, cs: Array[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
+    cs.toSeq.map { case (cid, ce) =>
+      (cid, ce.toSeq, math.sqrt(ce.foldLeft(0.0)((a, x) => a + x * x)))
+    }.toDF("cid", "ce", "cnrm")
+  }
 
   /** One O(nK) assignment pass → every vector gets its nearest bucket.
     * argmax-by-struct aggregate, NOT a per-vector window: the broadcast
@@ -448,14 +550,14 @@ object AnnOps {
     * buckets (equality join on cid — bucket-shuffled, never all-pairs),
     * exact cosine re-rank. Query vectors are read FROM the assignment
     * (it carries e/nrm), so a serve-path caller touches no corpus scan. */
-  private def ivfServe(assigned: DataFrame, cents: DataFrame): DataFrame = {
+  private def ivfServe(assigned: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val q = assigned.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val wProbe = Window.partitionBy("qid").orderBy(desc("pcos"), col("cid"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("pcos", cosCol("ce", "qe", "cnrm", "qnrm"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= NPROBE)
+      .filter(col("prk") <= nprobe)
       .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
     val wRank = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
     assigned.join(probes, "cid")
@@ -483,31 +585,42 @@ object AnnOps {
     * assignment bucketed on cid), served thereafter — the one-off O(nK)
     * assignment scan leaves the per-query plan. Freshness and
     * cross-session re-registration via [[graft.sources.ServedIndex]]. */
+  /** Versions the index CONTENTS, not just the corpus: a quantizer
+    * change (stub→Lloyd, K policy, iteration count) must rebuild even
+    * though the corpus fingerprint is unchanged, or a pre-change index
+    * on disk silently serves centroids the oracle no longer replays. */
+  private val AlgoTag = s"lloyd$LloydIters|sqrtK|"
+
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sfx = graft.sources.ServedIndex.suffix(d)
     // by-name fingerprint: on the session-cached hot path neither table
     // re-scans the embeddings (ServedIndex.cached evaluates fp only on a
-    // cache miss)
-    val assigned = graft.sources.ServedIndex.cached(
-      s, s"ivf_assign$sfx", s"ivf_assign$sfx", embFingerprint(s, d),
-      "vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT", "cid", 8) {
-      val v = vecs(s, d)
-      ivfAssign(v, centroidsOf(v))
-    }
+    // cache miss). Centroids build FIRST; the assignment builder then
+    // reads the served centroid table, so Lloyd training runs once per
+    // rebuild, never once per table.
     val cents = graft.sources.ServedIndex.cached(
-      s, s"ivf_cents$sfx", s"ivf_cents$sfx", embFingerprint(s, d),
+      s, s"ivf_cents$sfx", s"ivf_cents$sfx", AlgoTag + embFingerprint(s, d),
       "cid BIGINT, ce ARRAY<DOUBLE>, cnrm DOUBLE", "cid", 0) {
-      centroidsOf(vecs(s, d))
+      val v = vecs(s, d)
+      centDf(s, lloydArray(v, kFor(v.count())))
+    }
+    val assigned = graft.sources.ServedIndex.cached(
+      s, s"ivf_assign$sfx", s"ivf_assign$sfx", AlgoTag + embFingerprint(s, d),
+      "vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT", "cid", 8) {
+      ivfAssign(vecs(s, d), cents)
     }
     (assigned, cents)
   }
 
   /** [[ivfTopk]] served from the persisted index — identical output
     * (shared oracle), but the per-query plan reads ONLY the two index
-    * tables: no embeddings scan, no assignment crossJoin. */
+    * tables: no embeddings scan, no assignment crossJoin. (The
+    * centroid count read here is a tiny index-table scan, not a corpus
+    * scan.) */
   def ivfTopkIndexed(s: SparkSession, d: String): DataFrame = {
     val (assigned, cents) = ivfIndex(s, d)
-    ivfServe(assigned, cents.select(col("cid"), col("ce"), col("cnrm")))
+    val k = cents.count().toInt
+    ivfServe(assigned, cents.select(col("cid"), col("ce"), col("cnrm")), nprobeFor(k))
   }
 
   /** SemDeDup over the persisted IVF cells (see the `semdedup` gate doc).
@@ -515,10 +628,28 @@ object AnnOps {
     * rows, the pair join is an equality self-join on cid. */
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val (assigned, cents) = ivfIndex(s, d)
+    semDedupOn(assigned, cents, SemCellCap)
+  }
+
+  /** The SemDeDup pipeline over an arbitrary (vec_id, e, nrm, cid)
+    * assignment + (cid, ce, cnrm) centroid table, with the per-cell
+    * size guard explicit so CapFiringSpec can prove the capped
+    * semantics on a hand-built fixture. */
+  private[llm] def semDedupOn(assigned: DataFrame, cents: DataFrame,
+      cellCap: Long): DataFrame = {
+    // Cell-size guard (the FuzzyBlockCap convention): a degenerate cell
+    // — collapsed corpus, pathological centroid — would make the intra-
+    // cell pair join O(cell²); an over-cap cell is dropped WHOLE and
+    // the gate oracle replays the same HAVING guard. Dormant at the
+    // test SFs (cells average ≈ √n members since K = ⌈√n⌉). The size
+    // census is an O(K)-row aggregate broadcast back onto the
+    // bucket-co-located assignment — no extra shuffle of the members.
+    val ok = assigned.groupBy("cid").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") <= cellCap).select("cid")
     // cosine of every member to ITS centroid — the paper's keep/evict
     // ranking; NULL (zero-norm member) coalesces to -Inf = "always keep"
     // (a direction-less vector is never the redundant copy of anything).
-    val m = assigned.join(broadcast(cents), "cid")
+    val m = assigned.join(broadcast(ok), "cid").join(broadcast(cents), "cid")
       .withColumn("ccos",
         coalesce(cosCol("ce", "e", "cnrm", "nrm"), lit(Double.NegativeInfinity)))
       .select(col("cid"), col("vec_id"), col("e"), col("nrm"), col("ccos"))
@@ -537,7 +668,12 @@ object AnnOps {
           col("ida")).otherwise(col("idb")).as("evict_id"),
         col("cos"))
       .groupBy("cid", "evict_id")
-      .agg(count(lit(1)).as("n_dup_pairs"), round(max("cos"), 6).as("max_cos"))
+      // GateOutputSpec discipline: the max cosine ships as BIGINT
+      // micro-units (round-then-cast on an identical double both engines
+      // computed with the same ascending-index fold) — no raw float
+      // column ever reaches the hash gate.
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        expr("try_cast(round(max(cos) * 1000000, 0) AS BIGINT)").as("max_cos_micro"))
       .orderBy("cid", "evict_id")
   }
 }

@@ -72,6 +72,33 @@ class CapFiringSpec extends SparkSuite {
       s"fixture no longer adversarial: $uncapped")
   }
 
+  test("semdedup cell cap fires: an over-cap cell is dropped WHOLE, " +
+      "small cells still pair") {
+    // cell 1 holds cap+1 identical unit vectors — every pair is an exact
+    // dup, yet the capped run must drop the whole cell (the documented
+    // block-dropped-whole semantics); cell 2's two identical vectors
+    // still pair: ccos tie → evict the higher id.
+    val cap = 3L
+    val assigned = Seq(
+      (10L, Seq(1.0, 0.0), 1L), (11L, Seq(1.0, 0.0), 1L),
+      (12L, Seq(1.0, 0.0), 1L), (13L, Seq(1.0, 0.0), 1L),
+      (20L, Seq(0.0, 1.0), 2L), (21L, Seq(0.0, 1.0), 2L))
+      .toDF("vec_id", "e", "cid").withColumn("nrm", lit(1.0))
+      .select("vec_id", "e", "nrm", "cid")
+    val cents = Seq((1L, Seq(1.0, 0.0), 1.0), (2L, Seq(0.0, 1.0), 1.0))
+      .toDF("cid", "ce", "cnrm")
+    val capped = AnnOps.semDedupOn(assigned, cents, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(capped == Seq((2L, 21L, 1L, 1000000L)),
+      s"capped semdedup must keep only cell 2's pair: $capped")
+    val uncapped = AnnOps.semDedupOn(assigned, cents, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(uncapped == Set(
+      (1L, 11L, 1L, 1000000L), (1L, 12L, 2L, 1000000L), (1L, 13L, 3L, 1000000L),
+      (2L, 21L, 1L, 1000000L)),
+      s"fixture no longer adversarial (cap would be vacuous): $uncapped")
+  }
+
   test("fuzzy block cap fires: a stop-token block is dropped whole, " +
       "discriminative blocks still pair") {
     // FuzzyBlockCap+1 docs share first token "the" — uncapped this

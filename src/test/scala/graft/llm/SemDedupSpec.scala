@@ -4,12 +4,14 @@ import graft.{SparkSuite, Tables}
 
 /** SemDeDup (arXiv:2303.09540) over the persisted IVF cells: the engine
   * output must equal an independent sequential replay of the whole
-  * pipeline (assignment argmax, centroid similarity, intra-cell pair
-  * cosine, the keep-low-centroid-similarity eviction rule), and the
-  * per-query plan must read only the index tables. */
+  * pipeline — Lloyd centroid training (first-⌈√n⌉ init, cosine-argmax
+  * assignment, DECIMAL(28,12) component means), final assignment,
+  * centroid similarity, intra-cell pair cosine, the keep-low-centroid-
+  * similarity eviction rule — and the per-query plan must read only the
+  * index tables. */
 class SemDedupSpec extends SparkSuite {
 
-  private val K = 16
+  private val LloydIters = 2
   private val Eps = 0.4
 
   /** Ascending-index double dot — bit-identical to DotProductD. */
@@ -21,9 +23,50 @@ class SemDedupSpec extends SparkSuite {
     s
   }
 
+  private def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
   private def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Option[Double] = {
     val den = a._2 * b._2
     if (den == 0) None else Some(dot(a._1, b._1) / den)
+  }
+
+  /** cosine-argmax cell for one vector: highest centroid cosine, ties →
+    * lowest cid, undefined → -Inf. */
+  private def assignOne(v: (Array[Double], Double),
+      cents: Seq[(Long, (Array[Double], Double))]): Long =
+    cents.map { case (cid, c) =>
+      (cos(c, v).getOrElse(Double.NegativeInfinity), cid)
+    }.minBy { case (c, cid) => (-c, cid) }._2
+
+  /** Sequential Lloyd replay: the exact arithmetic chain the engine and
+    * the DuckDB oracle share — per-component sums as DECIMAL(28,12)
+    * (HALF_UP, the value Spark's try_cast produces), nearest-double of
+    * the exact sum, then one IEEE division. */
+  private def lloydReplay(withNrm: Map[Long, (Array[Double], Double)],
+      k: Int): Seq[(Long, (Array[Double], Double))] = {
+    var cents: Seq[(Long, (Array[Double], Double))] =
+      withNrm.keys.toSeq.sorted.take(k).map(id => id -> withNrm(id))
+    for (_ <- 1 to LloydIters) {
+      val members = withNrm.toSeq
+        .map { case (id, v) => (assignOne(v, cents), id) }
+        .groupBy(_._1)
+      cents = cents.map { case (cid, prev) =>
+        members.get(cid) match {
+          case None => (cid, prev)
+          case Some(ms) =>
+            val vs = ms.map(m => withNrm(m._2)._1)
+            val dim = vs.map(_.length).max
+            val ce = Array.tabulate(dim) { i =>
+              val sum = vs.foldLeft(BigDecimal(0)) { (acc, v) =>
+                acc + BigDecimal(v(i)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+              }
+              sum.toDouble / vs.length
+            }
+            (cid, (ce, nrm(ce)))
+        }
+      }
+    }
+    cents
   }
 
   test("semdedup equals a sequential reference replay") {
@@ -32,15 +75,14 @@ class SemDedupSpec extends SparkSuite {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .filter(_._2 != null).toMap
-    val withNrm = vecs.map { case (id, e) => id -> (e, math.sqrt(dot(e, e))) }
-    val cents = withNrm.filter(_._1 < K)
+    val withNrm = vecs.map { case (id, e) => id -> (e, nrm(e)) }
+    val k = math.max(16, math.ceil(math.sqrt(withNrm.size.toDouble)).toInt)
+    val cents = lloydReplay(withNrm, k).toMap
 
-    // assignment: highest centroid cosine, ties -> lowest cid; NULL -> -Inf
+    // final assignment under the trained centroids
     val assigned = withNrm.map { case (id, v) =>
-      val best = cents.toSeq
-        .map { case (cid, c) => (cos(c, v).getOrElse(Double.NegativeInfinity), cid) }
-        .minBy { case (c, cid) => (-c, cid) }
-      (id, best._2, cos(cents(best._2), v).getOrElse(Double.NegativeInfinity))
+      val cid = assignOne(v, cents.toSeq)
+      (id, cid, cos(cents(cid), v).getOrElse(Double.NegativeInfinity))
     }.toSeq
 
     val byCell = assigned.groupBy(_._2)
@@ -57,12 +99,13 @@ class SemDedupSpec extends SparkSuite {
       }
       pairs.groupBy(_._1).map { case (evict, ps) =>
         (cid, evict, ps.size.toLong,
-          BigDecimal(ps.map(_._2).max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          BigDecimal(ps.map(_._2).max * 1000000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       }
     }.sortBy(r => (r._1, r._2))
 
     val engine = AnnOps.semDedup(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(engine.nonEmpty, "fixture produced no near-dup pairs — raise Eps coverage")
     assert(engine == evictRows)
   }
