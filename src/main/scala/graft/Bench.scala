@@ -54,6 +54,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Serialize against a concurrently-launched correctness compare
+    // (round-10: the co-tenant DuckDB oracle thrashed 44 GB of temp
+    // through the bench window — med/min 1.46, two spurious suspects).
+    val lockOwned = GateLock.acquire("bench")
     // Master selection (incl. multi-JVM local-cluster) lives in Sessions.
     val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +106,7 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      GateLock.touch() // liveness: a long census must not be stolen
       val timings = (1 to runs).map(_ => timeOnce(fn))
       val firstErr = timings.flatMap(_._2).headOption
       val sorted = timings.map(_._1).sorted
@@ -224,6 +229,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset$suspectField,"sf":${jstr(sfName)},"index_build_s":$buildJson,"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
+    GateLock.release(lockOwned)
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout
     // (build.sbt sets showSuccess := false to keep it that way).

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+/** Cross-tool mutex between the correctness gate and the bench
+  * (round-10 postmortem: the driver's DuckDB oracle compare ran
+  * concurrently with graft.Bench on the same host — the compare spilled
+  * until it died AND polluted the bench window). Bench, Verify and
+  * tools/check_correctness.py all serialize on one `.graft_gate.lock`
+  * file in the repo root: atomic create-if-absent to acquire, bounded
+  * wait (15 min) on a live holder, steal if the holder looks dead
+  * (mtime > 30 min — holders re-touch the file as they make progress).
+  * Best-effort by design: on wait timeout the caller PROCEEDS with a
+  * stderr warning — a partially-contended run beats an empty artifact,
+  * and a leaked lock can never wedge the round. */
+object GateLock {
+
+  private val lockPath: Path = Paths.get(".graft_gate.lock")
+  private val WaitMs = 15 * 60 * 1000L
+  private val StaleMs = 30 * 60 * 1000L
+
+  /** Acquire (bounded); returns whether we own the file (and so must
+    * release). */
+  def acquire(who: String): Boolean = {
+    val deadline = System.currentTimeMillis() + WaitMs
+    while (System.currentTimeMillis() < deadline) {
+      try {
+        Files.write(lockPath, s"$who ${ProcessHandle.current().pid()}".getBytes,
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lockPath).toMillis
+            if (age > StaleMs) { Files.deleteIfExists(lockPath) }
+            else Thread.sleep(5000)
+          } catch { case _: java.io.IOException => () } // racing deleter
+        case _: java.io.IOException => return false // unwritable cwd: skip
+      }
+    }
+    System.err.println(s"[gatelock] $who proceeding despite busy $lockPath")
+    false
+  }
+
+  /** Liveness heartbeat: holders call this as they complete work units
+    * so a long (but live) run is never stolen mid-flight. */
+  def touch(): Unit =
+    try Files.setLastModifiedTime(lockPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+
+  def release(owned: Boolean): Unit =
+    if (owned) try Files.deleteIfExists(lockPath)
+    catch { case _: java.io.IOException => () }
+}

@@ -7,6 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Serialize against a concurrently-running bench (round-10
+    // collision postmortem): same lock as Bench + check_correctness.py.
+    val lockOwned = GateLock.acquire("verify")
     // Master selection (incl. multi-JVM local-cluster) lives in Sessions.
     val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -33,9 +36,11 @@ object Verify {
     val tasks = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       new java.util.concurrent.Callable[Unit] {
         override def call(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            GateLock.touch() // liveness heartbeat per completed query
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       }
@@ -58,6 +63,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    GateLock.release(lockOwned)
     spark.stop()
   }
 }

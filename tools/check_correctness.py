@@ -3,68 +3,187 @@
 against DuckDB oracles over the same parquet tables, compare rows/schema/
 values (columns sorted by name, like the driver's hash compare).
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [capSec]
+
+Hardened after round 10 zeroed the driver's artifact (the compare ran
+concurrently with the bench, DuckDB sized its memory limit off a host
+whose RAM the bench JVM held, spilled ~44 GB of temp and died, leaving
+`{}`):
+
+- every query's compare runs in its OWN subprocess under a wall-clock
+  cap (default 300 s) — one pathological oracle can no longer take the
+  whole census down;
+- each subprocess runs DuckDB with an explicit memory_limit (4 GB),
+  bounded temp_directory (8 GB quota, inside the verify dir, cleaned
+  up afterwards) and threads=4 — co-tenant JVMs can no longer starve
+  it into unbounded spill;
+- results append to <verifyOutDir>/correctness_partial.jsonl AS THEY
+  LAND, so a dying process leaves a partial per-query record, never an
+  empty file;
+- a cross-tool mutex (.graft_gate.lock next to this script's repo
+  root) serializes the compare against a concurrently-launched
+  graft.Bench (which honors the same lock) — the round-10 collision;
+- exit code: 0 all pass, 1 any FAIL, 2 no FAIL but oracle timeouts
+  (an oracle-COST statement, not an engine mismatch — callers must
+  explicitly accept it).
 """
-import sys, json, glob, math
-import duckdb
+import json, math, os, subprocess, sys, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+MEM_LIMIT = os.environ.get("GRAFT_ORACLE_MEM", "4GB")
+TMP_QUOTA = os.environ.get("GRAFT_ORACLE_TMP", "8GB")
+LOCK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".graft_gate.lock")
+
+
+def compare_one(sf_dir, out_dir, name):
+    """Compare ONE query inside this process (invoked as a capped
+    subprocess by main). Prints PASS/FAIL line; exit 0/1."""
+    import duckdb, glob
     con = duckdb.connect()
+    tmp = os.path.join(out_dir, f".duckdb_tmp_{name}")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{MEM_LIMIT}'")
+    con.execute("SET threads=4")
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(f"SET max_temp_directory_size='{TMP_QUOTA}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    for name in sorted(oracles):
-        sql = oracles[name]
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: cannot read spark output: {e}"); n_fail += 1; continue
-        try:
-            oracle_df = con.execute(sql).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        s = spark_df[sorted(spark_df.columns)]
-        o = oracle_df[sorted(oracle_df.columns)]
-        if list(s.columns) != list(o.columns):
-            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
-            n_fail += 1; continue
-        sd, od = [str(t) for t in s.dtypes], [str(t) for t in o.dtypes]
-        if sd != od:
-            print(f"FAIL {name}: dtypes {list(zip(s.columns, sd, od))}")
-            n_fail += 1; continue
-        if len(s) != len(o):
-            print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); n_fail += 1; continue
-        mismatch = None
-        for c in s.columns:
-            sv, ov = list(s[c]), list(o[c])
-            for i, (a, b) in enumerate(zip(sv, ov)):
-                if a is None and b is None:
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); return 1
+    try:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark output: {e}"); return 1
+    try:
+        oracle_df = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); return 1
+    s = spark_df[sorted(spark_df.columns)]
+    o = oracle_df[sorted(oracle_df.columns)]
+    if list(s.columns) != list(o.columns):
+        print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+        return 1
+    sd, od = [str(t) for t in s.dtypes], [str(t) for t in o.dtypes]
+    if sd != od:
+        print(f"FAIL {name}: dtypes {list(zip(s.columns, sd, od))}")
+        return 1
+    if len(s) != len(o):
+        print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); return 1
+    for c in s.columns:
+        for i, (a, b) in enumerate(zip(list(s[c]), list(o[c]))):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
                     continue
-                if isinstance(a, float) and isinstance(b, float):
-                    if math.isnan(a) and math.isnan(b):
-                        continue
-                    if a != b:
-                        mismatch = (c, i, a, b); break
-                elif str(a) != str(b):
-                    mismatch = (c, i, a, b); break
-            if mismatch:
-                break
-        if mismatch:
-            c, i, a, b = mismatch
-            print(f"FAIL {name}: value mismatch col={c} row={i}: spark={a!r} oracle={b!r}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(s)} rows)"); n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracles)} oracled")
-    return 1 if n_fail else 0
+                if a != b:
+                    print(f"FAIL {name}: value mismatch col={c} row={i}: "
+                          f"spark={a!r} oracle={b!r}")
+                    return 1
+            elif str(a) != str(b):
+                print(f"FAIL {name}: value mismatch col={c} row={i}: "
+                      f"spark={a!r} oracle={b!r}")
+                return 1
+    print(f"PASS {name} ({len(s)} rows)")
+    return 0
+
+
+def acquire_lock():
+    """Best-effort cross-tool mutex vs graft.Bench: wait (bounded) for a
+    live holder, steal stale locks (>30 min old). Never blocks forever —
+    a partial-contention compare beats an empty artifact."""
+    deadline = time.time() + 15 * 60
+    while time.time() < deadline:
+        try:
+            fd = os.open(LOCK, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"check_correctness {os.getpid()}".encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(LOCK) > 30 * 60:
+                    os.unlink(LOCK)  # stale holder
+                    continue
+            except OSError:
+                continue
+            time.sleep(5)
+    print(f"WARN proceeding despite busy {LOCK}", file=sys.stderr)
+    return False
+
+
+def release_lock():
+    try:
+        os.unlink(LOCK)
+    except OSError:
+        pass
+
+
+def main(sf_dir, out_dir, cap):
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    partial = os.path.join(out_dir, "correctness_partial.jsonl")
+    open(partial, "w").close()  # truncate: this run's incremental record
+    n_pass = n_fail = n_to = 0
+    failed, timed_out = [], []
+    got_lock = acquire_lock()
+    try:
+        for name in sorted(oracles):
+            status, detail = "FAIL", ""
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     sf_dir, out_dir, "--one", name],
+                    capture_output=True, text=True, timeout=cap)
+                lines = [l for l in r.stdout.splitlines()
+                         if l.startswith(("PASS", "FAIL"))]
+                line = lines[0] if lines else \
+                    f"FAIL {name}: <no output> {r.stderr[-300:]}"
+                if line.startswith("PASS"):
+                    status = "PASS"; n_pass += 1
+                else:
+                    n_fail += 1; failed.append(name)
+                detail = line
+            except subprocess.TimeoutExpired:
+                status = "ORACLE_TIMEOUT"
+                detail = f"ORACLE_TIMEOUT {name} (> {cap} s of DuckDB)"
+                n_to += 1; timed_out.append(name)
+            print(detail)
+            sys.stdout.flush()
+            if got_lock:  # liveness heartbeat: a long census is live, not stale
+                try:
+                    os.utime(LOCK)
+                except OSError:
+                    pass
+            with open(partial, "a") as f:
+                f.write(json.dumps({"query": name, "status": status,
+                                    "detail": detail,
+                                    "sec": round(time.time() - t0, 2)}) + "\n")
+            # per-query scratch (ADVICE r10: don't let these accumulate)
+            tmp = os.path.join(out_dir, f".duckdb_tmp_{name}")
+            if os.path.isdir(tmp):
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        if got_lock:
+            release_lock()
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_to} oracle-timeout "
+          f"/ {len(oracles)} oracled (cap {cap} s)")
+    if failed:
+        print("failed:", ", ".join(failed))
+    if timed_out:
+        print("timed out:", ", ".join(timed_out))
+    return 1 if n_fail else (2 if n_to else 0)
+
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        sys.exit(compare_one(sys.argv[1], sys.argv[2], sys.argv[i + 1]))
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    sys.exit(main(sys.argv[1], sys.argv[2], cap))
