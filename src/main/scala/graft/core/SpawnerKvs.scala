@@ -39,9 +39,10 @@ import org.apache.spark.sql.functions._
   * — the spawner fails loudly (the kmrwatch0 contract).
   *
   * Scale shape: one child per partition, pairs stream both ways without
-  * buffering the whole KVS in memory on the feed side; the reply is
-  * drained before the exit-code check exactly like mapBarrier. Only the
-  * partition's own pairs cross the pipe — no shuffle is introduced.
+  * buffering the whole KVS in memory on EITHER side (the reply is a
+  * lazy iterator; the terminator triggers the exit-code check before
+  * exhaustion is reported). Only the partition's own pairs cross the
+  * pipe — no shuffle is introduced.
   */
 object SpawnerKvs {
 
@@ -110,7 +111,18 @@ object SpawnerKvs {
     * marshaled KVS, and restore the child's marshaled reply as the
     * output pairs (0..n per input — the child returns a whole KVS, not
     * a per-pair answer). Child failure, a truncated reply, or a stdin
-    * feed failure all fail the task loudly. */
+    * feed failure all fail the task loudly.
+    *
+    * The reply STREAMS (ADVICE r10): pairs surface as they arrive
+    * instead of materializing the child's whole KVS in executor memory
+    * — an amplifying child no longer OOMs the task. The exit-code /
+    * feed-failure discipline runs when the terminator is reached
+    * (i.e. before the iterator reports exhaustion), so a non-zero exit
+    * or a truncated feed still fails the task, never shrinks it. On
+    * ANY failure — and on task completion, however the task ends — the
+    * child is destroyForcibly'd and the feed thread interrupted+joined
+    * (ADVICE r10: a cat-style child blocked writing stdout with no
+    * reader must not leak for the executor JVM's lifetime). */
   def mapViaSpawnKvs(kvs: Dataset[(String, String)], cmd: Seq[String])
       : Dataset[(String, String)] = {
     require(cmd.nonEmpty, "mapViaSpawnKvs: empty command")
@@ -119,6 +131,13 @@ object SpawnerKvs {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
+      // Backstop for EVERY task exit path (success, error, kill, an
+      // early-terminating downstream operator that never drains us):
+      // the child dies with the task.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        if (p.isAlive) p.destroyForcibly()
+      }
       // Feed from a separate thread (same deadlock/partial-input
       // discipline as KVS.mapBarrier): a child writing before draining
       // stdin must not deadlock; a feed failure must fail the TASK.
@@ -130,16 +149,58 @@ object SpawnerKvs {
       })
       writer.setDaemon(true)
       writer.start()
-      val reply = unmarshal(p.getInputStream)
-      writer.join()
-      val rc = p.waitFor()
-      require(rc == 0, s"mapViaSpawnKvs: child exited $rc")
-      if (writerFailure != null)
-        throw new java.io.IOException(
-          "mapViaSpawnKvs: stdin feed failed mid-stream — refusing partial results",
-          writerFailure)
-      reply.iterator.map { case (k, v) =>
-        (new String(k, "UTF-8"), new String(v, "UTF-8"))
+      // Destroy FIRST: killing the child unblocks a writer stuck on a
+      // full pipe, so the interrupt/join can always make progress.
+      def abort(t: Throwable): Nothing = {
+        p.destroyForcibly()
+        writer.interrupt()
+        try writer.join(10000) catch { case _: InterruptedException => () }
+        throw t
+      }
+      def translate(t: Throwable): Throwable = t match {
+        case _: EOFException => new java.io.IOException(
+          "spawner-KVS stream truncated before terminator — child died mid-send")
+        case other => other
+      }
+      val in = new DataInputStream(new BufferedInputStream(p.getInputStream, 1 << 16))
+      new Iterator[(String, String)] {
+        private var opened = false
+        private var pending = 0 // klen of the next pair; -1 = terminator seen
+        private def openIfNeeded(): Unit = if (!opened) {
+          opened = true
+          try {
+            val m = in.readInt()
+            require(m == Magic, f"spawner-KVS stream: bad magic 0x$m%08x")
+            pending = in.readInt()
+          } catch { case t: Throwable => abort(translate(t)) }
+          if (pending == -1) finish()
+        }
+        /** Terminator reached — the reply is COMPLETE. Enforce the
+          * exit-code / feed discipline before reporting exhaustion. */
+        private def finish(): Unit =
+          try {
+            writer.join()
+            val rc = p.waitFor()
+            require(rc == 0, s"mapViaSpawnKvs: child exited $rc")
+            if (writerFailure != null)
+              throw new java.io.IOException(
+                "mapViaSpawnKvs: stdin feed failed mid-stream — refusing partial results",
+                writerFailure)
+          } catch { case t: Throwable => abort(t) }
+        def hasNext: Boolean = { openIfNeeded(); pending != -1 }
+        def next(): (String, String) = {
+          openIfNeeded()
+          if (pending == -1) throw new NoSuchElementException("drained")
+          val kv = try {
+            val vlen = in.readInt()
+            val k = new Array[Byte](pending); in.readFully(k)
+            val v = new Array[Byte](vlen); in.readFully(v)
+            pending = in.readInt()
+            (new String(k, "UTF-8"), new String(v, "UTF-8"))
+          } catch { case t: Throwable => abort(translate(t)) }
+          if (pending == -1) finish()
+          kv
+        }
       }
     }
   }

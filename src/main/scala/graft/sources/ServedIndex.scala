@@ -108,7 +108,14 @@ object ServedIndex {
         _ => scala.collection.mutable.Map.empty[String, Long])
         .get(tbl).contains(preEpoch)
     }
-    if (hit) s.table(tbl)
+    // A hit must still notice ANOTHER process swinging the pointer
+    // (possibly twice — beyond the grace copy) mid-session (ADVICE r10):
+    // re-stat the tiny _graft_meta and fall back to the full serve —
+    // which re-registers DDL against the new active version and bumps
+    // the epoch — when the active token moved. This is a local
+    // metadata-file read: no Spark job, no corpus scan; the expensive
+    // fingerprint evaluation stays cache-skipped.
+    if (hit && activeUnmoved(s, dirName, tbl)) s.table(tbl)
     else {
       // fingerprint + build-or-serve OUTSIDE the cache lock (they run
       // Spark jobs); concurrent misses race benignly — apply() is
@@ -122,6 +129,17 @@ object ServedIndex {
       df
     }
   }
+
+  /** True iff the on-disk active version token still equals the one
+    * this process registered the table against. Unreadable/missing meta
+    * or an unregistered table count as "moved" — the caller then takes
+    * the full serve path, which rebuilds or re-registers as needed. */
+  private def activeUnmoved(s: SparkSession, dirName: String, tbl: String): Boolean =
+    try {
+      val root = rootPath(dirName)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      readMeta(fs, root).exists(m => Option(registered.get(tbl)).contains(m._1))
+    } catch { case _: java.io.IOException => false }
 
   private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
 

@@ -77,6 +77,36 @@ class IndexChaosSpec extends SparkSuite {
       "post-swing serve must re-register to the other process's version")
   }
 
+  test("a session-cached serve notices a cross-process DOUBLE pointer swing " +
+      "(ADVICE r10: the hit path must re-stat the meta, not trust the session)") {
+    val dir = "chaos_cached_swing"
+    val tbl = "chaos_cached_swing"
+    def serveCached(fp: String, build: => org.apache.spark.sql.DataFrame) =
+      ServedIndex.cached(spark, tbl, dir, fp, "k BIGINT, v BIGINT", "k", 2)(build)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"target/graft-index/$dir"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
+    // warm the session serve-cache on version A
+    assert(serveCached("corpusA",
+      spark.range(100).selectExpr("id AS k", "id * 7 AS v")).count() == 100)
+    assert(serveCached("corpusA",
+      sys.error("cached hit must not rebuild")).count() == 100)
+
+    // another process rebuilds TWICE: this session's registered version
+    // is superseded beyond the grace copy
+    await(spawn(dir, tbl, "corpusB", 200, 0), "first rebuilding child")
+    await(spawn(dir, tbl, "corpusC", 300, 0), "second rebuilding child")
+
+    // the cached hit must observe the moved pointer and re-register to
+    // the latest version — serving stale version-A rows (or a plan over
+    // a GC-able dir) is exactly the ADVICE failure
+    val after = serveCached("corpusC",
+      sys.error("fingerprint is fresh — build must not run"))
+    assert(after.count() == 300,
+      "cached serve must re-register to the latest cross-process version")
+  }
+
   test("two processes racing the same build both exit clean and converge " +
       "to one complete version") {
     val dir = "chaos_race"
