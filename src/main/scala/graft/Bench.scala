@@ -61,6 +61,13 @@ object Bench {
     // Master selection (incl. multi-JVM local-cluster) lives in Sessions.
     val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    // kmrtrace parity: attribute per-stage shuffle/input/spill bytes to
+    // the query (job group) that ran them → bench_detail.json.
+    val trace = new StageMetricsListener
+    spark.sparkContext.addSparkListener(trace)
+    def grouped[T](name: String)(body: => T): T =
+      try { spark.sparkContext.setJobGroup(name, name); body }
+      finally spark.sparkContext.clearJobGroup()
     // Warm up the JVM/codegen/IO paths so the first measured query does
     // not absorb session start-up cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -78,7 +85,7 @@ object Bench {
     val indexBuilds = SparkEntry.indexes.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
+        try { grouped(s"index:$name")(fn(spark, sfDir).count()); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(80)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
@@ -107,7 +114,11 @@ object Bench {
     }
     val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       GateLock.touch() // liveness: a long census must not be stolen
-      val timings = (1 to runs).map(_ => timeOnce(fn))
+      // run 1 executes under a job group so the trace listener
+      // attributes its stages to this query; repeat runs re-execute the
+      // same stages, so counting one run's bytes is the per-run cost
+      val timings = grouped(name)(timeOnce(fn)) +:
+        (2 to runs).map(_ => timeOnce(fn))
       val firstErr = timings.flatMap(_._2).headOption
       val sorted = timings.map(_._1).sorted
       // min isolates engine cost from co-tenant noise; median bounds how
@@ -185,10 +196,24 @@ object Bench {
     // the stdout line
     val buildJson = indexBuilds.collect { case (k, v, None) => s"${jstr(k)}:${fmt2(v)}" }
       .mkString("{", ",", "}")
+    // Stage-trace rendering (detail file only — the stdout line is
+    // size-bounded). The listener bus is asynchronous; by this point
+    // every query finished seconds ago, but give stragglers a moment.
+    Thread.sleep(1500)
+    def mb(b: Long): String =
+      String.format(java.util.Locale.ROOT, "%.2f", b / 1048576.0)
+    def traceJson(g: String): String = trace.byGroup.get(g).map { a =>
+      s""","stages":${a.stages},"tasks":${a.tasks},"sh_read_mb":${mb(a.shuffleReadB)},"sh_write_mb":${mb(a.shuffleWriteB)},"input_mb":${mb(a.inputB)},"spill_mb":${mb(a.spillB)}"""
+    }.getOrElse("")
+    val indexTrace = indexBuilds.collect {
+      case (k, _, None) if trace.byGroup.contains(s"index:$k") =>
+        s"""${jstr(k)}:{${traceJson(s"index:$k").drop(1)}}"""
+    }.mkString("{", ",", "}")
     val detail = ok.sortBy(_._1)
-      .map { case (k, v, m, _) => s"""${jstr(k)}:{"min":${fmt(v)},"med":${fmt(m)}}""" }
+      .map { case (k, v, m, _) =>
+        s"""${jstr(k)}:{"min":${fmt(v)},"med":${fmt(m)}${traceJson(k)}}""" }
       .mkString("{\"queries\":{", ",",
-        s"""},"index_build_s":$buildJson,"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
+        s"""},"index_build_s":$buildJson,"index_trace":$indexTrace,"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed
     // full-census detail file, and neither may a full run at a DIFFERENT
     // SF (a local sf0.01 smoke would silently replace the sf0.1 baseline

@@ -19,6 +19,7 @@ object SparkEntry {
       graft.llm.TrainPrep.defs ++ graft.llm.Curate.defs ++
       graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++
       graft.sources.Ingest.defs ++ graft.sources.CmdFarm.defs ++
+      graft.sources.DpRun.defs ++
       graft.sources.Locality.defs ++
       graft.core.Checkpoint.defs ++ graft.core.SpawnerKvs.defs ++
       graft.core.Lanes.defs ++

@@ -372,6 +372,54 @@ object AnnOps {
             TRY_CAST(round(max(cos) * 1000000, 0) AS BIGINT) AS max_cos_micro
           FROM ev GROUP BY cid, evict_id ORDER BY cid, evict_id""")),
 
+    // ---- Steady-state embedding-space ingest (the dedup_delta shape
+    // for vectors, round-10 verdict item 8): "newly arriving" vectors
+    // (the vec_id % 8 == 7 shard — the deterministic stand-in for an
+    // ingest batch) probe the PERSISTED IVF cells for near-dups against
+    // the EXISTING corpus. Per-ingest cost is O(delta · cell) — the
+    // cid-equality join is bucket-co-located on the assignment index,
+    // candidates come only from the delta vectors' own cells, and
+    // delta-vs-delta pairs are excluded (in-batch dups are semdedup's
+    // job once the batch lands) — so embedding dedup gets the same
+    // O(delta) incremental path the MinHash family has. Reads ONLY the
+    // index tables; every float op is the shared ascending-index dot,
+    // so DuckDB replays cells, probe, cosine and the argmax exactly.
+    QueryDef("semdedup_delta", (s, d) => {
+      val (assigned, _) = ivfIndex(s, d)
+      val delta = assigned.filter(col("vec_id") % 8 === 7)
+        .select(col("cid"), col("vec_id").as("delta_id"),
+          col("e").as("de"), col("nrm").as("dn"))
+      val base = assigned.filter(col("vec_id") % 8 =!= 7)
+        .select(col("cid"), col("vec_id").as("base_id"),
+          col("e").as("be"), col("nrm").as("bn"))
+      delta.join(base, Seq("cid"))
+        .withColumn("cos", cosCol("de", "be", "dn", "bn"))
+        .filter(col("cos") >= SemDedupEps)
+        .groupBy("delta_id")
+        .agg(count(lit(1)).as("n_near"),
+          // nearest EXISTING copy: highest cosine, ties → lowest id
+          // (the ivfAssign argmax-by-struct trick — map-side partials)
+          min(struct(negate(col("cos")), col("base_id"))).as("m"),
+          expr("try_cast(round(max(cos) * 1000000, 0) AS BIGINT)").as("max_cos_micro"))
+        .select(col("delta_id"), col("n_near"),
+          col("m.base_id").as("best_id"), col("max_cos_micro"))
+        .orderBy("delta_id")
+    }, Some(
+      s"""WITH $ivfCtes,
+          delta AS (SELECT cid, vec_id AS delta_id, e AS de, nrm AS dn
+                    FROM assigned WHERE vec_id % 8 = 7),
+          base AS (SELECT cid, vec_id AS base_id, e AS be, nrm AS bn
+                   FROM assigned WHERE vec_id % 8 <> 7),
+          pairs AS (
+            SELECT delta_id, base_id,
+              list_dot_product(de, be)/nullif(dn*bn, 0) AS cos
+            FROM delta JOIN base USING (cid))
+          SELECT delta_id, CAST(count(*) AS BIGINT) AS n_near,
+            (min(struct_pack(nc := -cos, id := base_id))).id AS best_id,
+            TRY_CAST(round(max(cos) * 1000000, 0) AS BIGINT) AS max_cos_micro
+          FROM pairs WHERE cos >= $SemDedupEps
+          GROUP BY delta_id ORDER BY delta_id""")),
+
     // ---- Quantized prefilter + exact re-rank (the production two-stage
     // retrieval): stage 1 scans INT8 vectors (4× the memory bandwidth of
     // float32, SIMD-able integer dot products) and keeps the top-50

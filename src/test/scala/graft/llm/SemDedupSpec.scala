@@ -116,6 +116,31 @@ class SemDedupSpec extends SparkSuite {
     assert(!plan.contains("embeddings"), s"semdedup re-reads the corpus:\n$plan")
   }
 
+  test("semdedup_delta: every reported near-dup is real (driver-side cosine " +
+      "replay), sides respect the delta split, and the plan reads only the index") {
+    val q = graft.SparkEntry.queries("semdedup_delta")
+    val out = q(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "fixture produced no delta near-dups — widen the shard")
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val withNrm = vecs.map { case (id, e) => id -> (e, nrm(e)) }
+    out.foreach { case (deltaId, nNear, bestId, maxMicro) =>
+      assert(deltaId % 8 == 7, s"delta side must be the %8==7 shard: $deltaId")
+      assert(bestId % 8 != 7, s"best match must come from the base corpus: $bestId")
+      assert(nNear >= 1L)
+      val c = cos(withNrm(deltaId), withNrm(bestId))
+        .getOrElse(fail(s"undefined cosine for reported pair $deltaId/$bestId"))
+      assert(c >= Eps, s"reported best pair below threshold: $c")
+      assert(maxMicro >= BigDecimal(c * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        "max_cos_micro must dominate the best pair's cosine")
+    }
+    val plan = q(spark, sfDir).queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("embeddings"), s"delta probe re-reads the corpus:\n$plan")
+  }
+
   test("an evicted id always has a same-cell partner kept that is closer to the centroid") {
     val out = AnnOps.semDedup(spark, sfDir).collect()
     val evicted = out.map(r => (r.getLong(0), r.getLong(1))).toSet
