@@ -115,57 +115,25 @@ object Dedup {
     * of [[substringPairs]], also materialized verbatim by the persisted
     * index ([[winnowIndex]]). */
   private[llm] def winnowFps(documents: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    // Two structural constraints shape this:
-    // (1) greatest(...,1) makes the sequence bound total — Catalyst may
-    //     reorder a collapsed filter's conjuncts and evaluate the gram
-    //     expression BEFORE the length>=47 guard, where a short doc
-    //     would otherwise produce a DESCENDING sequence (and a
-    //     slice-start-0 error in a nested formulation). Identity for
-    //     every row the guard keeps.
-    // (2) The winnow min is a per-doc WINDOW over posexploded gram
-    //     hashes, NOT a nested transform-over-slice: higher-order
-    //     functions run interpreted (no codegen, no subexpression
-    //     elimination), so nesting the md5 transform inside the winnow
-    //     lambda re-evaluates the whole hash array per position —
-    //     O(len^2) md5s per doc. posexplode computes each md5 exactly
-    //     once; the window partition is one document (bounded by doc
-    //     length, never corpus-skewed), and only (doc_id, pos, int64
-    //     fingerprint) — never text — enters that shuffle.
-    // (3) Each gram hash is narrowed to a 60-bit BIGINT (first 15 hex
-    //     chars of the md5) BEFORE the winnow window: the r5 driver
-    //     bench showed ~1.35M 32-char hex strings through a window
-    //     shuffle plus two join sides costing 38.9 s — an 8-byte long
-    //     cuts shuffle width ~4x and replaces string comparators with
-    //     integer ones. The hash is the native codegen expression
-    //     [[graft.functions.Md5Prefix64]] applied right after the
-    //     explode — the raw 32-char gram lives only inside the scan
-    //     stage's projection, never crossing an Exchange. The winnow
-    //     min over the 60-bit prefix is still a pure function of window
-    //     content, so the >= 47-char shared-span guarantee is
-    //     unchanged; DuckDB computes the identical value via
-    //     CAST(concat('0x', substr(md5(..),1,15)) AS BIGINT).
-    val grams = documents
+      : org.apache.spark.sql.DataFrame =
+    // The whole winnow (32-char grams → 60-bit md5-prefix hash →
+    // sliding 16-gram min → per-doc distinct) happens INSIDE the scan
+    // stage via the native [[graft.functions.WinnowFps]] expression —
+    // one O(grams) monotonic-deque pass per document, whole-stage
+    // codegen'd. Until round 11 this was a declarative posexplode +
+    // per-doc window pipeline, which was correct but shuffled every
+    // gram hash (doc_len − 31 longs per doc; 68 MB shuffle-read at
+    // sf0.1, the census's largest) through an Exchange(doc_id) just to
+    // regroup a document's own grams — data already co-located in the
+    // scanned row. Values are bit-identical (WinnowFpsSpec pins the
+    // parity against an independent replay; the shared DuckDB oracle
+    // is unchanged); only the plan moved. The 47-char guarantee
+    // (Schleimer/Wilkerson/Aiken winnowing) is unchanged: any common
+    // substring of >= 32+16-1 chars still shares a fingerprint.
+    documents
       .filter(length(col("text")) >= 47)
-      .select(col("doc_id"), (length(col("text")) - 47).as("last_start"),
-        posexplode(expr(
-          "transform(sequence(1, greatest(length(text) - 31, 1)), " +
-          "i -> substring(text, i, 32))")))
-      .toDF("doc_id", "last_start", "pos", "g")
-      .select(col("doc_id"), col("last_start"), col("pos"),
-        graft.functions.Md5Prefix64.md5p64(col("g")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
-    val fp = grams
-      // posexplode is 0-based: window start j covers grams [j, j+15]; the
-      // last full window starts at gram_count-16 = length-47
-      .select(col("doc_id"), min(col("h")).over(w).as("minh"),
-        col("pos"), col("last_start"))
-      .filter(col("pos") <= col("last_start"))
-      .select(col("doc_id"), col("minh").as("fp"))
-      .distinct()
-    fp
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps.winnow(col("text"))).as("fp"))
 
   /** Candidate-pair join over a (doc_id, fp) frame — the back half of
     * [[substringPairs]], shared by the inline and index-served paths.
