@@ -48,6 +48,13 @@ def compare_one(sf_dir, out_dir, name):
     """Compare ONE query inside this process (invoked as a capped
     subprocess by main). Prints PASS/FAIL line; exit 0/1."""
     import duckdb, glob
+    # Eager pandas/numpy import: fetchdf() would otherwise import them
+    # LAZILY — after the oracle ran, while DuckDB holds its working set
+    # near memory_limit — and numpy's BLAS .so can then fail to mmap on
+    # a host whose commit limit is already saturated ("failed to map
+    # segment from shared object", observed at sf1). Map it while
+    # memory is free.
+    import pandas as _pandas  # noqa: F401
     con = duckdb.connect()
     tmp = os.path.join(out_dir, f".duckdb_tmp_{name}")
     os.makedirs(tmp, exist_ok=True)
