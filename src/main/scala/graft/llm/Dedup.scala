@@ -224,6 +224,60 @@ object Dedup {
       "min(doc_id) AS keep_id, count(*) AS n_dups " +
       "FROM documents GROUP BY 1 ORDER BY keep_id")),
 
+    // ---- Paragraph-level exact dedup (the MassiveText / Dolma
+    // pipeline stage: drop repeated paragraphs ACROSS documents, then
+    // drop documents that lost most of their content). The synthetic
+    // corpus carries no newline structure, so the paragraph boundary
+    // is a deterministic 20-word chunk. Duplicate chunks keep only the
+    // global first occurrence (lowest (doc_id, idx)); each doc reports
+    // chunk counts and the keep verdict (kept iff <= 50% of its chunks
+    // are elsewhere-first duplicates). Scale shape: one explode, one
+    // hash-keyed aggregate, one equality join back, one per-doc
+    // aggregate — no self-join, no window; a boilerplate chunk shared
+    // by 10^6 docs costs ONE (min-struct, count) aggregate state, not
+    // a pair explosion (contrast the Jaccard posting join, which needs
+    // its df cap for exactly that case).
+    QueryDef("dedup_paragraph", (s, d) => {
+      val chunks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextNorm.toks.as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 20.0) AS INT) - 1), " +
+          "c -> array_join(slice(w, c * 20 + 1, 20), ' '))")))
+        .toDF("doc_id", "idx", "chunk")
+        .select(col("doc_id"), col("idx"), md5Long(col("chunk")).as("h"))
+      val firstOwner = chunks.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("w0"))
+      chunks.join(firstOwner, "h")
+        .select(col("doc_id"),
+          when(col("w0.doc_id") === col("doc_id") &&
+               col("w0.idx") === col("idx"), 0L).otherwise(1L).as("dup"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("dup").as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          when(col("n_dup") * 2 <= col("n_chunks"), 1L).otherwise(0L)
+            .as("keep_doc"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, ${TextNorm.normSql} AS w FROM documents),
+          raw AS (SELECT doc_id,
+              unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS idx,
+              unnest(list_transform(range(0, CAST(ceil(len(w)/20.0) AS BIGINT)),
+                c -> array_to_string(w[c*20+1 : c*20+20], ' '))) AS chunk
+            FROM toks WHERE len(w) >= 1),
+          chunks AS (SELECT doc_id, idx, ${md5LongSql("chunk")} AS h FROM raw),
+          fo AS (SELECT h, min(struct_pack(d := doc_id, i := idx)) AS w0
+                 FROM chunks GROUP BY 1),
+          flags AS (SELECT c.doc_id,
+              CASE WHEN (f.w0).d = c.doc_id AND (f.w0).i = c.idx
+                   THEN 0 ELSE 1 END AS dup
+            FROM chunks c JOIN fo f USING (h))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(sum(dup) AS BIGINT) AS n_dup,
+            CASE WHEN sum(dup) * 2 <= count(*) THEN 1 ELSE 0 END::BIGINT
+              AS keep_doc
+          FROM flags GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Near-dup by exact n-gram Jaccard over an inverted shingle
     // index: join docs that SHARE a shingle (shuffle key = shingle),
     // count intersections, compute J = |∩|/|∪|. Exact up to the
