@@ -253,6 +253,57 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** A served IVF centroid carried INTO the streaming plan as a
+    * literal (the cells of [[vectorProbe]]): cid, coordinates, norm. */
+  case class CentLit(cid: Long, ce: Seq[Double], cnrm: Double)
+
+  /** Stream-static embedding near-dup probe — the STREAMING sibling of
+    * the semdedup_delta gate (and the embedding-space counterpart of
+    * [[indexProbe]]): arriving vectors are checked against the
+    * PERSISTED IVF index (graft.llm.AnnOps.ivfIndex). The coarse
+    * quantizer's centroids ride the plan as a LITERAL array (they are
+    * the index's O(√n) driver-held artifact, ~16 MB at 10⁹ vectors),
+    * so assignment is a per-row argmax fold — no aggregation, hence no
+    * streaming state and no watermark: the operator is pure append.
+    * The static side is the bucketed cid-keyed assignment table, so a
+    * micro-batch's join probes bucket-co-located cells only. Emits one
+    * row per (delta, corpus) near-dup pair with the exact-integer
+    * cosine; per-delta aggregation (count, argmax) belongs in the sink
+    * where batch semantics apply — the spec replays it there.
+    *
+    * Argmax tie-break matches ivfAssign (highest cosine, then lowest
+    * cid); an undefined cosine (zero-norm side) degrades to -2, below
+    * every real cosine, exactly like the batch path's NULL ranking. */
+  def vectorProbe(deltaVecs: DataFrame, assigned: DataFrame,
+      cents: Seq[CentLit], minCos: Double): DataFrame = {
+    val withCid = deltaVecs
+      .withColumn("nrm", sqrt(graft.functions.DotProductD.dotD(col("e"), col("e"))))
+      .withColumn("cents_arr", typedlit(cents))
+      .withColumn("best", expr(
+        """aggregate(
+             transform(cents_arr, c -> named_struct(
+               'cos', coalesce(
+                 aggregate(zip_with(e, c.ce, (x, y) -> x * y), 0D, (s, v) -> s + v)
+                   / nullif(nrm * c.cnrm, 0D), -2D),
+               'cid', c.cid)),
+             named_struct('cos', -3D, 'cid', CAST(-1 AS BIGINT)),
+             (acc, x) -> CASE WHEN x.cos > acc.cos
+                              OR (x.cos = acc.cos AND x.cid < acc.cid)
+                         THEN x ELSE acc END)"""))
+      .select(col("vec_id").as("delta_id"), col("e").as("de"),
+        col("nrm").as("dn"), col("best.cid").as("cid"))
+    withCid
+      .join(assigned.select(col("cid"), col("vec_id").as("corpus_id"),
+        col("e").as("be"), col("nrm").as("bn")), "cid")
+      .withColumn("cos",
+        when(col("dn") * col("bn") === 0, lit(null))
+          .otherwise(graft.functions.DotProductD.dotD(col("de"), col("be"))
+            / (col("dn") * col("bn"))))
+      .where(col("cos") >= minCos)
+      .select(col("delta_id"), col("corpus_id"),
+        expr("try_cast(round(cos * 1000000, 0) AS BIGINT)").as("cos_micro"))
+  }
+
   /** Per-doc keep decision over [[streamingMinhashDedup]] verdicts: a
     * doc is a near-dup iff ANY of its bands is owned by an earlier doc;
     * dup_of = the smallest such owner (deterministic attribution). */
