@@ -44,6 +44,44 @@ object Dedup {
     * guard) stays hash-identical to the uncapped form. */
   val JaccardDfCap = 1000L
 
+  /** Deterministic 20-word "paragraph" chunks of every document, each
+    * hashed to the portable 60-bit md5 prefix: (doc_id, idx, h). The
+    * shared front half of dedup_paragraph / dedup_paragraph_delta and
+    * the [[chunkIndex]] build. */
+  private[llm] def paragraphChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextNorm.toks.as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 20.0) AS INT) - 1), " +
+        "c -> array_join(slice(w, c * 20 + 1, 20), ' '))")))
+      .toDF("doc_id", "idx", "chunk")
+      .select(col("doc_id"), col("idx"), md5Long(col("chunk")).as("h"))
+
+  /** DuckDB replay of [[paragraphChunks]] (two zipped unnests: range
+    * index + the chunk strings; last partial chunk clamps identically
+    * in DuckDB list slicing and Spark slice()). */
+  private def chunksSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextNorm.normSql} AS w FROM documents),
+        raw AS (SELECT doc_id,
+            unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS idx,
+            unnest(list_transform(range(0, CAST(ceil(len(w)/20.0) AS BIGINT)),
+              c -> array_to_string(w[c*20+1 : c*20+20], ' '))) AS chunk
+          FROM toks WHERE len(w) >= 1),
+        chunks AS (SELECT doc_id, idx, ${md5LongSql("chunk")} AS h FROM raw)"""
+
+  /** Persisted paragraph-chunk index — [[paragraphChunks]] written once
+    * per corpus as an h-bucketed external table (the [[minhashIndex]]
+    * shape at paragraph granularity): pay the chunk+hash scan when the
+    * corpus lands, serve every ingest probe after. */
+  def chunkIndex(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"chunk_idx$sfx", s"chunks$sfx",
+      corpusFingerprint(s, d),
+      "doc_id BIGINT, idx INT, h BIGINT",
+      "h", IndexBuckets)(paragraphChunks(Tables.load(s, d, "documents")))
+  }
+
   private val shinglesSql =
     s"""WITH toks AS (SELECT doc_id, $normSql AS w FROM documents),
         grams AS (SELECT DISTINCT doc_id,
@@ -238,14 +276,7 @@ object Dedup {
     // a pair explosion (contrast the Jaccard posting join, which needs
     // its df cap for exactly that case).
     QueryDef("dedup_paragraph", (s, d) => {
-      val chunks = Tables.load(s, d, "documents")
-        .select(col("doc_id"), TextNorm.toks.as("w"))
-        .filter(size(col("w")) >= 1)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, cast(ceil(size(w) / 20.0) AS INT) - 1), " +
-          "c -> array_join(slice(w, c * 20 + 1, 20), ' '))")))
-        .toDF("doc_id", "idx", "chunk")
-        .select(col("doc_id"), col("idx"), md5Long(col("chunk")).as("h"))
+      val chunks = paragraphChunks(Tables.load(s, d, "documents"))
       val firstOwner = chunks.groupBy("h")
         .agg(min(struct(col("doc_id"), col("idx"))).as("w0"))
       chunks.join(firstOwner, "h")
@@ -259,14 +290,8 @@ object Dedup {
             .as("keep_doc"))
         .orderBy("doc_id")
     }, Some(
-      s"""WITH toks AS (SELECT doc_id, ${TextNorm.normSql} AS w FROM documents),
-          raw AS (SELECT doc_id,
-              unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS idx,
-              unnest(list_transform(range(0, CAST(ceil(len(w)/20.0) AS BIGINT)),
-                c -> array_to_string(w[c*20+1 : c*20+20], ' '))) AS chunk
-            FROM toks WHERE len(w) >= 1),
-          chunks AS (SELECT doc_id, idx, ${md5LongSql("chunk")} AS h FROM raw),
-          fo AS (SELECT h, min(struct_pack(d := doc_id, i := idx)) AS w0
+      chunksSql +
+      s""", fo AS (SELECT h, min(struct_pack(d := doc_id, i := idx)) AS w0
                  FROM chunks GROUP BY 1),
           flags AS (SELECT c.doc_id,
               CASE WHEN (f.w0).d = c.doc_id AND (f.w0).i = c.idx
@@ -277,6 +302,50 @@ object Dedup {
             CASE WHEN sum(dup) * 2 <= count(*) THEN 1 ELSE 0 END::BIGINT
               AS keep_doc
           FROM flags GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Steady-state paragraph-level ingest (the dedup_delta shape
+    // at paragraph granularity, completing the O(delta) incremental
+    // family: exact → minhash → embedding → paragraph): "newly
+    // arriving" documents (source != 'src0', the same deterministic
+    // split dedup_delta uses) probe the PERSISTED chunk index for
+    // chunks already present in the EXISTING corpus (source = 'src0').
+    // Per-ingest cost is O(delta chunks): the probe is an h-equality
+    // join against the h-bucketed index with the corpus side reduced
+    // to DISTINCT hashes first (one row per distinct chunk, however
+    // many corpus docs repeat it). The oracle replays chunking,
+    // hashing, the split, and the membership probe — a stale chunk
+    // index fails the hash gate.
+    QueryDef("dedup_paragraph_delta", (s, d) => {
+      val srcOf = Tables.load(s, d, "documents").select("doc_id", "source")
+      val idx = chunkIndex(s, d)
+      val corpusH = idx
+        .join(srcOf.filter(col("source") === "src0"), "doc_id")
+        .select("h").distinct()
+        .withColumn("in_corpus", lit(1L))
+      idx.join(srcOf.filter(col("source") =!= "src0"), "doc_id")
+        .join(corpusH, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("in_corpus"), lit(0L))).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          when(col("n_dup") * 2 <= col("n_chunks"), 1L).otherwise(0L)
+            .as("keep_doc"))
+        .orderBy("doc_id")
+    }, Some(
+      chunksSql +
+      s""", srcs AS (SELECT doc_id, source FROM documents),
+          corpus_h AS (SELECT DISTINCT h FROM chunks JOIN srcs USING (doc_id)
+                       WHERE source = 'src0'),
+          delta AS (SELECT c.doc_id, c.h FROM chunks c
+                    JOIN srcs s ON s.doc_id = c.doc_id
+                    WHERE s.source <> 'src0')
+          SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(sum(CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup,
+            CASE WHEN sum(CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END) * 2
+                      <= count(*) THEN 1 ELSE 0 END::BIGINT AS keep_doc
+          FROM delta d LEFT JOIN corpus_h ch ON d.h = ch.h
+          GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
     // ---- Near-dup by exact n-gram Jaccard over an inverted shingle
     // index: join docs that SHARE a shingle (shuffle key = shingle),

@@ -42,6 +42,29 @@ class ParagraphDedupSpec extends SparkSuite {
       s"kept $keptInstances instances vs $distinctChunks distinct chunks")
   }
 
+  test("delta probe equals a driver set-replay: n_dup counts exactly the delta " +
+      "chunks whose hash exists in the src0 corpus") {
+    val got = graft.SparkEntry.queries("dedup_paragraph_delta")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val srcOf = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Dedup.paragraphChunks(Tables.load(spark, sfDir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val corpusH = chunks.collect { case (id, h) if srcOf(id) == "src0" => h }.toSet
+    val byDelta = chunks.filter { case (id, _) => srcOf(id) != "src0" }
+      .groupBy(_._1)
+    assert(got.map(_._1).toSet == byDelta.keySet,
+      "delta output must cover exactly the non-src0 docs with >= 1 word")
+    got.foreach { case (id, nChunks, nDup, keep) =>
+      val hs = byDelta(id).map(_._2)
+      assert(nChunks == hs.length.toLong, s"doc $id chunk count")
+      val expDup = hs.count(corpusH.contains).toLong
+      assert(nDup == expDup, s"doc $id: n_dup $nDup vs replay $expDup")
+      assert(keep == (if (nDup * 2 <= nChunks) 1L else 0L))
+    }
+  }
+
   test("a doc that is a verbatim copy of another loses every chunk and is dropped") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ") // 3 chunks
