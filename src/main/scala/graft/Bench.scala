@@ -58,6 +58,13 @@ object Bench {
     // (round-10: the co-tenant DuckDB oracle thrashed 44 GB of temp
     // through the bench window — med/min 1.46, two spurious suspects).
     val lockOwned = GateLock.acquire("bench")
+    // Release on ALL exit paths (ADVICE r11): an exception between
+    // acquire and release must not wedge the next gate for 30 minutes.
+    try run(sfDir, cpus, lockOwned)
+    finally GateLock.release(lockOwned)
+  }
+
+  private def run(sfDir: String, cpus: String, lockOwned: Boolean): Unit = {
     // Master selection (incl. multi-JVM local-cluster) lives in Sessions.
     val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,7 +120,7 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      GateLock.touch() // liveness: a long census must not be stolen
+      GateLock.touch(lockOwned) // liveness: a long census must not be stolen
       // run 1 executes under a job group so the trace listener
       // attributes its stages to this query; repeat runs re-execute the
       // same stages, so counting one run's bytes is the per-run cost
@@ -254,7 +261,6 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset$suspectField,"sf":${jstr(sfName)},"index_build_s":$buildJson,"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
-    GateLock.release(lockOwned)
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout
     // (build.sbt sets showSuccess := false to keep it that way).

@@ -33,7 +33,20 @@ object GateLock {
           try {
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(lockPath).toMillis
-            if (age > StaleMs) { Files.deleteIfExists(lockPath) }
+            if (age > StaleMs) {
+              // Steal via atomic rename (ADVICE r11 TOCTOU): exactly one
+              // waiter wins the rename, so a FRESH lock another waiter
+              // created between our stat and our delete can never be
+              // removed by mistake. If the stolen file turns out fresh
+              // after all (the holder touched it mid-race), put it back.
+              val stolen = Paths.get(
+                s".graft_gate.lock.steal.${ProcessHandle.current().pid()}")
+              Files.move(lockPath, stolen)
+              val stolenAge = System.currentTimeMillis() -
+                Files.getLastModifiedTime(stolen).toMillis
+              if (stolenAge > StaleMs) Files.deleteIfExists(stolen)
+              else Files.move(stolen, lockPath)
+            }
             else Thread.sleep(5000)
           } catch { case _: java.io.IOException => () } // racing deleter
         case _: java.io.IOException => return false // unwritable cwd: skip
@@ -44,9 +57,11 @@ object GateLock {
   }
 
   /** Liveness heartbeat: holders call this as they complete work units
-    * so a long (but live) run is never stolen mid-flight. */
-  def touch(): Unit =
-    try Files.setLastModifiedTime(lockPath,
+    * so a long (but live) run is never stolen mid-flight. Owner-gated
+    * (ADVICE r11): a NON-owner refreshing a foreign lock's mtime would
+    * keep a dead holder's lock forever un-stealable. */
+  def touch(owned: Boolean): Unit =
+    if (owned) try Files.setLastModifiedTime(lockPath,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     catch { case _: java.io.IOException => () }
 

@@ -10,6 +10,14 @@ object Verify {
     // Serialize against a concurrently-running bench (round-10
     // collision postmortem): same lock as Bench + check_correctness.py.
     val lockOwned = GateLock.acquire("verify")
+    // Release on ALL exit paths (ADVICE r11): an exception between
+    // acquire and release must not wedge the next gate for 30 minutes.
+    try run(sfDir, outDir, cpus, lockOwned)
+    finally GateLock.release(lockOwned)
+  }
+
+  private def run(sfDir: String, outDir: String, cpus: String,
+      lockOwned: Boolean): Unit = {
     // Master selection (incl. multi-JVM local-cluster) lives in Sessions.
     val spark = Sessions.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -39,7 +47,7 @@ object Verify {
           try {
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
-            GateLock.touch() // liveness heartbeat per completed query
+            GateLock.touch(lockOwned) // liveness heartbeat per completed query
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
@@ -63,7 +71,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    GateLock.release(lockOwned)
     spark.stop()
   }
 }

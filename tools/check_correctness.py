@@ -136,7 +136,12 @@ def acquire_lock():
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(LOCK) > 30 * 60:
-                    os.unlink(LOCK)  # stale holder
+                    # steal via atomic rename: exactly one waiter wins the
+                    # rename; a fresh lock another waiter just created
+                    # can't be deleted by mistake (ADVICE r11 TOCTOU)
+                    stolen = LOCK + f".steal.{os.getpid()}"
+                    os.rename(LOCK, stolen)
+                    os.unlink(stolen)
                     continue
             except OSError:
                 continue
@@ -170,8 +175,22 @@ def main(sf_dir, out_dir, cap):
                     capture_output=True, text=True, timeout=cap)
                 lines = [l for l in r.stdout.splitlines()
                          if l.startswith(("PASS", "FAIL", "ORACLE_COST"))]
-                line = lines[0] if lines else \
-                    f"FAIL {name}: <no output> {r.stderr[-300:]}"
+                if lines:
+                    line = lines[0]
+                elif r.returncode < 0 or any(
+                        pat in (r.stderr or "")
+                        for pat in ("MemoryError", "Cannot allocate memory",
+                                    "No space left on device",
+                                    "Out of Memory", "bad_alloc")):
+                    # ADVICE r11: a child killed by a signal (OOM killer,
+                    # BLAS mmap crash) or dying on resource exhaustion
+                    # without printing a status line is ORACLE cost, not
+                    # an engine failure — the engine parquet exists and
+                    # was simply never compared.
+                    line = (f"ORACLE_COST {name}: child rc={r.returncode} "
+                            f"{(r.stderr or '')[-200:]}")
+                else:
+                    line = f"FAIL {name}: <no output> {r.stderr[-300:]}"
                 if line.startswith("PASS"):
                     status = "PASS"; n_pass += 1
                 elif line.startswith("ORACLE_COST"):
