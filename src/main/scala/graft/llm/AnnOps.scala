@@ -35,6 +35,7 @@ object AnnOps {
   private val NPLANES = 64 // RP-LSH hyperplanes
   private val SemDedupEps = 0.4 // semdedup near-dup cosine threshold
   private[llm] val SemCellCap = 100000L // semdedup per-cell size guard
+  private[llm] val EmbBlockCap = 100000L // dedup_embedding per-label block guard
   private val BANDBITS = 8 // bits per LSH band (8 bands)
 
   /** K grows with the corpus so cells stay ≈ √n: the intra-cell pair
@@ -235,29 +236,24 @@ object AnnOps {
     // ---- Embedding-cosine near-dup with metadata BLOCKING: candidate
     // pairs come from an equality self-join on the blocking key (label),
     // so the quadratic cost is per-block, not corpus-wide — the classic
-    // scalable dedup-blocking pattern. For corpora without a usable
+    // scalable dedup-blocking pattern. [[EmbBlockCap]] drops an over-cap
+    // label block WHOLE (a monolingual crawl where one label holds most
+    // of the corpus would otherwise be O(block²) ≈ O(n²) — the same
+    // degenerate-block guard as SemCellCap/FuzzyBlockCap; CapFiringSpec
+    // proves the capped semantics). For corpora without a usable
     // blocking key, ann_ivf_topk's bucketing is the candidate generator.
     QueryDef("dedup_embedding", (s, d) => {
       val v = vecs(s, d).join(
         Tables.load(s, d, "embeddings").select(col("vec_id"), col("label")), "vec_id")
-      val a = v.select(col("vec_id").as("id1"), col("e").as("qe"),
-        col("nrm").as("qnrm"), col("label"))
-      val b = v.select(col("vec_id").as("id2"), col("e").as("e"),
-        col("nrm").as("nrm"), col("label"))
-      a.join(b, Seq("label"))
-        .filter(col("id1") < col("id2"))
-        .withColumn("cos", cosCol("qe", "e", "qnrm", "nrm"))
-        .filter(col("cos") >= 0.4)
-        .select(col("label").cast("long").as("label"), col("id1"), col("id2"),
-          round(col("cos"), 6).as("cos_sim"))
-        .orderBy("id1", "id2")
+      embeddingPairsOn(v, EmbBlockCap)
     }, Some(
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         ok AS (SELECT label FROM v GROUP BY label HAVING count(*) <= $EmbBlockCap),
          pairs AS (
            SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
              list_dot_product(a.e, b.e) /
                nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0) AS cos
-           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+           FROM v a JOIN ok USING (label) JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT CAST(label AS BIGINT) AS label, id1, id2, round(cos, 6) AS cos_sim
          FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2""")),
 
@@ -677,6 +673,30 @@ object AnnOps {
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val (assigned, cents) = ivfIndex(s, d)
     semDedupOn(assigned, cents, SemCellCap)
+  }
+
+  /** Label-blocked cosine pairs over an arbitrary (vec_id, e, nrm,
+    * label) table, with the per-block size guard explicit so
+    * CapFiringSpec can prove the capped semantics on a hand-built
+    * fixture. An over-cap label block is dropped WHOLE — same
+    * convention as [[semDedupOn]]'s cell cap and TextOps.FuzzyBlockCap;
+    * the block census is an O(labels)-row aggregate broadcast back
+    * onto the blocked self-join, no extra shuffle of the members. */
+  private[llm] def embeddingPairsOn(v: DataFrame, blockCap: Long): DataFrame = {
+    val ok = v.groupBy("label").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= blockCap).select("label")
+    val vv = v.join(broadcast(ok), Seq("label"))
+    val a = vv.select(col("vec_id").as("id1"), col("e").as("qe"),
+      col("nrm").as("qnrm"), col("label"))
+    val b = vv.select(col("vec_id").as("id2"), col("e").as("e"),
+      col("nrm").as("nrm"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosCol("qe", "e", "qnrm", "nrm"))
+      .filter(col("cos") >= 0.4)
+      .select(col("label").cast("long").as("label"), col("id1"), col("id2"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id1", "id2")
   }
 
   /** The SemDeDup pipeline over an arbitrary (vec_id, e, nrm, cid)

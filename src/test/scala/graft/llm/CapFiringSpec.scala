@@ -99,6 +99,32 @@ class CapFiringSpec extends SparkSuite {
       s"fixture no longer adversarial (cap would be vacuous): $uncapped")
   }
 
+  test("embedding label-block cap fires: an over-cap label is dropped " +
+      "WHOLE, small labels still pair") {
+    // label 1 holds cap+1 identical unit vectors — every pair is an
+    // exact dup (cos=1), yet the capped run must drop the whole block
+    // (the documented block-dropped-whole semantics, same as semdedup's
+    // cell cap); label 2's two identical vectors still pair.
+    val cap = 3L
+    val v = Seq(
+      (10L, Seq(1.0, 0.0), 1L), (11L, Seq(1.0, 0.0), 1L),
+      (12L, Seq(1.0, 0.0), 1L), (13L, Seq(1.0, 0.0), 1L),
+      (20L, Seq(0.0, 1.0), 2L), (21L, Seq(0.0, 1.0), 2L))
+      .toDF("vec_id", "e", "label").withColumn("nrm", lit(1.0))
+      .select("vec_id", "e", "nrm", "label")
+    val capped = AnnOps.embeddingPairsOn(v, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(capped == Seq((2L, 20L, 21L, 1.0)),
+      s"capped run must keep only label 2's pair: $capped")
+    val uncapped = AnnOps.embeddingPairsOn(v, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(uncapped == Set(
+      (1L, 10L, 11L, 1.0), (1L, 10L, 12L, 1.0), (1L, 10L, 13L, 1.0),
+      (1L, 11L, 12L, 1.0), (1L, 11L, 13L, 1.0), (1L, 12L, 13L, 1.0),
+      (2L, 20L, 21L, 1.0)),
+      s"fixture no longer adversarial (cap would be vacuous): $uncapped")
+  }
+
   test("fuzzy block cap fires: a stop-token block is dropped whole, " +
       "discriminative blocks still pair") {
     // FuzzyBlockCap+1 docs share first token "the" — uncapped this
