@@ -61,6 +61,7 @@ object SparkEntry {
     "minhash" -> ((s, d) => graft.llm.Dedup.minhashIndex(s, d)),
     "winnow" -> ((s, d) => graft.llm.Dedup.winnowIndex(s, d)),
     "shingle" -> ((s, d) => graft.llm.Dedup.shingleIndex(s, d)),
+    "vecstore" -> ((s, d) => graft.llm.AnnOps.vecStore(s, d)),
     // two tables (assignment + centroids); force the small one inline
     "ivf" -> ((s, d) => {
       val (assigned, cents) = graft.llm.AnnOps.ivfIndex(s, d)

@@ -273,63 +273,48 @@ object AnnOps {
     // whole pipeline — buckets, candidates, re-rank — bit-for-bit.
     QueryDef("dedup_embedding_lsh", (s, d) => {
       val v = vecs(s, d)
-      // hyperplane j, component i = md5('rp|j|i') % 2001 - 1000
-      val planes = s.range(NPLANES).select(col("id").as("j"), expr(
-        "transform(sequence(0, 63), i -> CAST(" +
-        "CAST(conv(substring(md5(concat('rp|', CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
-        " % 2001 - 1000 AS DOUBLE))").as("p"))
-      val buckets = v.crossJoin(broadcast(planes))
-        .select(col("vec_id"), col("j"),
-          when(dot(col("e"), col("p")) >= 0, 1L).otherwise(0L).as("bit0"))
-        .select(col("vec_id"), expr(s"j div $BANDBITS").as("band"),
-          expr(s"shiftleft(bit0, CAST(j % $BANDBITS AS INT))").as("bit"))
-        .groupBy("vec_id", "band")
-        .agg(sum("bit").as("bk"))
-      val cand = buckets.as("a")
-        .join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-        .distinct()
+      val cand = lshCandidates(s, v)
       val va = v.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
       val vb = v.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
-      // The re-rank joins BROADCAST the vector table (O(n) rows, the
-      // shared vector-store shape): with default SMJ the second join
-      // sorts the candidate stream WITH e1 attached — at sf10 that is
-      // ~600M pairs × 520 B ≈ 320 GB of sort spill (measured: ENOSPC) —
-      // whereas broadcast-hash lets the wide pair stream pipeline
-      // through both lookups and the cosine filter in one stage with
-      // zero sorts. Beyond broadcastable n, the production variant is a
-      // bucketed-by-id vector table (ServedIndex) probed per pair side.
+      // The re-rank joins BROADCAST the vector table (O(n) rows): with
+      // default SMJ the second join sorts the candidate stream WITH e1
+      // attached — at sf10 that is ~600M pairs × 520 B ≈ 320 GB of sort
+      // spill (measured: ENOSPC) — whereas broadcast-hash lets the wide
+      // pair stream pipeline through both lookups and the cosine filter
+      // in one stage with zero sorts. Valid only while the vector table
+      // fits an executor; beyond broadcastable n the production variant
+      // is `dedup_embedding_lsh_indexed` below — identical output,
+      // shared oracle.
       cand.join(broadcast(va), "id1").join(broadcast(vb), "id2")
         .withColumn("cos", cosCol("e1", "e2", "n1", "n2"))
         .filter(col("cos") >= 0.4)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
         .orderBy("id1", "id2")
-    }, Some {
-      val md5k = (e: String) =>
-        "CAST(list_sum(list_transform(range(1,16), k -> " +
-        s"strpos('123456789abcdef', substr(md5($e), k, 1))::BIGINT << (4*(15-k)))) AS BIGINT)"
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-          planes AS (SELECT j, list_transform(range(0,64), i ->
-            CAST(${md5k("'rp|'||j||'|'||i")} % 2001 - 1000 AS DOUBLE)) AS p
-            FROM range(0,$NPLANES) t(j)),
-          bits AS (SELECT v.vec_id, p.j,
-            CASE WHEN list_dot_product(v.e, p.p) >= 0 THEN 1 ELSE 0 END AS bit
-            FROM v, planes p),
-          buckets AS (SELECT vec_id, j//$BANDBITS AS band,
-            CAST(sum(bit << (j%$BANDBITS)) AS BIGINT) AS bk
-            FROM bits GROUP BY vec_id, j//$BANDBITS),
-          cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-            FROM buckets a JOIN buckets b
-            ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
-          pairs AS (SELECT id1, id2,
-            list_dot_product(a.e, b.e) /
-              nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0) AS cos
-            FROM cand JOIN v a ON a.vec_id = id1 JOIN v b ON b.vec_id = id2)
-          SELECT id1, id2, round(cos, 6) AS cos_sim
-          FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2"""
-    }),
+    }, Some(lshOracle)),
+
+    // ---- The 100 TB form of the SRP-LSH re-rank (round-11 verdict
+    // item 1b): candidates AND the exact-cosine re-rank read ONLY the
+    // PERSISTED vec_id-bucketed vector store ([[vecStore]]) — no
+    // corpus scan, and NO broadcast of the O(n) vector table. Each
+    // re-rank join is an equality probe INTO the bucketed table: the
+    // store side is pre-shuffled (bucketBy vec_id) and pre-sorted, so
+    // only the slim (id1, id2) candidate stream moves, and the full
+    // vectors attach bucket-locally per pair side. At 10⁹ vectors the
+    // broadcast twin above is impossible (≈0.5 TB to every executor);
+    // this shape ships candidates ≈ 16 B/pair instead. Identical
+    // output to dedup_embedding_lsh — the gate proves it by hashing
+    // both against the same DuckDB replay.
+    QueryDef("dedup_embedding_lsh_indexed", (s, d) => {
+      val store = vecStore(s, d)
+      val cand = lshCandidates(s, store)
+      val va = store.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
+      val vb = store.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
+      cand.join(va, "id1").join(vb, "id2")
+        .withColumn("cos", cosCol("e1", "e2", "n1", "n2"))
+        .filter(col("cos") >= 0.4)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy("id1", "id2")
+    }, Some(lshOracle)),
 
     // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // dedup by k-means-cell blocking — cluster the embedding space,
@@ -622,6 +607,79 @@ object AnnOps {
       coalesce(sum("vec_id"), lit(0L)),
       coalesce(sum(size(col("embedding"))).cast("long"), lit(0L))).head()
     s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+  }
+
+  /** SRP-LSH candidate pairs over any (vec_id, e, nrm) table: 64
+    * md5-derived integer hyperplanes give every vector 64 sign bits →
+    * 8 bands of 8 bits; candidates come from an equality self-join on
+    * (band, bucket) — the same banding shape as dedup_minhash. Scale
+    * shape: only (vec_id, band, bucket) signatures shuffle (9 longs per
+    * vector, map-side partials collapse the 64 bit-rows before the
+    * wire). The 64-row plane table is the one deliberate broadcast.
+    * Plane components are integers in [-1000, 1000] derived from md5,
+    * and the plane dot rides the same ascending-index fold as every
+    * cosine here, so DuckDB replays buckets and candidates bit-for-bit. */
+  private def lshCandidates(s: SparkSession, v: DataFrame): DataFrame = {
+    // hyperplane j, component i = md5('rp|j|i') % 2001 - 1000
+    val planes = s.range(NPLANES).select(col("id").as("j"), expr(
+      "transform(sequence(0, 63), i -> CAST(" +
+      "CAST(conv(substring(md5(concat('rp|', CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+      " % 2001 - 1000 AS DOUBLE))").as("p"))
+    val buckets = v.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("j"),
+        when(dot(col("e"), col("p")) >= 0, 1L).otherwise(0L).as("bit0"))
+      .select(col("vec_id"), expr(s"j div $BANDBITS").as("band"),
+        expr(s"shiftleft(bit0, CAST(j % $BANDBITS AS INT))").as("bit"))
+      .groupBy("vec_id", "band")
+      .agg(sum("bit").as("bk"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+  }
+
+  /** Shared DuckDB replay for the SRP-LSH pipeline — both the broadcast
+    * re-rank (`dedup_embedding_lsh`) and the bucketed-store re-rank
+    * (`dedup_embedding_lsh_indexed`) hash-compare against this. */
+  private def lshOracle: String = {
+    val md5k = (e: String) =>
+      "CAST(list_sum(list_transform(range(1,16), k -> " +
+      s"strpos('123456789abcdef', substr(md5($e), k, 1))::BIGINT << (4*(15-k)))) AS BIGINT)"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        planes AS (SELECT j, list_transform(range(0,64), i ->
+          CAST(${md5k("'rp|'||j||'|'||i")} % 2001 - 1000 AS DOUBLE)) AS p
+          FROM range(0,$NPLANES) t(j)),
+        bits AS (SELECT v.vec_id, p.j,
+          CASE WHEN list_dot_product(v.e, p.p) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM v, planes p),
+        buckets AS (SELECT vec_id, j//$BANDBITS AS band,
+          CAST(sum(bit << (j%$BANDBITS)) AS BIGINT) AS bk
+          FROM bits GROUP BY vec_id, j//$BANDBITS),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+          FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+        pairs AS (SELECT id1, id2,
+          list_dot_product(a.e, b.e) /
+            nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0) AS cos
+          FROM cand JOIN v a ON a.vec_id = id1 JOIN v b ON b.vec_id = id2)
+        SELECT id1, id2, round(cos, 6) AS cos_sim
+        FROM pairs WHERE cos >= 0.4 ORDER BY id1, id2"""
+  }
+
+  /** The PERSISTED vector store: (vec_id, e, nrm) bucketed by vec_id —
+    * the production lookup table every pair-id re-rank probes instead
+    * of broadcasting the corpus (round-11 verdict item 1b). Written
+    * once per corpus, served thereafter; freshness + cross-session
+    * re-registration via [[graft.sources.ServedIndex]]. */
+  def vecStore(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(
+      s, s"vec_store$sfx", s"vec_store$sfx", "vecstore1|" + embFingerprint(s, d),
+      "vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE", "vec_id", 8) {
+      vecs(s, d)
+    }
   }
 
   /** The PERSISTED IVF index (round-8 verdict item 2): centroids and the

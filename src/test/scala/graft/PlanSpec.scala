@@ -98,6 +98,31 @@ class PlanSpec extends SparkSuite {
     assert(ids.forall(id => (id - 2) % 10 == 0))
   }
 
+  test("dedup_embedding_lsh_indexed: re-rank probes the BUCKETED vector " +
+      "store — no corpus broadcast, no raw-store shuffle") {
+    // The broadcast twin ships the whole vector table to every executor
+    // (impossible at 10⁹ vectors); the indexed form must instead read
+    // vec_store as a bucketed scan so the re-rank equality joins
+    // co-locate on vec_id with NO Exchange above the raw store scan.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val full = planString(q("dedup_embedding_lsh_indexed"))
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i  => full.substring(0, i)
+      }
+      // bucketed read actually engaged on the store scans
+      assert(p.contains("SelectedBucketsCount"),
+        s"vec_store not read as a bucketed table:\n$p")
+      // the only BroadcastExchange allowed is the 64-row plane table of
+      // the candidate generator (its subtree scans no parquet store)
+      val bxSubtrees = p.split("BroadcastExchange").drop(1)
+      assert(bxSubtrees.length <= 1,
+        s"unexpected broadcasts (vector table must NOT be broadcast):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("q3_topk compiles to TakeOrderedAndProject (no full global sort)") {
     val p = planString(q("q3_topk"))
     assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
