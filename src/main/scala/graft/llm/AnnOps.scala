@@ -486,11 +486,37 @@ object AnnOps {
 
   /** IVF: coarse-quantize all vectors to K = ⌈√n⌉ Lloyd-refined
     * buckets, probe nprobe buckets per query, exact re-rank inside the
-    * probed buckets only. */
+    * probed buckets only. Centroids come from the session cache
+    * ([[trainedCents]]) — the ASSIGNMENT stays a per-query O(nK) scan
+    * (this is the inline correctness twin; the production path is
+    * ann_ivf_indexed), but nothing requires re-running Lloyd training
+    * on a warm session (round-11 verdict item 1c: sf10 spent 152.9 s
+    * re-training per invocation). */
   def ivfTopk(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
-    val cs = lloydArray(v, kFor(v.count()))
+    val cs = trainedCents(s, d, v)
     ivfServe(ivfAssign(v, centDf(s, cs)), centDf(s, cs), nprobeFor(cs.length))
+  }
+
+  /** Session cache for the Lloyd-trained quantizer, keyed by corpus dir
+    * + [[AlgoTag]] + the cheap corpus fingerprint — the exact key the
+    * persisted IVF index versions by, so cache and index can never
+    * disagree about which quantizer is current. Training is
+    * deterministic (DECIMAL-exact sums, first-K init), so a cached
+    * result is bit-identical to retraining and every oracle replay
+    * still matches. The fingerprint re-evaluates on every call (one
+    * column-pruned agg scan) — a corpus regen therefore misses the
+    * cache naturally; entries are bounded O(K·dim) doubles and the map
+    * is cleared past a small bound so a many-corpus session can't
+    * accumulate. */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double])]]()
+
+  private def trainedCents(s: SparkSession, d: String,
+      v: DataFrame): Array[(Long, Array[Double])] = {
+    val key = s"$d|$AlgoTag${embFingerprint(s, d)}"
+    if (centCache.size > 8) centCache.clear()
+    centCache.computeIfAbsent(key, _ => lloydArray(v, kFor(v.count())))
   }
 
   /** Lloyd-refined spherical centroids (the IVF/SemDeDup coarse
@@ -703,8 +729,10 @@ object AnnOps {
     val cents = graft.sources.ServedIndex.cached(
       s, s"ivf_cents$sfx", s"ivf_cents$sfx", AlgoTag + embFingerprint(s, d),
       "cid BIGINT, ce ARRAY<DOUBLE>, cnrm DOUBLE", "cid", 0) {
-      val v = vecs(s, d)
-      centDf(s, lloydArray(v, kFor(v.count())))
+      // shares the session-cached quantizer with ann_ivf_topk — a
+      // rebuild right after the inline twin trained (or vice versa)
+      // runs Lloyd once, not twice
+      centDf(s, trainedCents(s, d, vecs(s, d)))
     }
     val assigned = graft.sources.ServedIndex.cached(
       s, s"ivf_assign$sfx", s"ivf_assign$sfx", AlgoTag + embFingerprint(s, d),
