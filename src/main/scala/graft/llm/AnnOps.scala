@@ -29,6 +29,7 @@ object AnnOps {
 
   private val MinK = 16 // IVF centroid floor (K = max(MinK, ⌈√n⌉))
   private val LloydIters = 2 // centroid refinement rounds (oracle-unrolled)
+  private val TrainCap = 16384L // Lloyd trains on ≤ ~this many sampled vectors
   private val CAND = 50 // ann_rerank prefilter pool per query
   private val TOPK = 5
   private val NQUERY = 10
@@ -82,19 +83,22 @@ object AnnOps {
     * kmeans_clusters oracle it assumes well-formed fixed-dim vectors;
     * the engine's hostile-input branches never fire on such input. */
   private def ivfCtes: String = {
-    def assign(out: String, cin: String) =
+    def assign(out: String, cin: String, src: String) =
       s"""$out AS (
           SELECT a.vec_id AS vec_id,
             (min(struct_pack(nc := -coalesce(
                list_dot_product(c.ce, a.e)/nullif(c.cnrm*a.nrm, 0),
                CAST('-infinity' AS DOUBLE)), cid := c.cid))).cid AS cid
-          FROM vn a, $cin c GROUP BY a.vec_id)"""
+          FROM $src a, $cin c GROUP BY a.vec_id)"""
+    // Training (init, assignment rounds, mean updates) runs over the
+    // deterministic `tr` stride sample; K and the FINAL assignment use
+    // the full corpus — mirroring trainedCents exactly.
     val iters = (1 to LloydIters).map { i =>
-      s"""${assign(s"a$i", s"c${i - 1}")},
+      s"""${assign(s"a$i", s"c${i - 1}", "tr")},
          s$i AS (
            SELECT t.cid, generate_subscripts(v.e, 1) - 1 AS pos,
              TRY_CAST(unnest(v.e) AS DECIMAL(28,12)) AS q
-           FROM a$i t JOIN vn v USING (vec_id)),
+           FROM a$i t JOIN tr v USING (vec_id)),
          u$i AS (
            SELECT cid, list(m ORDER BY pos) AS ce FROM (
              SELECT cid, pos, CAST(sum(q) AS DOUBLE) / count(q) AS m
@@ -106,12 +110,14 @@ object AnnOps {
     }.mkString(",\n")
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       mm AS (SELECT greatest(1, count(*) // $TrainCap) AS m FROM vn),
+       tr AS (SELECT * FROM vn WHERE vec_id % (SELECT m FROM mm) = 0),
        kk AS (SELECT greatest($MinK, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k FROM vn),
-       c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM vn
+       c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM tr
               QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
        $iters,
        cents AS (SELECT cid, ce, cnrm FROM c$LloydIters),
-       ${assign("fin", "cents")},
+       ${assign("fin", "cents", "vn")},
        assigned AS (SELECT f.vec_id, v.e, v.nrm, f.cid
                     FROM fin f JOIN vn v USING (vec_id))"""
   }
@@ -516,8 +522,28 @@ object AnnOps {
       v: DataFrame): Array[(Long, Array[Double])] = {
     val key = s"$d|$AlgoTag${embFingerprint(s, d)}"
     if (centCache.size > 8) centCache.clear()
-    centCache.computeIfAbsent(key, _ => lloydArray(v, kFor(v.count())))
+    centCache.computeIfAbsent(key, _ => {
+      // Train on a size-capped deterministic vec_id stride (round-11
+      // verdict item 3): at 100 TB the full-corpus O(nK) training pass
+      // per Lloyd round dominates the index build, and a quantizer only
+      // needs a representative sample — K (and the final assignment)
+      // still come from the FULL corpus. m is derived from n alone and
+      // the oracle replays the same `vec_id % m = 0` stride, so trained
+      // centroids stay engine-identical. Dormant (m = 1) below
+      // TrainCap vectors — the stride-plan/sample_stride machinery.
+      val n = v.count()
+      val m = trainStride(n)
+      val sample = if (m == 1L) v else v.filter(col("vec_id") % m === 0)
+      lloydArray(sample, kFor(n))
+    })
   }
+
+  /** Training-sample stride: keep every m-th vec_id so Lloyd sees
+    * ≈ [[TrainCap]] vectors. Floor division, floor 1 — mirrored by the
+    * oracle's `greatest(1, count(*) // cap)` exactly (LlmSpec pins the
+    * boundaries; engine/oracle parity with the stride FIRING was
+    * validated against DuckDB on a synthetic 40k-vector corpus). */
+  private[llm] def trainStride(n: Long): Long = math.max(1L, n / TrainCap)
 
   /** Lloyd-refined spherical centroids (the IVF/SemDeDup coarse
     * quantizer): init = first k vectors by id, then [[LloydIters]]
@@ -717,7 +743,7 @@ object AnnOps {
     * change (stub→Lloyd, K policy, iteration count) must rebuild even
     * though the corpus fingerprint is unchanged, or a pre-change index
     * on disk silently serves centroids the oracle no longer replays. */
-  private val AlgoTag = s"lloyd$LloydIters|sqrtK|"
+  private val AlgoTag = s"lloyd$LloydIters|sqrtK|stride$TrainCap|"
 
   def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sfx = graft.sources.ServedIndex.suffix(d)

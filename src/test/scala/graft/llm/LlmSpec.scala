@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   * for the synthetic corpus. */
 class LlmSpec extends SparkSuite {
 
+  test("lloyd training stride matches the oracle's greatest(1, n // cap) at the boundaries") {
+    // the oracle replays `vec_id % m = 0` with m = greatest(1, n//16384);
+    // a drift here (ceil vs floor, off-by-one at the cap) would show up
+    // only at >cap corpora — beyond every gate SF, so pin it here
+    assert(AnnOps.trainStride(0L) == 1L)
+    assert(AnnOps.trainStride(16383L) == 1L)
+    assert(AnnOps.trainStride(16384L) == 1L)
+    assert(AnnOps.trainStride(32767L) == 1L)
+    assert(AnnOps.trainStride(32768L) == 2L)
+    assert(AnnOps.trainStride(40000L) == 2L)
+    assert(AnnOps.trainStride(198227L) == 12L) // the sf10 corpus
+  }
+
   test("minhash-LSH finds every pair with exact Jaccard >= 0.8 (recall)") {
     val exact = Dedup.defs.find(_.name == "dedup_jaccard").get
       .fn(spark, sfDir).filter(col("jaccard") >= 0.8)
