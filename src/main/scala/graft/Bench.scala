@@ -30,23 +30,50 @@ object Bench {
         committed.get(name).exists(c => c > 0 && v > ratio * c) => name
     }.sorted
 
+  /** Byte-level regression defense (round-11 verdict item 5): a query
+    * whose SHUFFLE-READ bytes grow >`ratio`× the committed same-SF
+    * value is named in a "byte_suspect" list. Bytes are deterministic
+    * for a given binary + corpus — unlike time there is no co-tenant
+    * noise to retry away, so a non-empty list is always a real plan
+    * change (this would have caught dedup_substring's 68 MB gram-hash
+    * Exchange a round before the time signal did). The floor keeps
+    * small-shuffle queries (MBs move with partition counts / AQE
+    * coalescing) out; a query with NO committed shuffle that grows one
+    * past the floor flags too — a brand-new Exchange is exactly the
+    * regression class this exists for. Pure function, spec-driven. */
+  def byteSuspects(committed: Map[String, Double], measured: Map[String, Double],
+      ratio: Double = 2.0, floorMb: Double = 8.0): Seq[String] =
+    measured.toSeq.collect {
+      case (name, v) if v >= floorMb &&
+        committed.get(name).exists(c => v > ratio * c) => name
+    }.sorted
+
   /** Per-query committed mins from a bench_detail.json written by this
     * same object (tiny parser, zero deps; None when absent/unreadable or
     * recorded at a different SF — ratios across SFs are meaningless). */
   def committedMins(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
+    committedField(path, sf, "min")
+
+  /** Per-query committed shuffle-read MB (for [[byteSuspects]]); None
+    * when the detail predates stage tracing or is for another SF. */
+  def committedShuffleMb(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
+    committedField(path, sf, "sh_read_mb")
+
+  private def committedField(path: java.nio.file.Path, sf: String,
+      field: String): Option[Map[String, Double]] =
     try {
       val txt = Files.readString(path)
       val sfRe = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
       if (!sfRe.findFirstMatchIn(txt).exists(_.group(1) == sf)) None
       else {
         // Two-stage match (ADVICE r9): capture each query's whole object
-        // body, then find "min" anywhere WITHIN it — requiring "min" to
+        // body, then find the field anywhere WITHIN it — requiring it to
         // be the first key would silently yield None (and disable the
         // noise defense) for a serializer emitting {"med":...,"min":...}.
         val objRe = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{([^{}]*)\\}".r
-        val minRe = "\"min\"\\s*:\\s*([0-9.]+)".r
+        val fieldRe = ("\"" + field + "\"\\s*:\\s*([0-9.]+)").r
         val m = objRe.findAllMatchIn(txt).flatMap(x =>
-          minRe.findFirstMatchIn(x.group(2)).map(mm => x.group(1) -> mm.group(1).toDouble)).toMap
+          fieldRe.findFirstMatchIn(x.group(2)).map(mm => x.group(1) -> mm.group(1).toDouble)).toMap
         if (m.isEmpty) None else Some(m)
       }
     } catch { case _: Throwable => None }
@@ -212,6 +239,14 @@ object Bench {
     def traceJson(g: String): String = trace.byGroup.get(g).map { a =>
       s""","stages":${a.stages},"tasks":${a.tasks},"sh_read_mb":${mb(a.shuffleReadB)},"sh_write_mb":${mb(a.shuffleWriteB)},"input_mb":${mb(a.inputB)},"spill_mb":${mb(a.spillB)}"""
     }.getOrElse("")
+    // Byte-level regression check: run-1 shuffle-read bytes per query
+    // vs the committed detail. Bytes are noise-free, so no retries —
+    // a non-empty list IS a plan regression (or an intended plan
+    // change whose next full census re-baselines it).
+    val measuredMb = ok.flatMap { case (n, _, _, _) =>
+      trace.byGroup.get(n).map(a => n -> a.shuffleReadB / 1048576.0) }.toMap
+    val byteSus = committedShuffleMb(Paths.get("bench_detail.json"), sfName)
+      .map(c => byteSuspects(c, measuredMb)).getOrElse(Seq.empty)
     val indexTrace = indexBuilds.collect {
       case (k, _, None) if trace.byGroup.contains(s"index:$k") =>
         s"""${jstr(k)}:{${traceJson(s"index:$k").drop(1)}}"""
@@ -251,8 +286,10 @@ object Bench {
     // says "compare bench_detail.json to the committed one before
     // believing these numbers".
     val suspectField =
-      if (stillSuspect.isEmpty) ""
-      else s""","suspect":${stillSuspect.map(jstr).mkString("[", ",", "]")}"""
+      (if (stillSuspect.isEmpty) ""
+       else s""","suspect":${stillSuspect.map(jstr).mkString("[", ",", "]")}""") +
+      (if (byteSus.isEmpty) ""
+       else s""","byte_suspect":${byteSus.map(jstr).mkString("[", ",", "]")}""")
     // The grand total appears TWICE: "value" at the very front (the
     // primary field) and "total_s" as the FINAL key — stdout tail
     // capture truncates the front of an over-long line, so whichever

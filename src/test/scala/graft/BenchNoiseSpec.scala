@@ -24,6 +24,33 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(Bench.suspects(Map.empty, Map("brand_new" -> 60.0)).isEmpty)
   }
 
+  test("shuffle-byte regression flags a >2x growth and a brand-new big Exchange") {
+    val committed = Map("dedup_substring" -> 3.0, "pagerank" -> 40.0, "scan_prefix" -> 0.0)
+    val measured = Map(
+      "dedup_substring" -> 68.5, // the r10 regression this exists to catch
+      "pagerank" -> 55.0,        // 1.4x — within plan-identical variation
+      "scan_prefix" -> 9.0)      // was shuffle-free, now shuffles past the floor
+    assert(Bench.byteSuspects(committed, measured) ==
+      Seq("dedup_substring", "scan_prefix"))
+  }
+
+  test("shuffle-byte floor keeps small shuffles out (partition-count jitter)") {
+    // 0.1 MB -> 6 MB is 60x but under the 8 MB floor: AQE coalescing and
+    // partition counts legitimately move MB-scale shuffles
+    assert(Bench.byteSuspects(Map("tiny" -> 0.1), Map("tiny" -> 6.0)).isEmpty)
+    // and queries new this round (no committed entry) never flag
+    assert(Bench.byteSuspects(Map.empty, Map("brand_new" -> 500.0)).isEmpty)
+  }
+
+  test("committedShuffleMb reads sh_read_mb from the same detail objects") {
+    val dir = java.nio.file.Files.createTempDirectory("benchnoise3")
+    val p = dir.resolve("bench_detail.json")
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"pagerank":{"min":6.1,"med":6.5,"sh_read_mb":41.20},"take_one":{"min":0.1,"med":0.2}},"runs":3,"sf":"sf0.1"}""")
+    assert(Bench.committedShuffleMb(p, "sf0.1").contains(Map("pagerank" -> 41.20)))
+    assert(Bench.committedShuffleMb(p, "sf0.01").isEmpty)
+  }
+
   test("committedMins parses this repo's bench_detail format and rejects other SFs") {
     val dir = java.nio.file.Files.createTempDirectory("benchnoise")
     val p = dir.resolve("bench_detail.json")
