@@ -48,7 +48,7 @@ object Dedup {
     * hashed to the portable 60-bit md5 prefix: (doc_id, idx, h). The
     * shared front half of dedup_paragraph / dedup_paragraph_delta and
     * the [[chunkIndex]] build. */
-  private[llm] def paragraphChunks(docs: DataFrame): DataFrame =
+  private[graft] def paragraphChunks(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextNorm.toks.as("w"))
       .filter(size(col("w")) >= 1)

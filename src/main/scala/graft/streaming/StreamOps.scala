@@ -304,6 +304,35 @@ object StreamOps {
         expr("try_cast(round(cos * 1000000, 0) AS BIGINT)").as("cos_micro"))
   }
 
+  /** Stream-static paragraph-chunk probe — the STREAMING sibling of
+    * the dedup_paragraph_delta gate, completing the probe family
+    * (exact/minhash → [[indexProbe]], embedding → [[vectorProbe]],
+    * paragraph → this): arriving documents are chunked and hashed
+    * map-only (graft.llm.Dedup.paragraphChunks — the SAME expression
+    * the batch gate oracles), then left-join the PERSISTED h-bucketed
+    * chunk index (graft.llm.Dedup.chunkIndex) reduced to DISTINCT
+    * hashes. Stateless pure append: no watermark, no streaming state —
+    * every micro-batch probes bucket-co-located postings only. Emits
+    * one row per delta chunk with its corpus-membership flag; the
+    * per-doc keep roll-up ([[chunkKeepDecisions]]) belongs in the sink
+    * where batch semantics apply. */
+  def chunkProbe(deltaDocs: DataFrame, corpusChunks: DataFrame): DataFrame =
+    graft.llm.Dedup.paragraphChunks(deltaDocs)
+      .join(corpusChunks.select("h").distinct().withColumn("in_corpus", lit(1L)),
+        Seq("h"), "left")
+      .select(col("doc_id").as("delta_id"), col("idx"), col("h"),
+        coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
+
+  /** Per-doc keep decision over [[chunkProbe]] rows (sink-side batch
+    * roll-up): the dedup_paragraph_delta majority rule — keep iff at
+    * most half the chunks already exist in the corpus. */
+  def chunkKeepDecisions(probe: DataFrame): DataFrame =
+    probe.groupBy("delta_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("in_corpus").as("n_dup"))
+      .select(col("delta_id"), col("n_chunks"), col("n_dup"),
+        when(col("n_dup") * 2 <= col("n_chunks"), 1L).otherwise(0L)
+          .as("keep_doc"))
+
   /** Per-doc keep decision over [[streamingMinhashDedup]] verdicts: a
     * doc is a near-dup iff ANY of its bands is owned by an earlier doc;
     * dup_of = the smallest such owner (deterministic attribution). */
