@@ -73,6 +73,34 @@ object Checkpoint {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Snapshot inspector — cmd/kmrckptdump.c parity (the reference ships
+    * a decoder because its journals are a private binary format; these
+    * snapshots are plain parquet, so this is the equivalent operational
+    * listing): one row per staged snapshot under `ckptDir` with its
+    * commit state, data-file census, and row count. A TORN snapshot
+    * (no `_SUCCESS`) reports its on-disk file count/bytes but a null
+    * row count — its data files are untrusted by the resume contract,
+    * so the inspector must not try to decode them either. Listing is a
+    * driver-side O(#snapshots) metadata walk; only the committed row
+    * counts run (column-pruned, count-star) Spark jobs. */
+  def describe(spark: SparkSession, ckptDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(ckptDir)
+    val f = fs(spark, root)
+    val rows: Seq[(String, Boolean, Long, Long, Option[Long])] =
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq.filter(_.isDirectory).map { st =>
+        val name = st.getPath.getName
+        val files = f.listStatus(st.getPath).toSeq.filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+        val ok = committed(spark, st.getPath.toString)
+        val nRows =
+          if (ok) Some(spark.read.parquet(st.getPath.toString).count()) else None
+        (name, ok, files.size.toLong, files.map(_.getLen).sum, nRows)
+      }.sortBy(_._1)
+    rows.toDF("stage", "committed", "n_files", "bytes", "n_rows")
+  }
+
   // ---- Writer-epoch manifest + snapshot GC (r6 verdict item 7).
 
   private val ManifestName = "_graft_writer"

@@ -148,6 +148,35 @@ class CheckpointSpec extends SparkSuite {
       "rerun with --ckpt must restore pipe stages, not re-read input")
   }
 
+  test("describe lists a complete + torn snapshot pair (kmrckptdump parity)") {
+    import spark.implicits._
+    val dir = freshDir("describe")
+    // committed stage with a known row count
+    Checkpoint.stage(spark, dir, "good") {
+      KVS.generate(spark, (0L until 42L).map(i => (s"k$i", i)))
+    }
+    // torn stage: data present, no _SUCCESS — the resume contract's
+    // "recompute, don't trust" class; describe must report it without
+    // attempting to decode the untrusted files
+    val p = new org.apache.hadoop.fs.Path(s"$dir/torn/part-garbage.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p); out.write(Array[Byte](9, 9, 9)); out.close()
+
+    val d = Checkpoint.describe(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d.keySet == Set("good", "torn"))
+    val good = d("good")
+    assert(good.getBoolean(1), "committed stage must report committed=true")
+    assert(good.getLong(2) >= 1 && good.getLong(3) > 0)
+    assert(good.getLong(4) == 42L, s"row count must decode: $good")
+    val torn = d("torn")
+    assert(!torn.getBoolean(1), "torn stage must report committed=false")
+    assert(torn.getLong(2) == 1 && torn.getLong(3) == 3)
+    assert(torn.isNullAt(4), "torn snapshot must NOT report a row count")
+    // empty/missing dir degrades to an empty listing, not an error
+    assert(Checkpoint.describe(spark, freshDir("absent") + "/nope").count() == 0)
+  }
+
   test("ckpt_resume gate query equals the straight-through computation") {
     val out = graft.SparkEntry.queries("ckpt_resume")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
