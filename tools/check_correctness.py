@@ -92,6 +92,13 @@ def compare_one(sf_dir, out_dir, name):
             print(f"ORACLE_COST {name}: {msg.splitlines()[0][:200]}")
             return 3
         print(f"FAIL {name}: oracle error: {e}"); return 1
+    return compare_frames(name, spark_df, oracle_df)
+
+
+def compare_frames(name, spark_df, oracle_df):
+    """Value-compare two dataframes the driver's way (columns sorted by
+    name, exact values). Shared with tools/oracle_sharded.py so the
+    sharded sf10 replays judge with the identical rule."""
     s = spark_df[sorted(spark_df.columns)]
     o = oracle_df[sorted(oracle_df.columns)]
     if list(s.columns) != list(o.columns):

@@ -1,0 +1,251 @@
+#!/usr/bin/env python3
+"""Sharded DuckDB replays for the four gates whose MONOLITHIC oracles
+exhaust DuckDB at sf10 (BASELINE.md round-11 ORACLE census):
+
+  dedup_indexed / dedup_delta          — the 64-permutation minhash
+      chain materializes grams x 64 rows (~6.4G at sf10) inside one
+      aggregation and OOMs. Sharded: the permutation minima are
+      computed in 16 independent 4-permutation passes (each streams
+      grams x 4), spilled to parquet, and the signature/band/candidate
+      tail runs over the 32M-row (doc, j, min) table instead.
+
+  dedup_jaccard_indexed / dedup_containment_indexed — the shingle
+      posting self-join spills >46 GiB of temp in one query. Sharded:
+      grams partition by hash(gram) % 16; per-shard pair intersections
+      (a gram lives in exactly one shard, so partial `inter` counts
+      SUM to the exact global intersection) spill to parquet; the
+      final pass aggregates pair partials and applies the identical
+      size join + threshold. Both gates share one partial set.
+
+Every sharded query is assembled from the SAME text fragments as the
+committed monolithic oracles (normalization, md5->60-bit fold, the
+permutation family, band slicing, thresholds), and the result is
+value-compared with check_correctness.compare_frames — the driver's
+rule. Equivalence of sharded vs monolithic is additionally asserted
+directly at small SFs via --selfcheck (both forms computed, frames
+compared), so the sharded form cannot silently drift.
+
+Usage:
+  python3 tools/oracle_sharded.py <sfDir> <verifyOutDir> --one <query>
+  python3 tools/oracle_sharded.py <sfDir> <verifyOutDir> --selfcheck <query>
+
+<verifyOutDir> must hold graft.Verify's parquet for the query
+(--one mode). Exit 0 on PASS, 1 on FAIL.
+"""
+import glob
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_correctness import compare_frames  # noqa: E402
+
+MEM_LIMIT = os.environ.get("GRAFT_ORACLE_MEM", "4GB")
+TMP_QUOTA = os.environ.get("GRAFT_ORACLE_TMP", "8GB")
+SHARDS = int(os.environ.get("GRAFT_ORACLE_SHARDS", "16"))
+
+# ---- the committed oracle fragments (Dedup.scala mirrors) ----------
+NORM = "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+
+
+def md5long(e):
+    return ("CAST(list_sum(list_transform(range(1, 16), i -> "
+            f"(strpos('123456789abcdef', substr(md5({e}), i, 1))::BIGINT"
+            " << (4*(15-i))))) AS BIGINT)")
+
+
+SHINGLES = f"""toks AS (SELECT doc_id, {NORM} AS w FROM documents),
+  grams AS (SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(w)-1),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3)"""
+
+GH = f"""gh AS (SELECT doc_id,
+    {md5long('gram')} % 2147483647 AS h1,
+    {md5long("gram || '!'")} % 2147483646 + 1 AS h2 FROM grams)"""
+
+JACCARD_DF_CAP = 1000
+
+KEPT = f"""dfk AS (SELECT gram FROM grams GROUP BY gram
+    HAVING count(*) <= {JACCARD_DF_CAP}),
+  kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram))"""
+
+# signature/band/candidate tail over an externally-supplied `perm`
+# relation — textually the monolithic chain with perm's source swapped
+MINHASH_TAIL = """sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig
+    FROM perm GROUP BY 1),
+  bands AS (SELECT doc_id, sig, bd, sig[bd*4+1 : bd*4+4] AS bk
+    FROM sigs, (SELECT unnest(range(0, 16)) AS bd) bs),
+  cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+    FROM bands a JOIN bands b
+    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
+
+MINHASH_FINAL = {
+    "dedup_indexed":
+        " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32"
+        " ORDER BY id1, id2",
+    "dedup_delta": """, srcs AS (SELECT doc_id, source FROM documents),
+  split AS (
+    SELECT CASE WHEN s1.source = 'src0' THEN id2 ELSE id1 END AS delta_id,
+           CASE WHEN s1.source = 'src0' THEN id1 ELSE id2 END AS corpus_id,
+           n_match
+    FROM cand
+    JOIN srcs s1 ON s1.doc_id = id1 JOIN srcs s2 ON s2.doc_id = id2
+    WHERE (s1.source = 'src0') <> (s2.source = 'src0') AND n_match >= 32)
+  SELECT delta_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_near,
+    min(corpus_id) AS nearest_id
+  FROM split GROUP BY delta_id ORDER BY delta_id""",
+}
+
+# final passes over an externally-supplied `pairs(id1, id2, inter)`
+POSTING_FINAL = {
+    "dedup_jaccard_indexed": """, sizes AS (
+    SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+  SELECT id1, id2,
+    round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) AS jaccard
+  FROM pairs
+  JOIN sizes s1 ON s1.doc_id = pairs.id1
+  JOIN sizes s2 ON s2.doc_id = pairs.id2
+  WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.6
+  ORDER BY id1, id2""",
+    "dedup_containment_indexed": """, sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1)
+  SELECT id1, id2, s1.n AS n1, s2.n AS n2,
+    (1000 * inter) // least(s1.n, s2.n) AS c_milli
+  FROM pairs
+  JOIN sizes s1 ON s1.doc_id = pairs.id1
+  JOIN sizes s2 ON s2.doc_id = pairs.id2
+  WHERE (1000 * inter) // least(s1.n, s2.n) >= 800
+  ORDER BY id1, id2""",
+}
+
+MINHASH_QUERIES = set(MINHASH_FINAL)
+POSTING_QUERIES = set(POSTING_FINAL)
+
+
+def connect(sf_dir, tmp):
+    import duckdb
+    con = duckdb.connect()
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{MEM_LIMIT}'")
+    con.execute("SET threads=4")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(f"SET max_temp_directory_size='{TMP_QUOTA}'")
+    con.execute("CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    return con
+
+
+def shard_minhash(con, scratch):
+    """16 independent 4-permutation passes: each computes the per-(doc,
+    permutation) minimum over all grams for its j-range only — grams x 4
+    intermediate rows instead of grams x 64."""
+    per = 64 // SHARDS
+    for c in range(SHARDS):
+        lo, hi = c * per, (c + 1) * per
+        con.execute(f"""COPY (
+          WITH {SHINGLES}, {GH},
+          perm AS (SELECT doc_id, j, min((h1 + j*h2) % 2147483647) AS m
+            FROM gh, (SELECT unnest(range({lo}, {hi})) AS j) js GROUP BY 1, 2)
+          SELECT * FROM perm
+        ) TO '{scratch}/perm_{c:02d}.parquet' (FORMAT PARQUET)""")
+        print(f"  perm shard {c + 1}/{SHARDS} (j in [{lo},{hi}))",
+              flush=True)
+
+
+def minhash_result(con, scratch, name):
+    sql = (f"WITH perm AS (SELECT * FROM '{scratch}/perm_*.parquet'),\n"
+           f"  {MINHASH_TAIL}\n{MINHASH_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
+def shard_postings(con, scratch):
+    """Partition the df-capped posting list by hash(gram) % SHARDS: a
+    gram lives in exactly one shard, so per-shard pair intersection
+    counts sum to the exact global `inter`."""
+    for k in range(SHARDS):
+        con.execute(f"""COPY (
+          WITH {SHINGLES}, {KEPT},
+          sh AS (SELECT doc_id, gram FROM kept
+                 WHERE hash(gram) % {SHARDS} = {k})
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ) TO '{scratch}/jp_{k:02d}.parquet' (FORMAT PARQUET)""")
+        print(f"  posting shard {k + 1}/{SHARDS}", flush=True)
+
+
+def posting_result(con, scratch, name):
+    sql = (f"WITH {SHINGLES},\n"
+           f"  pairs AS (SELECT id1, id2, CAST(sum(inter) AS BIGINT) AS inter"
+           f" FROM '{scratch}/jp_*.parquet' GROUP BY 1, 2)\n"
+           f"{POSTING_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
+def sharded_oracle(sf_dir, scratch_root, name):
+    scratch = os.path.join(scratch_root, f".shard_{name}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    con = connect(sf_dir, os.path.join(scratch, "duck_tmp"))
+    try:
+        if name in MINHASH_QUERIES:
+            shard_minhash(con, scratch)
+            return minhash_result(con, scratch, name)
+        elif name in POSTING_QUERIES:
+            shard_postings(con, scratch)
+            return posting_result(con, scratch, name)
+        raise SystemExit(f"unknown sharded query: {name}")
+    finally:
+        con.close()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def engine_frame(con_sf_dir, out_dir, name):
+    import duckdb
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        return None
+    return duckdb.sql(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+
+
+def selfcheck(sf_dir, scratch_root, name):
+    """Sharded form vs the committed MONOLITHIC oracle at a small SF —
+    proves the decomposition is exact before it is trusted at sf10."""
+    import json
+    sharded = sharded_oracle(sf_dir, scratch_root, name)
+    oracle_sql = json.load(open(f"{scratch_root}/oracle_sql.json"))[name]
+    con = connect(sf_dir, os.path.join(scratch_root, ".selfcheck_tmp"))
+    try:
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        mono = con.execute(oracle_sql).fetchdf()
+    finally:
+        con.close()
+    rc = compare_frames(f"selfcheck:{name}", mono, sharded)
+    return rc
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    mode = sys.argv[3]
+    name = sys.argv[4]
+    if mode == "--selfcheck":
+        sys.exit(selfcheck(sf_dir, out_dir, name))
+    assert mode == "--one", mode
+    spark_df = engine_frame(sf_dir, out_dir, name)
+    if spark_df is None:
+        sys.exit(1)
+    oracle_df = sharded_oracle(sf_dir, out_dir, name)
+    sys.exit(compare_frames(name, spark_df, oracle_df))
+
+
+if __name__ == "__main__":
+    main()
