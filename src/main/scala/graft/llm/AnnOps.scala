@@ -94,15 +94,32 @@ object AnnOps {
     // deterministic `tr` stride sample; K and the FINAL assignment use
     // the full corpus — mirroring trainedCents exactly.
     val iters = (1 to LloydIters).map { i =>
+      // The mean update pads MISSING positions exactly like lloydArray
+      // (ADVICE r11): a component null for every member of a cell (a
+      // try_cast'd NaN) keeps the previous centroid coordinate, and the
+      // centroid dim is max(prev dim, highest observed pos + 1) with
+      // past-prev positions zero-filled — a bare list(m ORDER BY pos)
+      // would silently emit a SHORTER, position-shifted centroid and
+      // surface as a confusing hash mismatch instead. On well-formed
+      // vectors (every gate corpus) g/u reduce to the plain per-
+      // position means.
       s"""${assign(s"a$i", s"c${i - 1}", "tr")},
          s$i AS (
            SELECT t.cid, generate_subscripts(v.e, 1) - 1 AS pos,
              TRY_CAST(unnest(v.e) AS DECIMAL(28,12)) AS q
            FROM a$i t JOIN tr v USING (vec_id)),
+         m$i AS (
+           SELECT cid, pos, CAST(sum(q) AS DOUBLE) / count(q) AS m
+           FROM s$i GROUP BY cid, pos HAVING count(q) > 0),
+         g$i AS (
+           SELECT c.cid, c.ce AS pce,
+             unnest(range(0, greatest(len(c.ce), d.mx + 1))) AS p
+           FROM c${i - 1} c
+           JOIN (SELECT cid, max(pos) AS mx FROM m$i GROUP BY cid) d USING (cid)),
          u$i AS (
-           SELECT cid, list(m ORDER BY pos) AS ce FROM (
-             SELECT cid, pos, CAST(sum(q) AS DOUBLE) / count(q) AS m
-             FROM s$i GROUP BY cid, pos HAVING count(q) > 0) GROUP BY cid),
+           SELECT g.cid, list(coalesce(m.m, g.pce[g.p + 1], 0.0) ORDER BY g.p) AS ce
+           FROM g$i g LEFT JOIN m$i m ON m.cid = g.cid AND m.pos = g.p
+           GROUP BY g.cid),
          c$i AS (
            SELECT c.cid, coalesce(u.ce, c.ce) AS ce,
              sqrt(list_dot_product(coalesce(u.ce, c.ce), coalesce(u.ce, c.ce))) AS cnrm
