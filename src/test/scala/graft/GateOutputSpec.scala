@@ -31,6 +31,8 @@ class GateOutputSpec extends SparkSuite {
     "corr_hourly" -> Set("r"),
     "dedup_embedding" -> Set("cos_sim"),
     "dedup_embedding_lsh" -> Set("cos_sim"),
+    // bucketed-store twin: identical output shape, shared oracle (r12)
+    "dedup_embedding_lsh_indexed" -> Set("cos_sim"),
     "dedup_jaccard" -> Set("jaccard"),
     // index-served twin: identical output shape, same three-SF hash proof
     "dedup_jaccard_indexed" -> Set("jaccard"),

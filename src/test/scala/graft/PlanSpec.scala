@@ -318,9 +318,12 @@ class PlanSpec extends SparkSuite {
     // inline sibling.
     // q11_value joined the one-row-scalar club in round 9: its HAVING
     // threshold broadcasts the single-row regional-total aggregate.
+    // dedup_embedding_lsh_indexed shares the lsh candidate generator's
+    // 64-row hyperplane broadcast (r12) — same O(1)-in-the-corpus class.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_indexed",
       "ann_rerank",
-      "mix_weights", "dedup_embedding_lsh", "q22_global", "bm25_topk",
+      "mix_weights", "dedup_embedding_lsh", "dedup_embedding_lsh_indexed",
+      "q22_global", "bm25_topk",
       "collocations", "bloom_join", "approx_topk", "q11_value", "q20_excess")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
