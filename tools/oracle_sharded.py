@@ -70,17 +70,17 @@ KEPT = f"""dfk AS (SELECT gram FROM grams GROUP BY gram
     HAVING count(*) <= {JACCARD_DF_CAP}),
   kept AS (SELECT g.doc_id, g.gram FROM grams g JOIN dfk USING (gram))"""
 
-# signature/band/candidate tail over an externally-supplied `perm`
-# relation — textually the monolithic chain with perm's source swapped
-MINHASH_TAIL = """sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig
-    FROM perm GROUP BY 1),
-  bands AS (SELECT doc_id, sig, bd, sig[bd*4+1 : bd*4+4] AS bk
-    FROM sigs, (SELECT unnest(range(0, 16)) AS bd) bs),
-  cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+# candidate tail over externally-supplied sigs + per-band pair shards.
+# Equivalent to the monolithic `cand`: n_match is a FUNCTION of the
+# pair, so DISTINCT over (id1, id2) from the per-band joins followed by
+# one signature re-join computes the identical (id1, id2, n_match) set
+# the monolithic DISTINCT over all 16 bands produces.
+MINHASH_TAIL = """cand0 AS (SELECT DISTINCT id1, id2 FROM candparts),
+  cand AS (SELECT c.id1, c.id2,
     CAST(list_sum(list_transform(range(1, 65),
       i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
-    FROM bands a JOIN bands b
-    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
+    FROM cand0 c JOIN sigs a ON a.doc_id = c.id1
+    JOIN sigs b ON b.doc_id = c.id2)"""
 
 MINHASH_FINAL = {
     "dedup_indexed":
@@ -140,9 +140,14 @@ def connect(sf_dir, tmp):
 
 
 def shard_minhash(con, scratch):
-    """16 independent 4-permutation passes: each computes the per-(doc,
-    permutation) minimum over all grams for its j-range only — grams x 4
-    intermediate rows instead of grams x 64."""
+    """Three sharded phases. (1) 16 independent 4-permutation passes:
+    each computes the per-(doc, permutation) minimum over all grams for
+    its j-range only — grams x 4 intermediate rows instead of grams x
+    64. (2) one signature assembly over the (doc, j, min) spill. (3) 16
+    per-band candidate joins over slim (doc_id, band-key) projections —
+    the monolithic 16-band self-join carried the full 64-long signature
+    through the join and its DISTINCT, which is what blew the temp
+    quota for the delta tail at sf10."""
     per = 64 // SHARDS
     for c in range(SHARDS):
         lo, hi = c * per, (c + 1) * per
@@ -154,10 +159,24 @@ def shard_minhash(con, scratch):
         ) TO '{scratch}/perm_{c:02d}.parquet' (FORMAT PARQUET)""")
         print(f"  perm shard {c + 1}/{SHARDS} (j in [{lo},{hi}))",
               flush=True)
+    con.execute(f"""COPY (
+      SELECT doc_id, list(m ORDER BY j) AS sig
+      FROM '{scratch}/perm_*.parquet' GROUP BY 1
+    ) TO '{scratch}/sigs.parquet' (FORMAT PARQUET)""")
+    print("  signatures assembled", flush=True)
+    for bd in range(16):
+        con.execute(f"""COPY (
+          WITH s AS (SELECT doc_id, sig[{bd}*4+1 : {bd}*4+4] AS bk
+                     FROM '{scratch}/sigs.parquet')
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM s a JOIN s b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ) TO '{scratch}/cand_{bd:02d}.parquet' (FORMAT PARQUET)""")
+        print(f"  band shard {bd + 1}/16", flush=True)
 
 
 def minhash_result(con, scratch, name):
-    sql = (f"WITH perm AS (SELECT * FROM '{scratch}/perm_*.parquet'),\n"
+    sql = (f"WITH sigs AS (SELECT * FROM '{scratch}/sigs.parquet'),\n"
+           f"  candparts AS (SELECT * FROM '{scratch}/cand_*.parquet'),\n"
            f"  {MINHASH_TAIL}\n{MINHASH_FINAL[name]}")
     return con.execute(sql).fetchdf()
 
