@@ -139,6 +139,20 @@ def connect(sf_dir, tmp):
     return con
 
 
+def copy_to(con, select_sql, dest):
+    """COPY ... TO with crash-atomicity and resume: skip if dest exists
+    (a prior run finished it), write to a .tmp sibling and rename so a
+    killed run can never leave a torn parquet behind."""
+    if os.path.exists(dest):
+        return False
+    tmp = dest + ".tmp"
+    if os.path.exists(tmp):
+        os.unlink(tmp)
+    con.execute(f"COPY ({select_sql}) TO '{tmp}' (FORMAT PARQUET)")
+    os.rename(tmp, dest)
+    return True
+
+
 def shard_minhash(con, scratch):
     """Three sharded phases. (1) 16 independent 4-permutation passes:
     each computes the per-(doc, permutation) minimum over all grams for
@@ -151,27 +165,26 @@ def shard_minhash(con, scratch):
     per = 64 // SHARDS
     for c in range(SHARDS):
         lo, hi = c * per, (c + 1) * per
-        con.execute(f"""COPY (
+        if copy_to(con, f"""
           WITH {SHINGLES}, {GH},
           perm AS (SELECT doc_id, j, min((h1 + j*h2) % 2147483647) AS m
             FROM gh, (SELECT unnest(range({lo}, {hi})) AS j) js GROUP BY 1, 2)
-          SELECT * FROM perm
-        ) TO '{scratch}/perm_{c:02d}.parquet' (FORMAT PARQUET)""")
-        print(f"  perm shard {c + 1}/{SHARDS} (j in [{lo},{hi}))",
-              flush=True)
-    con.execute(f"""COPY (
+          SELECT * FROM perm""", f"{scratch}/perm_{c:02d}.parquet"):
+            print(f"  perm shard {c + 1}/{SHARDS} (j in [{lo},{hi}))",
+                  flush=True)
+    if copy_to(con, f"""
       SELECT doc_id, list(m ORDER BY j) AS sig
-      FROM '{scratch}/perm_*.parquet' GROUP BY 1
-    ) TO '{scratch}/sigs.parquet' (FORMAT PARQUET)""")
-    print("  signatures assembled", flush=True)
+      FROM '{scratch}/perm_*.parquet' GROUP BY 1""",
+               f"{scratch}/sigs.parquet"):
+        print("  signatures assembled", flush=True)
     for bd in range(16):
-        con.execute(f"""COPY (
+        if copy_to(con, f"""
           WITH s AS (SELECT doc_id, sig[{bd}*4+1 : {bd}*4+4] AS bk
                      FROM '{scratch}/sigs.parquet')
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM s a JOIN s b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        ) TO '{scratch}/cand_{bd:02d}.parquet' (FORMAT PARQUET)""")
-        print(f"  band shard {bd + 1}/16", flush=True)
+          FROM s a JOIN s b ON a.bk = b.bk AND a.doc_id < b.doc_id""",
+                   f"{scratch}/cand_{bd:02d}.parquet"):
+            print(f"  band shard {bd + 1}/16", flush=True)
 
 
 def minhash_result(con, scratch, name):
@@ -186,15 +199,14 @@ def shard_postings(con, scratch):
     gram lives in exactly one shard, so per-shard pair intersection
     counts sum to the exact global `inter`."""
     for k in range(SHARDS):
-        con.execute(f"""COPY (
+        if copy_to(con, f"""
           WITH {SHINGLES}, {KEPT},
           sh AS (SELECT doc_id, gram FROM kept
                  WHERE hash(gram) % {SHARDS} = {k})
           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
           FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ) TO '{scratch}/jp_{k:02d}.parquet' (FORMAT PARQUET)""")
-        print(f"  posting shard {k + 1}/{SHARDS}", flush=True)
+          GROUP BY 1, 2""", f"{scratch}/jp_{k:02d}.parquet"):
+            print(f"  posting shard {k + 1}/{SHARDS}", flush=True)
 
 
 def posting_result(con, scratch, name):
@@ -206,13 +218,17 @@ def posting_result(con, scratch, name):
 
 
 def sharded_oracle(sf_dir, scratch_root, name):
-    scratch = os.path.join(scratch_root, f".shard_{name}")
-    shutil.rmtree(scratch, ignore_errors=True)
+    # Scratch is keyed by FAMILY and kept between runs: the two minhash
+    # gates share identical partials (and so do the two posting gates),
+    # and a failed/tuned final pass must not recompute 20+ minutes of
+    # shards. Callers delete <outDir>/.shard_* when the corpus changes.
+    fam = "minhash" if name in MINHASH_QUERIES else "posting"
+    scratch = os.path.join(scratch_root, f".shard_{fam}")
     os.makedirs(scratch, exist_ok=True)
     con = connect(sf_dir, os.path.join(scratch, "duck_tmp"))
     try:
         if name in MINHASH_QUERIES:
-            shard_minhash(con, scratch)
+            shard_minhash(con, scratch)  # per-artifact skip inside
             return minhash_result(con, scratch, name)
         elif name in POSTING_QUERIES:
             shard_postings(con, scratch)
@@ -220,7 +236,7 @@ def sharded_oracle(sf_dir, scratch_root, name):
         raise SystemExit(f"unknown sharded query: {name}")
     finally:
         con.close()
-        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(os.path.join(scratch, "duck_tmp"), ignore_errors=True)
 
 
 def engine_frame(con_sf_dir, out_dir, name):
