@@ -86,14 +86,21 @@ MINHASH_FINAL = {
     "dedup_indexed":
         " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32"
         " ORDER BY id1, id2",
-    "dedup_delta": """, srcs AS (SELECT doc_id, source FROM documents),
-  split AS (
-    SELECT CASE WHEN s1.source = 'src0' THEN id2 ELSE id1 END AS delta_id,
-           CASE WHEN s1.source = 'src0' THEN id1 ELSE id2 END AS corpus_id,
-           n_match
-    FROM cand
-    JOIN srcs s1 ON s1.doc_id = id1 JOIN srcs s2 ON s2.doc_id = id2
-    WHERE (s1.source = 'src0') <> (s2.source = 'src0') AND n_match >= 32)
+    # The committed oracle's srcs-join form makes DuckDB treat
+    # (s1.source='src0') <> (s2.source='src0') as a join predicate
+    # BETWEEN the two documents scans and plan a 500k x 500k
+    # NESTED_LOOP_JOIN at sf10 (51 GiB of spill before dying). The
+    # equivalent IN-membership form keeps both lookups as semi-joins
+    # hanging off cand; --selfcheck proves value equality.
+    "dedup_delta": """, src0 AS (
+    SELECT doc_id FROM documents WHERE source = 'src0'),
+  flags AS (SELECT id1, id2,
+      id1 IN (SELECT doc_id FROM src0) AS a0,
+      id2 IN (SELECT doc_id FROM src0) AS b0
+    FROM cand WHERE n_match >= 32),
+  split AS (SELECT CASE WHEN a0 THEN id2 ELSE id1 END AS delta_id,
+                   CASE WHEN a0 THEN id1 ELSE id2 END AS corpus_id
+            FROM flags WHERE a0 <> b0)
   SELECT delta_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_near,
     min(corpus_id) AS nearest_id
   FROM split GROUP BY delta_id ORDER BY delta_id""",
