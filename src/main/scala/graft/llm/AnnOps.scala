@@ -316,26 +316,35 @@ object AnnOps {
     }, Some(lshOracle)),
 
     // ---- The 100 TB form of the SRP-LSH re-rank (round-11 verdict
-    // item 1b): candidates AND the exact-cosine re-rank read ONLY the
-    // PERSISTED vec_id-bucketed vector store ([[vecStore]]) — no
-    // corpus scan, and NO broadcast of the O(n) vector table. Each
-    // re-rank join is an equality probe INTO the bucketed table: the
-    // store side is pre-shuffled (bucketBy vec_id) and pre-sorted, so
-    // only the slim (id1, id2) candidate stream moves, and the full
-    // vectors attach bucket-locally per pair side. At 10⁹ vectors the
-    // broadcast twin above is impossible (≈0.5 TB to every executor);
-    // this shape ships candidates ≈ 16 B/pair instead. Identical
-    // output to dedup_embedding_lsh — the gate proves it by hashing
-    // both against the same DuckDB replay.
+    // item 1b): reads ONLY the PERSISTED vec_id-bucketed vector store
+    // ([[vecStore]]) — no corpus scan, NO broadcast of the O(n) vector
+    // table — and scores INSIDE the (band, bucket) join stage, then
+    // deduplicates the slim scored stream (score-then-dedupe). Probing
+    // a candidate PAIR list by id — the first cut of this query — is
+    // not the scale shape: with B-bit bands the candidate stream is
+    // O(n²/2^B) pairs, and any by-id attach of the second vector sorts
+    // or shuffles that stream WITH a vector payload (~600M pairs ×
+    // 520 B ≈ 320 GB at sf10 — measured ENOSPC, the same failure the
+    // broadcast twin documents for SMJ). Here the vectors ride the
+    // band rows instead (8 rows/vector, one bucket-co-located vec_id
+    // join against the store — THE bucketing payoff), the cosine is
+    // computed and thresholded in-stage, and only the surviving
+    // (id1, id2, cos) triples — 24 B each, cos functionally pair-
+    // determined — reach the DISTINCT. Identical output to
+    // dedup_embedding_lsh: both hash against the same DuckDB replay.
     QueryDef("dedup_embedding_lsh_indexed", (s, d) => {
       val store = vecStore(s, d)
-      val cand = lshCandidates(s, store)
-      val va = store.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
-      val vb = store.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
-      cand.join(va, "id1").join(vb, "id2")
+      val withVec = lshBuckets(s, store).join(store, "vec_id")
+      val a = withVec.select(col("vec_id").as("id1"), col("band"), col("bk"),
+        col("e").as("e1"), col("nrm").as("n1"))
+      val b = withVec.select(col("vec_id").as("id2"), col("band"), col("bk"),
+        col("e").as("e2"), col("nrm").as("n2"))
+      a.join(b, Seq("band", "bk"))
+        .filter(col("id1") < col("id2"))
         .withColumn("cos", cosCol("e1", "e2", "n1", "n2"))
         .filter(col("cos") >= 0.4)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+        .distinct()
         .orderBy("id1", "id2")
     }, Some(lshOracle)),
 
@@ -688,19 +697,26 @@ object AnnOps {
     * Plane components are integers in [-1000, 1000] derived from md5,
     * and the plane dot rides the same ascending-index fold as every
     * cosine here, so DuckDB replays buckets and candidates bit-for-bit. */
-  private def lshCandidates(s: SparkSession, v: DataFrame): DataFrame = {
+  /** (vec_id, band, bk) signature rows — the front half of
+    * [[lshCandidates]], also the probe key set of the score-in-bucket
+    * indexed variant. */
+  private def lshBuckets(s: SparkSession, v: DataFrame): DataFrame = {
     // hyperplane j, component i = md5('rp|j|i') % 2001 - 1000
     val planes = s.range(NPLANES).select(col("id").as("j"), expr(
       "transform(sequence(0, 63), i -> CAST(" +
       "CAST(conv(substring(md5(concat('rp|', CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
       " % 2001 - 1000 AS DOUBLE))").as("p"))
-    val buckets = v.crossJoin(broadcast(planes))
+    v.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("j"),
         when(dot(col("e"), col("p")) >= 0, 1L).otherwise(0L).as("bit0"))
       .select(col("vec_id"), expr(s"j div $BANDBITS").as("band"),
         expr(s"shiftleft(bit0, CAST(j % $BANDBITS AS INT))").as("bit"))
       .groupBy("vec_id", "band")
       .agg(sum("bit").as("bk"))
+  }
+
+  private def lshCandidates(s: SparkSession, v: DataFrame): DataFrame = {
+    val buckets = lshBuckets(s, v)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
