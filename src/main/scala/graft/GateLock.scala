@@ -22,6 +22,18 @@ object GateLock {
   /** Acquire (bounded); returns whether we own the file (and so must
     * release). */
   def acquire(who: String): Boolean = {
+    // Sweep steal files stranded by a crashed waiter (ADVICE r12): a
+    // *.steal.<pid> older than the stale window belongs to no live
+    // steal-in-progress and would otherwise accumulate forever.
+    try {
+      val dir = Files.list(Paths.get("."))
+      try dir.filter(p =>
+          p.getFileName.toString.startsWith(".graft_gate.lock.steal."))
+        .filter(p => System.currentTimeMillis() -
+          Files.getLastModifiedTime(p).toMillis > StaleMs)
+        .forEach(p => Files.deleteIfExists(p))
+      finally dir.close()
+    } catch { case _: java.io.IOException => () }
     val deadline = System.currentTimeMillis() + WaitMs
     while (System.currentTimeMillis() < deadline) {
       try {
@@ -45,7 +57,15 @@ object GateLock {
               val stolenAge = System.currentTimeMillis() -
                 Files.getLastModifiedTime(stolen).toMillis
               if (stolenAge > StaleMs) Files.deleteIfExists(stolen)
-              else Files.move(stolen, lockPath)
+              else try Files.move(stolen, lockPath)
+              catch {
+                // ADVICE r12: another waiter re-created the lock after
+                // our steal — the put-back loses. Delete the steal file
+                // (the displaced holder loses one heartbeat, nothing
+                // else) rather than stranding it forever.
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  Files.deleteIfExists(stolen)
+              }
             }
             else Thread.sleep(5000)
           } catch { case _: java.io.IOException => () } // racing deleter

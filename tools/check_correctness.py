@@ -148,6 +148,16 @@ def acquire_lock():
                     # can't be deleted by mistake (ADVICE r11 TOCTOU)
                     stolen = LOCK + f".steal.{os.getpid()}"
                     os.rename(LOCK, stolen)
+                    # ADVICE r12 (mirror GateLock.scala): a holder that
+                    # heartbeat-touched between getmtime and rename is
+                    # LIVE — put its lock back instead of unlinking it.
+                    if time.time() - os.path.getmtime(stolen) <= 30 * 60:
+                        try:
+                            os.rename(stolen, LOCK)
+                        except OSError:
+                            os.unlink(stolen)  # lock re-created meanwhile
+                        time.sleep(5)
+                        continue
                     os.unlink(stolen)
                     continue
             except OSError:
@@ -182,18 +192,25 @@ def main(sf_dir, out_dir, cap):
                     capture_output=True, text=True, timeout=cap)
                 lines = [l for l in r.stdout.splitlines()
                          if l.startswith(("PASS", "FAIL", "ORACLE_COST"))]
+                # ADVICE r12: only RESOURCE deaths are oracle cost.
+                # SIGKILL is the kernel OOM killer (the only way a
+                # process dies with -9 on this host); any OTHER signal
+                # (SIGSEGV/SIGABRT/SIGBUS — a duckdb/pyarrow crash,
+                # possibly on a torn ENGINE parquet) must keep counting
+                # as FAIL unless stderr shows resource exhaustion, or
+                # the gate's failure detection silently weakens.
+                resource = r.returncode == -9 or any(
+                    pat in (r.stderr or "")
+                    for pat in ("MemoryError", "Cannot allocate memory",
+                                "No space left on device",
+                                "Out of Memory", "bad_alloc"))
                 if lines:
                     line = lines[0]
-                elif r.returncode < 0 or any(
-                        pat in (r.stderr or "")
-                        for pat in ("MemoryError", "Cannot allocate memory",
-                                    "No space left on device",
-                                    "Out of Memory", "bad_alloc")):
-                    # ADVICE r11: a child killed by a signal (OOM killer,
-                    # BLAS mmap crash) or dying on resource exhaustion
-                    # without printing a status line is ORACLE cost, not
-                    # an engine failure — the engine parquet exists and
-                    # was simply never compared.
+                elif resource:
+                    # ADVICE r11: a child killed by the OOM killer or
+                    # dying on resource exhaustion without printing a
+                    # status line is ORACLE cost, not an engine failure —
+                    # the engine parquet exists and was never compared.
                     line = (f"ORACLE_COST {name}: child rc={r.returncode} "
                             f"{(r.stderr or '')[-200:]}")
                 else:

@@ -224,14 +224,38 @@ def posting_result(con, scratch, name):
     return con.execute(sql).fetchdf()
 
 
+def scratch_manifest(sf_dir):
+    """Identity of the partials in a scratch dir: shard count + corpus
+    file size/mtime. ADVICE r12: resumable scratch keyed by neither
+    SHARDS nor the corpus silently mixes shard layouts (overlapping
+    j-ranges → >64-element signatures) or serves a regenerated corpus
+    stale partials — refuse instead."""
+    doc = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc)
+    return f"shards={SHARDS} corpus={st.st_size}:{int(st.st_mtime)}"
+
+
 def sharded_oracle(sf_dir, scratch_root, name):
     # Scratch is keyed by FAMILY and kept between runs: the two minhash
     # gates share identical partials (and so do the two posting gates),
     # and a failed/tuned final pass must not recompute 20+ minutes of
-    # shards. Callers delete <outDir>/.shard_* when the corpus changes.
+    # shards. A manifest (shard count + corpus fingerprint) guards the
+    # reuse: on mismatch the stale scratch is DELETED and rebuilt.
     fam = "minhash" if name in MINHASH_QUERIES else "posting"
     scratch = os.path.join(scratch_root, f".shard_{fam}")
+    manifest = scratch_manifest(sf_dir)
+    mpath = os.path.join(scratch, "MANIFEST")
+    if os.path.isdir(scratch):
+        on_disk = (open(mpath).read().strip()
+                   if os.path.exists(mpath) else "<missing>")
+        if on_disk != manifest:
+            print(f"  scratch manifest mismatch ({on_disk!r} != "
+                  f"{manifest!r}) — rebuilding {scratch}", flush=True)
+            shutil.rmtree(scratch)
     os.makedirs(scratch, exist_ok=True)
+    if not os.path.exists(mpath):
+        with open(mpath, "w") as f:
+            f.write(manifest + "\n")
     con = connect(sf_dir, os.path.join(scratch, "duck_tmp"))
     try:
         if name in MINHASH_QUERIES:
