@@ -59,6 +59,21 @@ object Bench {
   def committedShuffleMb(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
     committedField(path, sf, "sh_read_mb")
 
+  /** Per-query committed shuffle-WRITE MB (round-12 verdict item 7): a
+    * write-side regression — e.g. a lost map-side partial aggregation —
+    * shows on the map output BEFORE the read side of a later stage in a
+    * multi-stage plan, and a regression in the FINAL stage's write is
+    * invisible to the read metric entirely. */
+  def committedShuffleWriteMb(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
+    committedField(path, sf, "sh_write_mb")
+
+  /** Per-query committed spill MB. The census's committed spill is zero
+    * everywhere, so [[byteSuspects]]'s `v > ratio · 0` arm flags ANY
+    * new spill past the floor — exactly the alarm wanted: spill is a
+    * memory-pressure plan failure, not noise. */
+  def committedSpillMb(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
+    committedField(path, sf, "spill_mb")
+
   private def committedField(path: java.nio.file.Path, sf: String,
       field: String): Option[Map[String, Double]] =
     try {
@@ -247,6 +262,18 @@ object Bench {
       trace.byGroup.get(n).map(a => n -> a.shuffleReadB / 1048576.0) }.toMap
     val byteSus = committedShuffleMb(Paths.get("bench_detail.json"), sfName)
       .map(c => byteSuspects(c, measuredMb)).getOrElse(Seq.empty)
+    // Write-side and spill checks (round-12 verdict item 7): same pure
+    // predicate over the other two byte channels. Spill uses a lower
+    // floor — the committed census spills ZERO bytes anywhere, so any
+    // spill at all is a memory-pressure regression worth naming.
+    val measuredWriteMb = ok.flatMap { case (n, _, _, _) =>
+      trace.byGroup.get(n).map(a => n -> a.shuffleWriteB / 1048576.0) }.toMap
+    val writeSus = committedShuffleWriteMb(Paths.get("bench_detail.json"), sfName)
+      .map(c => byteSuspects(c, measuredWriteMb)).getOrElse(Seq.empty)
+    val measuredSpillMb = ok.flatMap { case (n, _, _, _) =>
+      trace.byGroup.get(n).map(a => n -> a.spillB / 1048576.0) }.toMap
+    val spillSus = committedSpillMb(Paths.get("bench_detail.json"), sfName)
+      .map(c => byteSuspects(c, measuredSpillMb, floorMb = 1.0)).getOrElse(Seq.empty)
     val indexTrace = indexBuilds.collect {
       case (k, _, None) if trace.byGroup.contains(s"index:$k") =>
         s"""${jstr(k)}:{${traceJson(s"index:$k").drop(1)}}"""
@@ -289,7 +316,11 @@ object Bench {
       (if (stillSuspect.isEmpty) ""
        else s""","suspect":${stillSuspect.map(jstr).mkString("[", ",", "]")}""") +
       (if (byteSus.isEmpty) ""
-       else s""","byte_suspect":${byteSus.map(jstr).mkString("[", ",", "]")}""")
+       else s""","byte_suspect":${byteSus.map(jstr).mkString("[", ",", "]")}""") +
+      (if (writeSus.isEmpty) ""
+       else s""","write_suspect":${writeSus.map(jstr).mkString("[", ",", "]")}""") +
+      (if (spillSus.isEmpty) ""
+       else s""","spill_suspect":${spillSus.map(jstr).mkString("[", ",", "]")}""")
     // The grand total appears TWICE: "value" at the very front (the
     // primary field) and "total_s" as the FINAL key — stdout tail
     // capture truncates the front of an over-long line, so whichever

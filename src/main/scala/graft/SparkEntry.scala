@@ -23,7 +23,8 @@ object SparkEntry {
       graft.sources.Locality.defs ++
       graft.core.Checkpoint.defs ++ graft.core.SpawnerKvs.defs ++
       graft.core.Lanes.defs ++
-      graft.algos.Iterative.defs ++ graft.algos.Graph.defs
+      graft.algos.Iterative.defs ++ graft.algos.Graph.defs ++
+      graft.algos.FlexDice.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,395 @@
+package graft.algos
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FlexDice — the reference's bundled grid/density cluster-analysis
+  * program, "particularly suited to outlier detection"
+  * (reference tool/README.md; tool/flexdice.c, tool/flexdice.h,
+  * tool/flexdicemain.c; published as "A Clustering Method using an
+  * Irregular Size Cell Graph", RIDE-SDMA 2005). Semantics re-expressed
+  * Spark-first over the `events` table's 2-D numeric space
+  * (x = value, y = user_id), parameters = the reference main's
+  * defaults (tool/flexdicemain.c:42-46: dmin=4, dfac=5, nlayers=7).
+  *
+  * Phase 1 (tool/flexdice.c:420-497): the space is diced top-down —
+  * each MIDDLE cell splits at its midpoint per dimension (bit = value
+  * strictly above center, tool/flexdice.c:1070-1082), only NONEMPTY
+  * children materialize. A cell with < dmin objects is SPARSE (its
+  * objects are noise/outliers); a cell at the bottom layer is DENSE;
+  * after a whole layer divides, a cell whose nonempty-child count
+  * exceeds threshold = int(dfac · avg-children-at-layer) is re-marked
+  * DENSE and its division undone (tool/flexdice.c:455-473 — the
+  * "irregular size cell" rule: a cell that shatters into many small
+  * pieces is itself the dense unit).
+  *
+  * Phase 2 (tool/flexdice.c:1152-1216): DENSE cells adjacent along an
+  * axis — possibly at DIFFERENT levels, the quadtree neighbor rule of
+  * set_direct_adjacency (tool/flexdice.c:1095-1149) — merge into
+  * clusters (connected components).
+  *
+  * Spark shape, designed for the 100 TB case: the per-object path is
+  * ONE map-only projection (no shuffle — every level's cell coordinate
+  * is a deterministic midpoint comparison, unrolled nlayers deep);
+  * each layer is one hash aggregate on the layer's integer cell key
+  * (map-side partials collapse objects to cells before the wire) plus
+  * one O(cells) stats aggregate; the driver carries only the per-layer
+  * (cell count, child count, threshold) scalars — never cells or
+  * objects. Adjacency joins dense CELLS (≤ n/dmin rows, integer keys)
+  * against their O(levels·dims) ancestor candidates — an equality
+  * join, never a spatial cross — and clustering reuses the O(log n)
+  * large-star/small-star contraction ([[graft.llm.Dedup
+  * .connectedComponents]]). Everything is integer-or-IEEE-exact, so a
+  * DuckDB oracle replays the whole pipeline: the midpoint recursion
+  * unrolled per level, the layer threshold (floor of the same double
+  * product the C code truncates), and the cluster merge as a recursive
+  * CTE.
+  */
+object FlexDice {
+
+  private val DMin = 4L // dense-min: cells under this are SPARSE
+  private val DFacInt = 5 // dense-factor (the reference parses an int)
+  private val DFac = DFacInt.toDouble
+  private val NLayers = 7 // bottom level = NLayers - 1
+  // cell key packing: level · 2^40 + cx · 2^20 + cy (coords < 2^(nlayers-1))
+  private val KeyLvl = 1L << 40
+  private val KeyCx = 1L << 20
+  private val DblMax = java.lang.Double.MAX_VALUE
+
+  /** (id, x, y) — finite 2-D points. NaN/Inf are excluded by the same
+    * predicate in both engines (both order NaN above every finite
+    * double, so abs(v) <= DBL_MAX rejects NaN and ±Inf identically);
+    * the reference's fscanf input path never produces them. */
+  private def pts(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .filter(col("event_id").isNotNull && col("value").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("event_id").as("id"), col("value").as("x"),
+        col("user_id").cast("double").as("y"))
+      .filter(abs(col("x")) <= DblMax && abs(col("y")) <= DblMax)
+
+  /** Every object's cell coordinates at every level, in one map-only
+    * projection: level-l coordinate = 2·(level-(l-1) coordinate) + the
+    * strictly-above-midpoint bit, midpoints halved exactly as the
+    * reference's set_cell_range (lo + (hi - lo)/2 — IEEE-identical in
+    * Spark, DuckDB and the C code). Level 0 is the whole space. */
+  private def paths(s: SparkSession, d: String): DataFrame = {
+    val p = pts(s, d)
+    val mm = p.agg(min("x"), max("x"), min("y"), max("y")).head()
+    val (xmin, xmax, ymin, ymax) =
+      if (mm.isNullAt(0)) (0.0, 0.0, 0.0, 0.0) // empty input: no rows flow
+      else (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    var df = p
+      .withColumn("lox", lit(xmin)).withColumn("hix", lit(xmax))
+      .withColumn("loy", lit(ymin)).withColumn("hiy", lit(ymax))
+      .withColumn("cx0", lit(0L)).withColumn("cy0", lit(0L))
+    for (l <- 1 until NLayers) {
+      df = df
+        .withColumn("cenx", col("lox") + (col("hix") - col("lox")) / 2)
+        .withColumn("ceny", col("loy") + (col("hiy") - col("loy")) / 2)
+        .withColumn("bx", (col("x") > col("cenx")).cast("long"))
+        .withColumn("by", (col("y") > col("ceny")).cast("long"))
+        .withColumn(s"cx$l", col(s"cx${l - 1}") * 2 + col("bx"))
+        .withColumn(s"cy$l", col(s"cy${l - 1}") * 2 + col("by"))
+        .withColumn("lox", when(col("bx") === 1, col("cenx")).otherwise(col("lox")))
+        .withColumn("hix", when(col("bx") === 1, col("hix")).otherwise(col("cenx")))
+        .withColumn("loy", when(col("by") === 1, col("ceny")).otherwise(col("loy")))
+        .withColumn("hiy", when(col("by") === 1, col("hiy")).otherwise(col("ceny")))
+    }
+    df.select(col("id") +:
+      (0 until NLayers).flatMap(l => Seq(col(s"cx$l"), col(s"cy$l"))): _*)
+  }
+
+  /** Phase 1. Returns (terminal cells, noise objects):
+    * terminal = (level, cx, cy, density ∈ DENSE|SPARSE, n_objects);
+    * noise = (id, level) for every object in a SPARSE cell. */
+  private def phase1(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val p = paths(s, d).persist()
+    var active = p
+    var term: DataFrame = null
+    var noise: DataFrame = null
+    try {
+      for (l <- 0 until NLayers) {
+        val cls: DataFrame =
+          if (l == NLayers - 1) {
+            // bottom layer: no further division possible
+            active.groupBy(col(s"cx$l").as("cx"), col(s"cy$l").as("cy"))
+              .agg(count(lit(1)).as("n_objects"))
+              .select(lit(l.toLong).as("level"), col("cx"), col("cy"),
+                when(col("n_objects") < DMin, "SPARSE").otherwise("DENSE")
+                  .as("density"),
+                col("n_objects"))
+              .localCheckpoint(true)
+          } else {
+            // one aggregate gives both the cell size and its nonempty-
+            // child count (the divide is virtual: children are the
+            // level-(l+1) coordinates already on every row)
+            val cells = active
+              .groupBy(col(s"cx$l").as("cx"), col(s"cy$l").as("cy"))
+              .agg(count(lit(1)).as("n_objects"),
+                countDistinct(struct(col(s"cx${l + 1}"), col(s"cy${l + 1}")))
+                  .as("kc"))
+              .localCheckpoint(true)
+            val st = cells.agg(count(lit(1)),
+              sum(when(col("n_objects") >= DMin, col("kc")).otherwise(0L))).head()
+            val nCells = st.getLong(0)
+            if (nCells == 0) {
+              cells.select(lit(l.toLong).as("level"), col("cx"), col("cy"),
+                lit("SPARSE").as("density"), col("n_objects")) // 0 rows
+            } else {
+              val cc = if (st.isNullAt(1)) 0L else st.getLong(1)
+              // the reference's (int)(dfac * (1.0*cc/n)) — same IEEE
+              // product, truncation == floor on non-negatives
+              val thr = (DFac * (cc.toDouble / nCells.toDouble)).toLong
+              cells.select(lit(l.toLong).as("level"), col("cx"), col("cy"),
+                when(col("n_objects") < DMin, "SPARSE")
+                  .when(col("kc") > thr, "DENSE")
+                  .otherwise("MIDDLE").as("density"),
+                col("n_objects"))
+                .localCheckpoint(true)
+            }
+          }
+        val terminal = cls.filter(col("density") =!= "MIDDLE")
+        val sparse = cls.filter(col("density") === "SPARSE")
+          .select(col("cx").as("scx"), col("cy").as("scy"))
+        val lvlNoise = active
+          .join(sparse, active(s"cx$l") === col("scx") &&
+            active(s"cy$l") === col("scy"))
+          .select(col("id"), lit(l.toLong).as("level"))
+        term = if (term == null) terminal else term.unionByName(terminal)
+        noise = if (noise == null) lvlNoise else noise.unionByName(lvlNoise)
+        if (l < NLayers - 1) {
+          val mid = cls.filter(col("density") === "MIDDLE")
+            .select(col("cx").as("mcx"), col("cy").as("mcy"))
+          active = active.join(mid, active(s"cx$l") === col("mcx") &&
+            active(s"cy$l") === col("mcy"))
+            .drop("mcx", "mcy")
+        }
+      }
+      // eager: lineage over the persisted paths must not outlive it
+      (term.localCheckpoint(true), noise.localCheckpoint(true))
+    } finally p.unpersist(false)
+  }
+
+  /** Dense cells with their packed O(1) cell key. */
+  private def denseCells(term: DataFrame): DataFrame =
+    term.filter(col("density") === "DENSE")
+      .withColumn("key",
+        col("level") * KeyLvl + col("cx") * KeyCx + col("cy"))
+
+  /** Directed adjacency edges among DENSE cells — the quadtree
+    * neighbor rule of set_direct_adjacency, closed over levels: cell X
+    * (level L, coords c) is adjacent in an axis direction to the unique
+    * EXISTING cell containing the same-level neighbor coordinate
+    * c ± e_attr; that cell is dense iff some ancestor-chain prefix of
+    * the neighbor coordinate is a DENSE terminal (everything above a
+    * terminal is MIDDLE by construction, so at most one level matches —
+    * an equality join on (level, coords), never a spatial scan).
+    * Edges where the containing cell is SPARSE/MIDDLE don't cluster
+    * (tool/flexdice.c:1177-1186); a deeper dense neighbor contributes
+    * its own edge back toward X, so the undirected union is complete. */
+  private def denseEdges(s: SparkSession, dense: DataFrame): DataFrame = {
+    import s.implicits._
+    val dirs = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L)).toDF("dx", "dy")
+    val cand = dense.select(col("key"), col("level"), col("cx"), col("cy"))
+      .crossJoin(broadcast(dirs))
+      .withColumn("ncx", col("cx") + col("dx"))
+      .withColumn("ncy", col("cy") + col("dy"))
+      .filter(col("ncx") >= 0 && col("ncy") >= 0 &&
+        col("ncx") < expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))") &&
+        col("ncy") < expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))"))
+      .withColumn("k", explode(expr("sequence(CAST(0 AS BIGINT), level)")))
+      .select(col("key").as("src"), col("k"),
+        expr("shiftright(ncx, CAST(level - k AS INT))").as("acx"),
+        expr("shiftright(ncy, CAST(level - k AS INT))").as("acy"))
+    cand.join(
+      dense.select(col("level").as("k"), col("cx").as("acx"),
+        col("cy").as("acy"), col("key").as("dst")),
+      Seq("k", "acx", "acy"))
+      .select(col("src"), col("dst"))
+  }
+
+  // ---------- oracle SQL ----------
+
+  private val ptsSql =
+    """pts AS (SELECT event_id AS id, value AS x, CAST(user_id AS DOUBLE) AS y
+       FROM events
+       WHERE event_id IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+         AND abs(value) <= 1.7976931348623157e308
+         AND abs(CAST(user_id AS DOUBLE)) <= 1.7976931348623157e308)"""
+
+  /** Unrolled midpoint recursion → `paths(id, cx0..cy6)`. */
+  private def pathsSql: String = {
+    val b = new StringBuilder(ptsSql)
+    b ++= """,
+      mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                    min(y) AS ymin, max(y) AS ymax FROM pts),
+      q0 AS (SELECT id, x, y, xmin AS lox, xmax AS hix, ymin AS loy,
+             ymax AS hiy, CAST(0 AS BIGINT) AS cx0, CAST(0 AS BIGINT) AS cy0
+             FROM pts, mm)"""
+    for (l <- 1 until NLayers) {
+      val carry = (0 until l).map(i => s"cx$i, cy$i").mkString(", ")
+      b ++= s""",
+        m$l AS (SELECT *, lox + (hix - lox)/2 AS cenx,
+                loy + (hiy - loy)/2 AS ceny FROM q${l - 1}),
+        q$l AS (SELECT id, x, y,
+          CASE WHEN x > cenx THEN cenx ELSE lox END AS lox,
+          CASE WHEN x > cenx THEN hix ELSE cenx END AS hix,
+          CASE WHEN y > ceny THEN ceny ELSE loy END AS loy,
+          CASE WHEN y > ceny THEN hiy ELSE ceny END AS hiy,
+          $carry,
+          cx${l - 1}*2 + CASE WHEN x > cenx THEN 1 ELSE 0 END AS cx$l,
+          cy${l - 1}*2 + CASE WHEN y > ceny THEN 1 ELSE 0 END AS cy$l
+          FROM m$l)"""
+    }
+    val all = (0 until NLayers).map(i => s"cx$i, cy$i").mkString(", ")
+    b ++= s""",
+      paths AS (SELECT id, $all FROM q${NLayers - 1})"""
+    b.toString
+  }
+
+  /** Per-layer classification → `cls0..cls6` and the `term` union of
+    * terminal cells.
+    *
+    * Deliberately LINEAR in CTE references: a live level-l cell's size
+    * and nonempty-child count are computable from the FULL path table
+    * (a live cell's members are exactly its prefix-matching objects —
+    * liveness filters whole cells, never objects), so each level is one
+    * prefix GROUP BY joined to the previous level's MIDDLE set, with
+    * the layer threshold as a window aggregate over the live set. Each
+    * cls references only cls(l-1), once. The first cut kept explicit
+    * per-level active-object CTEs referenced 3-4× each, which forced
+    * `AS MATERIALIZED` to stop DuckDB's CTE inlining going exponential
+    * — and DuckDB 1.0.0 DROPS a final ORDER BY under
+    * preserve_insertion_order=false + threads>1 when the plan holds
+    * materialized CTEs (measured: row order flipped run-to-run under
+    * exactly the harness's connection settings, while the row SET was
+    * stable). Linear references need no MATERIALIZED and sidestep the
+    * bug. */
+  private def levelsSql: String = {
+    val b = new StringBuilder
+    for (l <- 0 until NLayers) {
+      val grp =
+        if (l == NLayers - 1)
+          s"""(SELECT cx$l AS cx, cy$l AS cy, count(*) AS cnt
+              FROM paths GROUP BY 1, 2)"""
+        else
+          s"""(SELECT cx$l AS cx, cy$l AS cy, count(*) AS cnt,
+              count(DISTINCT (cx${l + 1}, cy${l + 1})) AS kc
+              FROM paths GROUP BY 1, 2)"""
+      val live =
+        if (l == 0) s"$grp g"
+        else
+          s"""$grp g JOIN cls${l - 1} m
+              ON m.density = 'MIDDLE'
+              AND (g.cx >> 1) = m.cx AND (g.cy >> 1) = m.cy"""
+      val density =
+        if (l == NLayers - 1)
+          s"CASE WHEN g.cnt < $DMin THEN 'SPARSE' ELSE 'DENSE' END"
+        else
+          s"""CASE WHEN g.cnt < $DMin THEN 'SPARSE'
+              WHEN g.kc > CAST(floor($DFacInt * (CAST(
+                sum(CASE WHEN g.cnt >= $DMin THEN g.kc ELSE 0 END) OVER ()
+                AS DOUBLE) / count(*) OVER ())) AS BIGINT) THEN 'DENSE'
+              ELSE 'MIDDLE' END"""
+      b ++= s""",
+        cls$l AS (SELECT g.cx, g.cy, g.cnt, $density AS density
+          FROM $live)"""
+    }
+    b ++= s""",
+      term AS (${(0 until NLayers).map(l =>
+      s"SELECT CAST($l AS BIGINT) AS level, cx, cy, density, " +
+        s"CAST(cnt AS BIGINT) AS n_objects FROM cls$l WHERE density <> 'MIDDLE'")
+      .mkString(" UNION ALL ")})"""
+    b.toString
+  }
+
+  private def cellsOracle: String =
+    s"WITH $pathsSql $levelsSql\n" +
+      "SELECT level, cx, cy, density, n_objects FROM term " +
+      "ORDER BY level, cx, cy"
+
+  private def noiseOracle: String =
+    s"WITH $pathsSql $levelsSql\n" +
+      (0 until NLayers).map(l =>
+        s"SELECT p.id, CAST($l AS BIGINT) AS level FROM paths p JOIN cls$l c " +
+          s"ON p.cx$l = c.cx AND p.cy$l = c.cy AND c.density = 'SPARSE'")
+        .mkString(" UNION ALL ") +
+      " ORDER BY id"
+
+  private def clustersOracle: String =
+    s"WITH RECURSIVE $pathsSql $levelsSql,\n" +
+      s"""dense AS (SELECT level, cx, cy, n_objects,
+           level*$KeyLvl + cx*$KeyCx + cy AS key
+           FROM term WHERE density = 'DENSE'),
+         dirs(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+         lv AS (SELECT unnest(range(0, $NLayers)) AS k),
+         cand AS (SELECT d.key AS src, lv.k AS k,
+             (d.cx + dirs.dx) >> CAST(d.level - lv.k AS INT) AS acx,
+             (d.cy + dirs.dy) >> CAST(d.level - lv.k AS INT) AS acy
+           FROM dense d, dirs, lv
+           WHERE lv.k <= d.level
+             AND d.cx + dirs.dx >= 0
+             AND d.cx + dirs.dx < (CAST(1 AS BIGINT) << CAST(d.level AS INT))
+             AND d.cy + dirs.dy >= 0
+             AND d.cy + dirs.dy < (CAST(1 AS BIGINT) << CAST(d.level AS INT))),
+         e0 AS (SELECT c.src, y.key AS dst FROM cand c JOIN dense y
+           ON y.level = c.k AND y.cx = c.acx AND y.cy = c.acy),
+         edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         reach(id, comp) AS (
+           SELECT key, key FROM dense
+           UNION
+           SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+       SELECT c.comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(d.n_objects) AS BIGINT) AS n_objects
+       FROM comps c JOIN dense d ON d.key = c.id
+       GROUP BY 1 ORDER BY 1"""
+
+  // ---------- gates ----------
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- Phase-1 parity: every terminal cell of the dice with its
+    // classification and size. SPARSE cells are the outlier containers
+    // (the reference's NL* noise outputs); DENSE cells are the cluster
+    // atoms. One hash aggregate per layer; the driver holds 3 scalars
+    // per layer, nothing else.
+    QueryDef("flexdice_cells", (s, d) => {
+      val (term, _) = phase1(s, d)
+      term.orderBy("level", "cx", "cy")
+    }, Some(cellsOracle)),
+
+    // ---- Outlier extraction (the reference's headline use): every
+    // object that landed in a SPARSE cell, with the layer it fell out
+    // at. Map-only over the path table plus one bucket-key join per
+    // layer against that layer's (small) sparse-cell list.
+    QueryDef("flexdice_outliers", (s, d) => {
+      val (_, noise) = phase1(s, d)
+      noise.orderBy("id")
+    }, Some(noiseOracle)),
+
+    // ---- Phase-2 parity: clusters of axis-adjacent DENSE cells
+    // (across levels — the irregular-size cell graph), components via
+    // the O(log n) star contraction, keyed by the component's minimum
+    // packed cell key. The oracle replays the merge as a recursive-CTE
+    // closure over the identical edge set.
+    QueryDef("flexdice_clusters", (s, d) => {
+      val (term, _) = phase1(s, d)
+      val dense = denseCells(term).persist()
+      try {
+        val e0 = denseEdges(s, dense)
+        val selfPairs = dense.select(col("key").as("id1"), col("key").as("id2"))
+        val comps = graft.llm.Dedup.connectedComponents(
+          e0.select(col("src").as("id1"), col("dst").as("id2"))
+            .unionByName(selfPairs), iters = 30)
+        comps.join(dense, comps("id") === dense("key"))
+          .groupBy(col("comp").as("cluster_id"))
+          .agg(count(lit(1)).as("n_cells"), sum("n_objects").as("n_objects"))
+          .orderBy("cluster_id")
+          .localCheckpoint(true)
+      } finally dense.unpersist(false)
+    }, Some(clustersOracle)),
+  )
+}

@@ -42,6 +42,34 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(Bench.byteSuspects(Map.empty, Map("brand_new" -> 500.0)).isEmpty)
   }
 
+  test("a write-side regression flags even when the read side is quiet (r12 item 7)") {
+    // a lost map-side partial: the map output balloons while the query's
+    // committed READ bytes (a later, already-aggregated stage) are small
+    // and unchanged — only the write channel sees it
+    val committedW = Map("wordcount" -> 5.0, "pagerank" -> 40.0)
+    val measuredW = Map("wordcount" -> 64.0, "pagerank" -> 41.0)
+    assert(Bench.byteSuspects(committedW, measuredW) == Seq("wordcount"))
+  }
+
+  test("any new spill past the 1 MB floor flags against a zero-spill census") {
+    // committed spill is 0 everywhere (BASELINE: zero spill in the
+    // census) — v > ratio·0 fires for any measured spill >= floor
+    val committedS = Map("dedup_jaccard" -> 0.0, "q1_pricing" -> 0.0)
+    assert(Bench.byteSuspects(committedS,
+      Map("dedup_jaccard" -> 12.5, "q1_pricing" -> 0.2), floorMb = 1.0) ==
+      Seq("dedup_jaccard"))
+  }
+
+  test("committedShuffleWriteMb and committedSpillMb read their fields") {
+    val dir = java.nio.file.Files.createTempDirectory("benchnoise4")
+    val p = dir.resolve("bench_detail.json")
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"pagerank":{"min":6.1,"med":6.5,"sh_read_mb":41.20,"sh_write_mb":40.90,"spill_mb":0.00}},"runs":3,"sf":"sf0.1"}""")
+    assert(Bench.committedShuffleWriteMb(p, "sf0.1").contains(Map("pagerank" -> 40.90)))
+    assert(Bench.committedSpillMb(p, "sf0.1").contains(Map("pagerank" -> 0.0)))
+    assert(Bench.committedShuffleWriteMb(p, "sf0.01").isEmpty)
+  }
+
   test("committedShuffleMb reads sh_read_mb from the same detail objects") {
     val dir = java.nio.file.Files.createTempDirectory("benchnoise3")
     val p = dir.resolve("bench_detail.json")

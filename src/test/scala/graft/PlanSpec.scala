@@ -320,11 +320,15 @@ class PlanSpec extends SparkSuite {
     // threshold broadcasts the single-row regional-total aggregate.
     // dedup_embedding_lsh_indexed shares the lsh candidate generator's
     // 64-row hyperplane broadcast (r12) — same O(1)-in-the-corpus class.
+    // flexdice_clusters broadcasts its 4-row constant DIRECTION table
+    // (±x/±y) against the dense-cell list (r13) — O(1) in the corpus,
+    // same class as the hyperplane broadcast.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_indexed",
       "ann_rerank",
       "mix_weights", "dedup_embedding_lsh", "dedup_embedding_lsh_indexed",
       "q22_global", "bm25_topk",
-      "collocations", "bloom_join", "approx_topk", "q11_value", "q20_excess")
+      "collocations", "bloom_join", "approx_topk", "q11_value", "q20_excess",
+      "flexdice_clusters")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001
