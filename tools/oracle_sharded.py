@@ -82,10 +82,42 @@ MINHASH_TAIL = """cand0 AS (SELECT DISTINCT id1, id2 FROM candparts),
     FROM cand0 c JOIN sigs a ON a.doc_id = c.id1
     JOIN sigs b ON b.doc_id = c.id2)"""
 
+# recursive transitive closure over the minhash candidates — the
+# committed clusterClosureSql tail (Dedup.scala), verbatim, applied
+# after the sharded `cand`. minhash_result prefixes WITH RECURSIVE.
+CLOSURE = """, cpairs AS (SELECT id1, id2 FROM cand WHERE n_match >= 32),
+  edges AS (SELECT id1 AS src, id2 AS dst FROM cpairs
+            UNION SELECT id2, id1 FROM cpairs),
+  nodes AS (SELECT DISTINCT src AS id FROM edges),
+  reach(id, comp) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+  comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
+
 MINHASH_FINAL = {
     "dedup_indexed":
         " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32"
         " ORDER BY id1, id2",
+    # r13: the two closure gates (attested only to sf1 before) — the
+    # committed Dedup.scala / Curate.scala final passes verbatim over
+    # the sharded candidate set.
+    "dedup_clusters": CLOSURE + """
+  SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comps GROUP BY comp HAVING count(*) > 1 ORDER BY keep_id""",
+    "dedup_keep_best": CLOSURE + """,
+  stats AS (SELECT doc_id, CASE WHEN text IS NULL
+      OR trim(regexp_replace(lower(text),'\\s+',' ','g')) = '' THEN 0
+      ELSE CAST(len(string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')) AS BIGINT)
+      END AS n_toks FROM documents),
+  members AS (SELECT c.comp, c.id AS doc_id, s.n_toks
+    FROM comps c JOIN stats s ON s.doc_id = c.id),
+  best AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size,
+      max(n_toks) AS kept_toks
+    FROM members GROUP BY comp HAVING count(*) > 1)
+  SELECT m.comp AS comp, min(m.doc_id) AS keep_id, b.cluster_size, b.kept_toks
+  FROM members m JOIN best b ON m.comp = b.comp AND m.n_toks = b.kept_toks
+  GROUP BY m.comp, b.cluster_size, b.kept_toks ORDER BY m.comp""",
     # The committed oracle's srcs-join form makes DuckDB treat
     # (s1.source='src0') <> (s2.source='src0') as a join predicate
     # BETWEEN the two documents scans and plan a 500k x 500k
@@ -106,10 +138,13 @@ MINHASH_FINAL = {
   FROM split GROUP BY delta_id ORDER BY delta_id""",
 }
 
-# final passes over an externally-supplied `pairs(id1, id2, inter)`
+# final passes over externally-supplied `pairs(id1, id2, inter)` and
+# `sizes(doc_id, n)` — both materialized to scratch parquet by
+# shard_postings (r13): computing the ~10⁹-row pair-partial
+# re-aggregation AND the full-corpus gram sizes inside ONE final query
+# exceeded 42 GiB of temp at sf10; each alone is bounded.
 POSTING_FINAL = {
-    "dedup_jaccard_indexed": """, sizes AS (
-    SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)
+    "dedup_jaccard_indexed": """
   SELECT id1, id2,
     round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) AS jaccard
   FROM pairs
@@ -117,19 +152,49 @@ POSTING_FINAL = {
   JOIN sizes s2 ON s2.doc_id = pairs.id2
   WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.6
   ORDER BY id1, id2""",
-    "dedup_containment_indexed": """, sizes AS (
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1)
-  SELECT id1, id2, s1.n AS n1, s2.n AS n2,
-    (1000 * inter) // least(s1.n, s2.n) AS c_milli
+    "dedup_containment": None,  # alias — filled below
+    "dedup_jaccard": None,  # alias — filled below
+    "dedup_containment_indexed": """
+  SELECT id1, id2, CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+    (1000 * inter) // least(CAST(s1.n AS BIGINT), CAST(s2.n AS BIGINT)) AS c_milli
   FROM pairs
   JOIN sizes s1 ON s1.doc_id = pairs.id1
   JOIN sizes s2 ON s2.doc_id = pairs.id2
-  WHERE (1000 * inter) // least(s1.n, s2.n) >= 800
+  WHERE (1000 * inter) // least(CAST(s1.n AS BIGINT), CAST(s2.n AS BIGINT)) >= 800
   ORDER BY id1, id2""",
 }
 
+# r13: the INLINE jaccard/containment gates share their committed
+# oracle text with the indexed twins BYTE-FOR-BYTE (one replay, two
+# engine paths), so the sharded posting replay attests both — only the
+# engine parquet compared against differs.
+POSTING_FINAL["dedup_jaccard"] = POSTING_FINAL["dedup_jaccard_indexed"]
+POSTING_FINAL["dedup_containment"] = POSTING_FINAL["dedup_containment_indexed"]
+
 MINHASH_QUERIES = set(MINHASH_FINAL)
 POSTING_QUERIES = set(POSTING_FINAL)
+
+# r13: supplier co-occurrence family (triangle_count). The monolithic
+# oracle's lineitem x lineitem self-join on l_orderkey spills >23 GiB
+# at sf10 (60M rows). Sharded by hash(l_orderkey) % SHARDS: a pair's
+# co-occurrences within one ORDER live in exactly one shard, so the
+# per-shard (u, v, support) partials SUM to the exact global support;
+# the top-2000/deg/orientation/wedge tail below is the committed
+# Graph.scala oracle verbatim over the re-aggregated `co`.
+COPAIRS_FINAL = {
+    "triangle_count": """,
+  deg AS (SELECT id, count(*) AS deg FROM
+    (SELECT u AS id FROM pairs UNION ALL SELECT v AS id FROM pairs) GROUP BY id),
+  o AS (SELECT CASE WHEN du.deg <= dv.deg THEN p.u ELSE p.v END AS src,
+      CASE WHEN du.deg <= dv.deg THEN p.v ELSE p.u END AS dst
+    FROM pairs p JOIN deg du ON p.u = du.id JOIN deg dv ON p.v = dv.id),
+  w AS (SELECT e1.dst AS w1, e2.dst AS w2 FROM o e1 JOIN o e2
+    ON e1.src = e2.src AND e1.dst < e2.dst)
+  SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+    CAST(sum(CASE WHEN p.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_triangles
+  FROM w LEFT JOIN pairs p ON w.w1 = p.u AND w.w2 = p.v""",
+}
+COPAIRS_QUERIES = set(COPAIRS_FINAL)
 
 
 def connect(sf_dir, tmp):
@@ -143,6 +208,9 @@ def connect(sf_dir, tmp):
     con.execute(f"SET max_temp_directory_size='{TMP_QUOTA}'")
     con.execute("CREATE VIEW documents AS "
                 f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    if os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        con.execute("CREATE VIEW lineitem AS "
+                    f"SELECT * FROM '{sf_dir}/lineitem.parquet'")
     return con
 
 
@@ -195,7 +263,9 @@ def shard_minhash(con, scratch):
 
 
 def minhash_result(con, scratch, name):
-    sql = (f"WITH sigs AS (SELECT * FROM '{scratch}/sigs.parquet'),\n"
+    # WITH RECURSIVE unconditionally: legal with zero recursive CTEs,
+    # required by the closure gates' `reach`.
+    sql = (f"WITH RECURSIVE sigs AS (SELECT * FROM '{scratch}/sigs.parquet'),\n"
            f"  candparts AS (SELECT * FROM '{scratch}/cand_*.parquet'),\n"
            f"  {MINHASH_TAIL}\n{MINHASH_FINAL[name]}")
     return con.execute(sql).fetchdf()
@@ -214,25 +284,77 @@ def shard_postings(con, scratch):
           FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
           GROUP BY 1, 2""", f"{scratch}/jp_{k:02d}.parquet"):
             print(f"  posting shard {k + 1}/{SHARDS}", flush=True)
+    # materialize the two final-pass inputs separately (r13): the
+    # pair-partial re-aggregation and the full-corpus gram sizes each
+    # get the whole temp quota to themselves — together in one query
+    # they exceeded 42 GiB at sf10. The re-aggregation is itself
+    # sharded by pair hash (the ~10⁹ partial rows aggregate to ~10⁹
+    # distinct pairs — most pairs share exactly one gram — which still
+    # blew the quota as ONE aggregate): pass m touches only its pairs,
+    # and a pair's partials land wholly in one pass, so the union is
+    # the exact global aggregation.
+    for m in range(SHARDS):
+        if copy_to(con, f"""
+          SELECT id1, id2, CAST(sum(inter) AS BIGINT) AS inter
+          FROM '{scratch}/jp_*.parquet'
+          WHERE hash(id1 * 4294967311 + id2) % {SHARDS} = {m}
+          GROUP BY 1, 2""", f"{scratch}/pairs_{m:02d}.parquet"):
+            print(f"  pair re-agg shard {m + 1}/{SHARDS}", flush=True)
+    if copy_to(con, f"""
+      WITH {SHINGLES}
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1""",
+               f"{scratch}/sizes.parquet"):
+        print("  gram sizes assembled", flush=True)
 
 
 def posting_result(con, scratch, name):
-    sql = (f"WITH {SHINGLES},\n"
-           f"  pairs AS (SELECT id1, id2, CAST(sum(inter) AS BIGINT) AS inter"
-           f" FROM '{scratch}/jp_*.parquet' GROUP BY 1, 2)\n"
+    sql = (f"WITH pairs AS (SELECT * FROM '{scratch}/pairs_*.parquet'),\n"
+           f"  sizes AS (SELECT * FROM '{scratch}/sizes.parquet')\n"
            f"{POSTING_FINAL[name]}")
     return con.execute(sql).fetchdf()
 
 
-def scratch_manifest(sf_dir):
+def scratch_manifest(sf_dir, table="documents.parquet"):
     """Identity of the partials in a scratch dir: shard count + corpus
     file size/mtime. ADVICE r12: resumable scratch keyed by neither
     SHARDS nor the corpus silently mixes shard layouts (overlapping
     j-ranges → >64-element signatures) or serves a regenerated corpus
     stale partials — refuse instead."""
-    doc = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(doc)
+    st = os.stat(os.path.join(sf_dir, table))
     return f"shards={SHARDS} corpus={st.st_size}:{int(st.st_mtime)}"
+
+
+def shard_copairs(con, scratch):
+    """Order-partitioned supplier co-occurrence partials: shard k joins
+    only lineitems whose hash(l_orderkey) % SHARDS = k, so each pass is
+    bounded at ~1/SHARDS of the join's hash table; (u, v, support)
+    partials from different shards cover disjoint ORDER sets and sum to
+    the exact global support."""
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                      WHERE hash(l_orderkey) % {SHARDS} = {k})
+          SELECT l1.l_suppkey AS u, l2.l_suppkey AS v, count(*) AS support
+          FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+          GROUP BY 1, 2""", f"{scratch}/co_{k:02d}.parquet"):
+            print(f"  copair shard {k + 1}/{SHARDS}", flush=True)
+    # materialize the top-2000 ONCE: the tail references `pairs` four
+    # times, and DuckDB's CTE inlining would re-run the 110M-row partial
+    # re-aggregation per reference — measured 37+ GiB of CONCURRENT
+    # aggregate spill at sf10 vs 15 s for the single materialized pass
+    if copy_to(con, f"""
+      WITH co AS (SELECT u, v, CAST(sum(support) AS BIGINT) AS support
+        FROM '{scratch}/co_*.parquet' GROUP BY 1, 2)
+      SELECT u, v FROM co ORDER BY support DESC, u, v LIMIT 2000""",
+               f"{scratch}/pairs.parquet"):
+        print("  top-2000 pair set assembled", flush=True)
+
+
+def copairs_result(con, scratch, name):
+    sql = (f"WITH pairs AS (SELECT * FROM '{scratch}/pairs.parquet')"
+           f"{COPAIRS_FINAL[name]}")
+    return con.execute(sql).fetchdf()
 
 
 def sharded_oracle(sf_dir, scratch_root, name):
@@ -241,9 +363,11 @@ def sharded_oracle(sf_dir, scratch_root, name):
     # and a failed/tuned final pass must not recompute 20+ minutes of
     # shards. A manifest (shard count + corpus fingerprint) guards the
     # reuse: on mismatch the stale scratch is DELETED and rebuilt.
-    fam = "minhash" if name in MINHASH_QUERIES else "posting"
+    fam = ("minhash" if name in MINHASH_QUERIES
+           else "copairs" if name in COPAIRS_QUERIES else "posting")
     scratch = os.path.join(scratch_root, f".shard_{fam}")
-    manifest = scratch_manifest(sf_dir)
+    manifest = scratch_manifest(
+        sf_dir, "lineitem.parquet" if fam == "copairs" else "documents.parquet")
     mpath = os.path.join(scratch, "MANIFEST")
     if os.path.isdir(scratch):
         on_disk = (open(mpath).read().strip()
@@ -261,6 +385,9 @@ def sharded_oracle(sf_dir, scratch_root, name):
         if name in MINHASH_QUERIES:
             shard_minhash(con, scratch)  # per-artifact skip inside
             return minhash_result(con, scratch, name)
+        elif name in COPAIRS_QUERIES:
+            shard_copairs(con, scratch)
+            return copairs_result(con, scratch, name)
         elif name in POSTING_QUERIES:
             shard_postings(con, scratch)
             return posting_result(con, scratch, name)
@@ -287,8 +414,9 @@ def selfcheck(sf_dir, scratch_root, name):
     oracle_sql = json.load(open(f"{scratch_root}/oracle_sql.json"))[name]
     con = connect(sf_dir, os.path.join(scratch_root, ".selfcheck_tmp"))
     try:
+        # documents and lineitem are already views (connect)
         for t in ["region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "embeddings"]:
+                  "orders", "events", "embeddings"]:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
