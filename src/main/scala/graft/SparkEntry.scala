@@ -18,7 +18,8 @@ object SparkEntry {
       graft.llm.Dedup.defs ++ graft.llm.TextOps.defs ++
       graft.llm.TrainPrep.defs ++ graft.llm.Curate.defs ++
       graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++
-      graft.sources.Ingest.defs ++ graft.sources.CmdFarm.defs ++
+      graft.sources.Ingest.defs ++ graft.sources.ZipSplice.defs ++
+      graft.sources.CmdFarm.defs ++
       graft.sources.DpRun.defs ++
       graft.sources.Locality.defs ++
       graft.core.Checkpoint.defs ++ graft.core.SpawnerKvs.defs ++
