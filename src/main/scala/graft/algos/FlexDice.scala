@@ -80,6 +80,17 @@ object FlexDice {
     val (xmin, xmax, ymin, ymax) =
       if (mm.isNullAt(0)) (0.0, 0.0, 0.0, 0.0) // empty input: no rows flow
       else (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    pathsFor(p, xmin, xmax, ymin, ymax)
+  }
+
+  /** The path projection over an arbitrary (id, x, y) frame against
+    * FIXED bounds — shared by the batch dice (bounds = corpus min/max)
+    * and the streaming probe (bounds = the TRAINED dice's bounds, so an
+    * arriving point lands in exactly the cell the batch run would have
+    * put it in). Works on batch and streaming frames alike: it is one
+    * stateless projection. */
+  private[graft] def pathsFor(p: DataFrame, xmin: Double, xmax: Double,
+      ymin: Double, ymax: Double): DataFrame = {
     var df = p
       .withColumn("lox", lit(xmin)).withColumn("hix", lit(xmax))
       .withColumn("loy", lit(ymin)).withColumn("hiy", lit(ymax))
@@ -99,6 +110,30 @@ object FlexDice {
     }
     df.select(col("id") +:
       (0 until NLayers).flatMap(l => Seq(col(s"cx$l"), col(s"cy$l"))): _*)
+  }
+
+  /** Every (level, cx, cy) ancestor candidate of each point — ≤ 1 of
+    * them matches a terminal cell of a trained dice (terminal cells are
+    * prefix-disjoint). The explode is NLayers rows per point, map-only. */
+  private[graft] def cellCandidates(p: DataFrame, xmin: Double, xmax: Double,
+      ymin: Double, ymax: Double): DataFrame =
+    pathsFor(p, xmin, xmax, ymin, ymax)
+      .select(col("id"), explode(array((0 until NLayers).map(l =>
+        struct(lit(l.toLong).as("level"), col(s"cx$l").as("cx"),
+          col(s"cy$l").as("cy"))): _*)).as("c"))
+      .select(col("id"), col("c.level").as("level"), col("c.cx").as("cx"),
+        col("c.cy").as("cy"))
+
+  /** The trained dice as a servable artifact: (terminal cells, bounds).
+    * The static side of the streaming outlier probe
+    * ([[graft.streaming.StreamOps.cellProbe]]). */
+  def trainedDice(s: SparkSession, d: String)
+      : (DataFrame, (Double, Double, Double, Double)) = {
+    val mm = pts(s, d).agg(min("x"), max("x"), min("y"), max("y")).head()
+    val bounds =
+      if (mm.isNullAt(0)) (0.0, 0.0, 0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    (phase1Cached(s, d)._1, bounds)
   }
 
   /** Session cache for the dice: the three gates are three VIEWS of

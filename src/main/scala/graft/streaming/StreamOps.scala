@@ -333,6 +333,31 @@ object StreamOps {
         when(col("n_dup") * 2 <= col("n_chunks"), 1L).otherwise(0L)
           .as("keep_doc"))
 
+  /** Stream-static FlexDice outlier probe — the STREAMING sibling of
+    * the flexdice_outliers gate, completing the probe family
+    * (exact/minhash → [[indexProbe]], embedding → [[vectorProbe]],
+    * paragraph → [[chunkProbe]], density-grid → this): arriving
+    * (id, x, y) points are classified against a TRAINED dice
+    * ([[graft.algos.FlexDice.trainedDice]] — the terminal-cell table
+    * plus the training bounds). Each point's NLayers ancestor-cell
+    * candidates are computed map-only against the SAME bounds the dice
+    * was trained with ([[graft.algos.FlexDice.cellCandidates]]), then
+    * equality-join the terminal cells; terminal cells are
+    * prefix-disjoint so AT MOST ONE row survives per point. Stateless
+    * pure append — no watermark, no streaming state. A point whose
+    * verdict is SPARSE fell into a trained noise region; a point with
+    * NO verdict row landed in a region the training corpus never
+    * populated ("novel" — the strongest outlier signal); both
+    * decisions belong in the sink where batch semantics apply (the
+    * spec replays them there). */
+  def cellProbe(deltaPts: DataFrame, terminal: DataFrame,
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double): DataFrame =
+    graft.algos.FlexDice.cellCandidates(deltaPts, xmin, xmax, ymin, ymax)
+      .join(terminal.select(col("level"), col("cx"), col("cy"),
+        col("density"), col("n_objects")), Seq("level", "cx", "cy"))
+      .select(col("id").as("delta_id"), col("level"), col("cx"), col("cy"),
+        col("density"), col("n_objects"))
+
   /** Per-doc keep decision over [[streamingMinhashDedup]] verdicts: a
     * doc is a near-dup iff ANY of its bands is owned by an earlier doc;
     * dup_of = the smallest such owner (deterministic attribution). */
