@@ -576,39 +576,15 @@ object Dedup {
 
     // ---- SimHash: 60-bit sign-of-weighted-bit-votes fingerprint over
     // tokens (60 bits = one md5-derived portable hash word); candidates
-    // via 4 bands of 15 bits (hamming ≤ 3 guarantees one exact band
-    // match by pigeonhole); verified by bit_count(xor). md5-portable ⇒
-    // the DuckDB oracle replays the identical pipeline.
+    // via recall-complete hamming≤3 banding ([[simhashPairsFromSigs]] —
+    // 4×15-bit bands small, 20×30-bit block combos past
+    // [[SimComboThreshold]]); verified by bit_count(xor). Both schemes
+    // are exact-recall candidate generators for hamming ≤ 3, so the
+    // FINAL row set — and therefore the DuckDB oracle, which keeps the
+    // 4-band shape — is identical by construction at every corpus size.
     QueryDef("dedup_simhash", (s, d) => {
-      // explode + 60 codegen'd sum aggregates (higher-order array folds
-      // are interpreted expressions — a flat HashAggregate with map-side
-      // partial aggregation is both faster and shuffle-light: one 60-int
-      // vote row per doc per task crosses the wire).
-      val th = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(toks).as("t"))
-        .select(col("doc_id"), md5Long(col("t")).as("h"))
-      val voteCols = (0 until 60).map { k =>
-        sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$k")
-      }
-      val sig = th.groupBy("doc_id")
-        .agg(voteCols.head, voteCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until 60).map(k =>
-            when(col(s"v$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sim"))
-      val bands = sig.select(col("doc_id"), col("sim"),
-          explode(expr("transform(sequence(0, 3), b -> " +
-            "struct(b AS band, (shiftright(sim, b*15) & 32767) AS bits))")).as("bb"))
-        .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bits"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("id1", "id2")
+      val nDocs = Tables.load(s, d, "documents").count()
+      simhashPairsFromSigs(simhashSigs(s, d), combos = nDocs > SimComboThreshold)
     }, Some(
       s"""WITH toks AS (SELECT doc_id, $normSql AS w FROM documents),
          th AS (SELECT doc_id, ${md5LongSql("t")} AS h
@@ -627,6 +603,87 @@ object Dedup {
            ON a.bd = b.bd AND a.bits = b.bits AND a.doc_id < b.doc_id)
          SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2"""))
   )
+
+  /** Docs-count threshold above which [[simhashPairsFromSigs]] switches
+    * from the 4×15-bit banding to the 20×30-bit block-combination
+    * scheme. 32768 = 2¹⁵ keeps the historic 4-band path's mean bucket
+    * occupancy ≤ 1 per band value — every driver-gate corpus through
+    * sf0.1 (5k docs) stays bit-identical in PLAN as well as output —
+    * and matches the SRP family's widening point (AnnOps.bandBitsFor)
+    * so the two adaptive LSH policies flip together at sf1/sf10. */
+  private[llm] val SimComboThreshold = 32768L
+
+  /** Per-doc 60-bit SimHash signatures (doc_id, sim). Explode + 60
+    * codegen'd sum aggregates (higher-order array folds are interpreted
+    * expressions — a flat HashAggregate with map-side partial
+    * aggregation is both faster and shuffle-light: one 60-int vote row
+    * per doc per task crosses the wire). md5-portable ⇒ the DuckDB
+    * oracle replays the identical pipeline. */
+  private[llm] def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val th = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(toks).as("t"))
+      .select(col("doc_id"), md5Long(col("t")).as("h"))
+    val voteCols = (0 until 60).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$k")
+    }
+    th.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(k =>
+          when(col(s"v$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** All document pairs at hamming ≤ 3 over 60-bit signatures, via one
+    * of two EXACT-RECALL candidate banding schemes + bit_count(xor)
+    * verification:
+    *
+    *  - `combos = false` — the historic 4 bands × 15 bits: 3 flipped
+    *    bits leave ≥ 1 of the 4 disjoint bands untouched (pigeonhole),
+    *    so every hamming≤3 pair shares a band key. Bucket occupancy is
+    *    n/2¹⁵ per band value → the candidate stream is Θ(n²/2¹⁵·4) —
+    *    fine to ~10⁵ docs, data-independent quadratic past that (the
+    *    r12 verdict's "milder constant" cousin of the SRP finding).
+    *  - `combos = true` — the block-combination scheme (Manber '94 /
+    *    the Google simhash-dedup construction, Manku et al. WWW'07
+    *    §3): split the 60 bits into 6 disjoint 10-bit blocks; ≤ 3
+    *    flipped bits touch ≤ 3 blocks, so ≥ 3 blocks are clean and at
+    *    least one of the C(6,3) = 20 block triples matches EXACTLY.
+    *    Key = the triple's 30 concatenated bits → occupancy n/2³⁰:
+    *    at target occupancy 128 the keys stay selective to n ≈ 1.4·10¹¹
+    *    docs, for 5× the band rows. Like kmr_match
+    *    (reference src/kmrmoreops.c:695-728) the join key must stay
+    *    selective as n grows — this is the simhash analog of
+    *    AnnOps.bandBitsFor.
+    *
+    * Both schemes generate a SUPERSET of the hamming≤3 pairs and the
+    * final filter is the exact hamming test, so the returned row set is
+    * identical — the DuckDB oracle needs no mode switch (it keeps the
+    * 4-band SQL; SimhashAdaptiveSpec pins mode equality end-to-end). */
+  private[llm] def simhashPairsFromSigs(sig: DataFrame, combos: Boolean): DataFrame = {
+    val blk = (j: Int) => shiftright(col("sim"), j * 10).bitwiseAND(lit(1023L))
+    val bandCol =
+      if (!combos)
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "struct(b AS band, (shiftright(sim, b*15) & 32767) AS bits))"))
+      else explode(array(
+        (0 until 6).combinations(3).toSeq.zipWithIndex.map { case (bs, i) =>
+          struct(lit(i).as("band"),
+            (shiftleft(blk(bs(0)), 20) + shiftleft(blk(bs(1)), 10) + blk(bs(2)))
+              .as("bits"))
+        }: _*))
+    val bands = sig.select(col("doc_id"), col("sim"), bandCol.as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bits"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id1", "id2")
+  }
 
   /** Connected components of an undirected pair graph via alternating
     * large-star/small-star contraction (Kiveris et al., "Connected

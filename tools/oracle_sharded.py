@@ -196,6 +196,26 @@ COPAIRS_FINAL = {
 }
 COPAIRS_QUERIES = set(COPAIRS_FINAL)
 
+# r13: SimHash family (dedup_simhash). The monolithic oracle's 4-band
+# self-join materializes a ~460M-pair candidate stream at sf10 (the
+# fixed-width 4x15 banding the ENGINE stops using past 32768 docs —
+# Dedup.simhashPairsFromSigs switches to 20x30-bit block combos — but
+# the ORACLE keeps: both schemes are exact-recall for hamming<=3, so
+# the oracle replay doubles as proof the adaptive path changes nothing).
+# Sharded: signatures materialize once (the 60-vote aggregate is linear
+# and cheap), then each pass k self-joins only the (band, bits) buckets
+# with hash(bits*4 + bd) % SHARDS = k and applies the exact hamming
+# filter IN-SHARD, so only true hamming<=3 pairs ever hit scratch. A
+# bucket lives in exactly one shard; a pair matching in several bands
+# recurs across shards, and hamming is a function of the pair, so the
+# global DISTINCT of the final pass reproduces the monolithic DISTINCT.
+SIMHASH_FINAL = {
+    "dedup_simhash":
+        " SELECT DISTINCT id1, id2, hamming FROM candparts"
+        " ORDER BY id1, id2",
+}
+SIMHASH_QUERIES = set(SIMHASH_FINAL)
+
 
 def connect(sf_dir, tmp):
     import duckdb
@@ -357,6 +377,44 @@ def copairs_result(con, scratch, name):
     return con.execute(sql).fetchdf()
 
 
+def shard_simhash(con, scratch):
+    """Signatures once (committed dedup_simhash oracle text verbatim:
+    normalize -> tokens -> md5 fold -> 60 sign-of-votes bits), then 16
+    bucket-hash-sharded band self-joins with the exact hamming filter
+    applied in-shard."""
+    if copy_to(con, f"""
+      WITH toks AS (SELECT doc_id, {NORM} AS w FROM documents),
+      th AS (SELECT doc_id, {md5long('t')} AS h
+        FROM (SELECT doc_id, unnest(w) AS t FROM toks) u),
+      votes AS (SELECT doc_id, k,
+        sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(range(0, 60)) AS k) ks GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN v >= 0 THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS sim
+      FROM votes GROUP BY 1""", f"{scratch}/sims.parquet"):
+        print("  simhash signatures assembled", flush=True)
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH keys AS (SELECT doc_id, sim, bd,
+              (sim >> (bd*15)) & 32767 AS bits
+            FROM '{scratch}/sims.parquet',
+                 (SELECT unnest(range(0, 4)) AS bd) bs
+            WHERE hash(((sim >> (bd*15)) & 32767) * 4 + bd) % {SHARDS} = {k})
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+          FROM keys a JOIN keys b
+          ON a.bd = b.bd AND a.bits = b.bits AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
+                   f"{scratch}/sh_{k:02d}.parquet"):
+            print(f"  simhash band shard {k + 1}/{SHARDS}", flush=True)
+
+
+def simhash_result(con, scratch, name):
+    sql = (f"WITH candparts AS (SELECT * FROM '{scratch}/sh_*.parquet')"
+           f"{SIMHASH_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
 def sharded_oracle(sf_dir, scratch_root, name):
     # Scratch is keyed by FAMILY and kept between runs: the two minhash
     # gates share identical partials (and so do the two posting gates),
@@ -364,7 +422,8 @@ def sharded_oracle(sf_dir, scratch_root, name):
     # shards. A manifest (shard count + corpus fingerprint) guards the
     # reuse: on mismatch the stale scratch is DELETED and rebuilt.
     fam = ("minhash" if name in MINHASH_QUERIES
-           else "copairs" if name in COPAIRS_QUERIES else "posting")
+           else "copairs" if name in COPAIRS_QUERIES
+           else "simhash" if name in SIMHASH_QUERIES else "posting")
     scratch = os.path.join(scratch_root, f".shard_{fam}")
     manifest = scratch_manifest(
         sf_dir, "lineitem.parquet" if fam == "copairs" else "documents.parquet")
@@ -388,6 +447,9 @@ def sharded_oracle(sf_dir, scratch_root, name):
         elif name in COPAIRS_QUERIES:
             shard_copairs(con, scratch)
             return copairs_result(con, scratch, name)
+        elif name in SIMHASH_QUERIES:
+            shard_simhash(con, scratch)
+            return simhash_result(con, scratch, name)
         elif name in POSTING_QUERIES:
             shard_postings(con, scratch)
             return posting_result(con, scratch, name)
