@@ -41,12 +41,23 @@ object Verify {
         SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // SPARK_GRAFT_VERIFY_RESUME=1: skip queries whose dump already has
+    // a _SUCCESS marker — lets a big-SF census (hours of wall-clock)
+    // survive an interrupted run without redoing finished queries. OFF
+    // by default: the driver gate must always re-dump everything (a
+    // stale dump of CHANGED code passing the oracle would be a silent
+    // false green).
+    val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
     val tasks = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       new java.util.concurrent.Callable[Unit] {
         override def call(): Unit =
           try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
+            if (resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) {
+              System.err.println(s"[verify] $name resumed (dump exists)")
+            } else {
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+            }
             GateLock.touch(lockOwned) // liveness heartbeat per completed query
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")

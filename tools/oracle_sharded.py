@@ -99,6 +99,14 @@ MINHASH_FINAL = {
     "dedup_indexed":
         " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32"
         " ORDER BY id1, id2",
+    # r13 full-census follow-up: the INLINE minhash gate shares
+    # dedup_indexed's oracle text byte-for-byte (one replay, two engine
+    # paths — same pattern as the jaccard/containment inline aliases),
+    # so the same sharded replay attests it; only the engine parquet
+    # compared against differs.
+    "dedup_minhash":
+        " SELECT id1, id2, n_match FROM cand WHERE n_match >= 32"
+        " ORDER BY id1, id2",
     # r13: the two closure gates (attested only to sf1 before) — the
     # committed Dedup.scala / Curate.scala final passes verbatim over
     # the sharded candidate set.
@@ -170,6 +178,10 @@ POSTING_FINAL = {
 # engine parquet compared against differs.
 POSTING_FINAL["dedup_jaccard"] = POSTING_FINAL["dedup_jaccard_indexed"]
 POSTING_FINAL["dedup_containment"] = POSTING_FINAL["dedup_containment_indexed"]
+# r13 full-census follow-up: the PPJoin prefix-filtered production path
+# also shares the jaccard oracle text byte-for-byte — third engine path
+# against the same replay.
+POSTING_FINAL["dedup_jaccard_prefix"] = POSTING_FINAL["dedup_jaccard_indexed"]
 
 MINHASH_QUERIES = set(MINHASH_FINAL)
 POSTING_QUERIES = set(POSTING_FINAL)
