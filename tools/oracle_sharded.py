@@ -329,8 +329,12 @@ def shard_postings(con, scratch):
         if copy_to(con, f"""
           SELECT id1, id2, CAST(sum(inter) AS BIGINT) AS inter
           FROM '{scratch}/jp_*.parquet'
-          WHERE hash(id1 * 4294967311 + id2) % {SHARDS} = {m}
-          GROUP BY 1, 2""", f"{scratch}/pairs_{m:02d}.parquet"):
+          WHERE hash(id1, id2) % {SHARDS} = {m}
+          GROUP BY 1, 2""", f"{scratch}/pairs2_{m:02d}.parquet"):
+            # pairs2_: the re-agg key changed from hash(id1*c + id2)
+            # (INT64 overflow at sf10 doc_ids ~9.9e9) to hash(id1, id2);
+            # the new artifact name keeps a resumable scratch from
+            # unioning partials produced under the old key.
             print(f"  pair re-agg shard {m + 1}/{SHARDS}", flush=True)
     if copy_to(con, f"""
       WITH {SHINGLES}
@@ -340,7 +344,7 @@ def shard_postings(con, scratch):
 
 
 def posting_result(con, scratch, name):
-    sql = (f"WITH pairs AS (SELECT * FROM '{scratch}/pairs_*.parquet'),\n"
+    sql = (f"WITH pairs AS (SELECT * FROM '{scratch}/pairs2_*.parquet'),\n"
            f"  sizes AS (SELECT * FROM '{scratch}/sizes.parquet')\n"
            f"{POSTING_FINAL[name]}")
     return con.execute(sql).fetchdf()
