@@ -228,6 +228,37 @@ SIMHASH_FINAL = {
 }
 SIMHASH_QUERIES = set(SIMHASH_FINAL)
 
+# r13 census follow-up: winnowing family (dedup_substring +
+# dedup_substring_indexed — one oracle text, two engine paths). The
+# monolithic oracle computes per-doc winnow fingerprints (31-char-gram
+# md5 minima over window 15), a df<=50 cap, and a posting self-join in
+# ONE query — resource-exhausted at sf10. Sharded exactly like the
+# shingle posting family: the capped (doc_id, fp) posting list
+# materializes once (the df cap is computed globally IN that pass),
+# then per-shard pair partials over hash(fp) % SHARDS (an fp lives in
+# exactly one shard, so partial counts SUM to the exact n_shared).
+WINNOW_POSTINGS = """
+  WITH h AS (SELECT doc_id,
+      list_transform(range(1, greatest(length(text) - 30, 2)),
+        i -> CAST(concat('0x', substr(md5(text[i:i+31]), 1, 15)) AS BIGINT)) AS hs
+    FROM documents WHERE length(text) >= 47),
+  f AS (SELECT doc_id,
+      list_distinct(list_transform(range(1, greatest(len(hs) - 14, 2)),
+        j -> list_min(hs[j:j+15]))) AS fps
+    FROM h),
+  g AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+  dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= 50)
+  SELECT g.doc_id, g.fp FROM g JOIN dfk USING (fp)"""
+
+WINNOW_FINAL = {
+    "dedup_substring": """
+  SELECT id1, id2, CAST(sum(c) AS BIGINT) AS n_shared
+  FROM wparts GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dedup_substring_indexed": None,  # alias — same oracle text
+}
+WINNOW_FINAL["dedup_substring_indexed"] = WINNOW_FINAL["dedup_substring"]
+WINNOW_QUERIES = set(WINNOW_FINAL)
+
 
 def connect(sf_dir, tmp):
     import duckdb
@@ -431,6 +462,28 @@ def simhash_result(con, scratch, name):
     return con.execute(sql).fetchdf()
 
 
+def shard_winnow(con, scratch):
+    """Capped winnow posting list once (the committed dedup_substring
+    oracle's h/f/g/dfk chain verbatim — the df cap is GLOBAL, computed
+    inside this one pass), then hash(fp)-sharded pair partials."""
+    if copy_to(con, WINNOW_POSTINGS, f"{scratch}/wkept.parquet"):
+        print("  winnow postings assembled", flush=True)
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH sh AS (SELECT doc_id, fp FROM '{scratch}/wkept.parquet'
+                      WHERE hash(fp) % {SHARDS} = {k})
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2""", f"{scratch}/wp_{k:02d}.parquet"):
+            print(f"  winnow shard {k + 1}/{SHARDS}", flush=True)
+
+
+def winnow_result(con, scratch, name):
+    sql = (f"WITH wparts AS (SELECT * FROM '{scratch}/wp_*.parquet')"
+           f"{WINNOW_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
 def sharded_oracle(sf_dir, scratch_root, name):
     # Scratch is keyed by FAMILY and kept between runs: the two minhash
     # gates share identical partials (and so do the two posting gates),
@@ -439,7 +492,8 @@ def sharded_oracle(sf_dir, scratch_root, name):
     # reuse: on mismatch the stale scratch is DELETED and rebuilt.
     fam = ("minhash" if name in MINHASH_QUERIES
            else "copairs" if name in COPAIRS_QUERIES
-           else "simhash" if name in SIMHASH_QUERIES else "posting")
+           else "simhash" if name in SIMHASH_QUERIES
+           else "winnow" if name in WINNOW_QUERIES else "posting")
     scratch = os.path.join(scratch_root, f".shard_{fam}")
     manifest = scratch_manifest(
         sf_dir, "lineitem.parquet" if fam == "copairs" else "documents.parquet")
@@ -466,6 +520,9 @@ def sharded_oracle(sf_dir, scratch_root, name):
         elif name in SIMHASH_QUERIES:
             shard_simhash(con, scratch)
             return simhash_result(con, scratch, name)
+        elif name in WINNOW_QUERIES:
+            shard_winnow(con, scratch)
+            return winnow_result(con, scratch, name)
         elif name in POSTING_QUERIES:
             shard_postings(con, scratch)
             return posting_result(con, scratch, name)
