@@ -259,6 +259,58 @@ WINNOW_FINAL = {
 WINNOW_FINAL["dedup_substring_indexed"] = WINNOW_FINAL["dedup_substring"]
 WINNOW_QUERIES = set(WINNOW_FINAL)
 
+# r13 census follow-up: fuzzy_pairs. The monolithic oracle's
+# block-keyed self-join + in-join levenshtein exhausts the solo budget
+# at sf10. A pair lives in exactly ONE first-token block, so sharding
+# the (already globally block-capped) keyed table by hash(blk) % SHARDS
+# partitions the PAIR set exactly: per-shard results (edit distance
+# filtered in-shard) union to the monolithic result with no re-agg.
+FUZZY_KEYED = """
+  WITH t AS (SELECT doc_id,
+      substring(trim(regexp_replace(lower(text),'\\s+',' ','g')), 1, 32) AS prefix,
+      (string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' '))[1] AS blk
+    FROM documents),
+  keep AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= 10000)
+  SELECT t.* FROM t JOIN keep USING (blk)"""
+
+FUZZY_FINAL = {
+    "fuzzy_pairs":
+        " SELECT id1, id2, edit_dist FROM fparts ORDER BY id1, id2",
+}
+FUZZY_QUERIES = set(FUZZY_FINAL)
+
+# r13 census follow-up: dedup_eval — precision/recall of the minhash
+# candidate set against exact-Jaccard >= 0.5 truth. Its monolithic
+# oracle recomputes BOTH pipelines in one query; the sharded form
+# reuses the minhash scratch (sigs + band candidates) and the posting
+# scratch (exact pair intersections + gram sizes) — the same attested
+# partials that already judge dedup_indexed and dedup_jaccard — and
+# only the small compose tail below is new. The committed monolithic
+# tail, verbatim: truth join, candidate threshold, FULL OUTER JOIN,
+# ppm ratios.
+EVAL_QUERIES = {"dedup_eval"}
+
+# r13 census follow-up: dedup_embedding (label-blocked exact cosine,
+# EmbBlockCap HAVING guard). A pair lives in exactly ONE label block,
+# so sharding the capped keyed table by hash(label) % SHARDS partitions
+# the pair set exactly — per-shard thresholded results union to the
+# monolithic rows with no re-agg. Norms are precomputed per vector in
+# the keyed pass: nullif(a.nrm * b.nrm, 0) is the same float ops in the
+# same order as the monolithic nullif(sqrt(dot(a,a))*sqrt(dot(b,b)),0),
+# so values stay bit-identical.
+EMB_KEYED = """
+  WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+  ok AS (SELECT label FROM v GROUP BY label HAVING count(*) <= 100000)
+  SELECT v.vec_id, v.label, v.e, sqrt(list_dot_product(v.e, v.e)) AS nrm
+  FROM v JOIN ok USING (label)"""
+
+EMB_FINAL = {
+    "dedup_embedding":
+        " SELECT label, id1, id2, cos_sim FROM eparts ORDER BY id1, id2",
+}
+EMB_QUERIES = set(EMB_FINAL)
+
 
 def connect(sf_dir, tmp):
     import duckdb
@@ -271,9 +323,10 @@ def connect(sf_dir, tmp):
     con.execute(f"SET max_temp_directory_size='{TMP_QUOTA}'")
     con.execute("CREATE VIEW documents AS "
                 f"SELECT * FROM '{sf_dir}/documents.parquet'")
-    if os.path.exists(f"{sf_dir}/lineitem.parquet"):
-        con.execute("CREATE VIEW lineitem AS "
-                    f"SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    for t in ("lineitem", "embeddings"):
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
 
 
@@ -484,19 +537,88 @@ def winnow_result(con, scratch, name):
     return con.execute(sql).fetchdf()
 
 
-def sharded_oracle(sf_dir, scratch_root, name):
-    # Scratch is keyed by FAMILY and kept between runs: the two minhash
-    # gates share identical partials (and so do the two posting gates),
-    # and a failed/tuned final pass must not recompute 20+ minutes of
-    # shards. A manifest (shard count + corpus fingerprint) guards the
-    # reuse: on mismatch the stale scratch is DELETED and rebuilt.
-    fam = ("minhash" if name in MINHASH_QUERIES
-           else "copairs" if name in COPAIRS_QUERIES
-           else "simhash" if name in SIMHASH_QUERIES
-           else "winnow" if name in WINNOW_QUERIES else "posting")
+def shard_fuzzy(con, scratch):
+    """Globally block-capped keyed table once (committed fuzzy_pairs
+    oracle text verbatim), then hash(blk)-sharded block self-joins with
+    the threshold levenshtein applied in-shard."""
+    if copy_to(con, FUZZY_KEYED, f"{scratch}/fkeyed.parquet"):
+        print("  fuzzy keyed table assembled", flush=True)
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH sh AS (SELECT doc_id, prefix, blk
+                      FROM '{scratch}/fkeyed.parquet'
+                      WHERE hash(blk) % {SHARDS} = {k})
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+          FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.prefix, b.prefix) <= 8""",
+                   f"{scratch}/fz_{k:02d}.parquet"):
+            print(f"  fuzzy shard {k + 1}/{SHARDS}", flush=True)
+
+
+def fuzzy_result(con, scratch, name):
+    sql = (f"WITH fparts AS (SELECT * FROM '{scratch}/fz_*.parquet')"
+           f"{FUZZY_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
+def shard_emb(con, scratch):
+    """Capped keyed vector table once (committed dedup_embedding oracle
+    text + precomputed norms), then hash(label)-sharded block
+    self-joins with the cosine threshold applied in-shard."""
+    if copy_to(con, EMB_KEYED, f"{scratch}/ekeyed.parquet"):
+        print("  embedding keyed table assembled", flush=True)
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH sh AS (SELECT * FROM '{scratch}/ekeyed.parquet'
+                      WHERE hash(label) % {SHARDS} = {k}),
+          pairs AS (SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+              list_dot_product(a.e, b.e) / nullif(a.nrm * b.nrm, 0) AS cos
+            FROM sh a JOIN sh b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT CAST(label AS BIGINT) AS label, id1, id2,
+                 round(cos, 6) AS cos_sim
+          FROM pairs WHERE cos >= 0.4""",
+                   f"{scratch}/eb_{k:02d}.parquet"):
+            print(f"  embedding shard {k + 1}/{SHARDS}", flush=True)
+
+
+def emb_result(con, scratch, name):
+    sql = (f"WITH eparts AS (SELECT * FROM '{scratch}/eb_*.parquet')"
+           f"{EMB_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
+def eval_result(con, mh_scratch, po_scratch):
+    sql = (
+        f"WITH RECURSIVE sigs AS (SELECT * FROM '{mh_scratch}/sigs.parquet'),\n"
+        f"  candparts AS (SELECT * FROM '{mh_scratch}/cand_*.parquet'),\n"
+        f"  {MINHASH_TAIL},\n"
+        f"  jpair AS (SELECT * FROM '{po_scratch}/pairs2_*.parquet'),\n"
+        f"  sizes AS (SELECT * FROM '{po_scratch}/sizes.parquet'),\n"
+        """truth AS (SELECT id1, id2, 1 AS t FROM jpair
+           JOIN sizes s1 ON s1.doc_id = jpair.id1
+           JOIN sizes s2 ON s2.doc_id = jpair.id2
+           WHERE round(CAST(inter AS DOUBLE)/(s1.n + s2.n - inter), 6) >= 0.5),
+         cands AS (SELECT id1, id2, 1 AS c FROM cand WHERE n_match >= 32),
+         m AS (SELECT coalesce(truth.t, 0) AS t, coalesce(cands.c, 0) AS c
+           FROM truth FULL OUTER JOIN cands USING (id1, id2))
+       SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+         CAST(sum(c) AS BIGINT) AS n_cand,
+         CAST(sum(t*c) AS BIGINT) AS n_hits,
+         (1000000 * CAST(sum(t*c) AS BIGINT)) // nullif(CAST(sum(c) AS BIGINT), 0) AS precision_ppm,
+         (1000000 * CAST(sum(t*c) AS BIGINT)) // nullif(CAST(sum(t) AS BIGINT), 0) AS recall_ppm
+       FROM m""")
+    return con.execute(sql).fetchdf()
+
+
+def family_scratch(sf_dir, scratch_root, fam):
+    """Manifest-guarded per-family scratch dir (shards + corpus
+    fingerprint): stale layouts are deleted and rebuilt, never mixed."""
     scratch = os.path.join(scratch_root, f".shard_{fam}")
     manifest = scratch_manifest(
-        sf_dir, "lineitem.parquet" if fam == "copairs" else "documents.parquet")
+        sf_dir, "lineitem.parquet" if fam == "copairs"
+        else "embeddings.parquet" if fam == "emb" else "documents.parquet")
     mpath = os.path.join(scratch, "MANIFEST")
     if os.path.isdir(scratch):
         on_disk = (open(mpath).read().strip()
@@ -509,6 +631,23 @@ def sharded_oracle(sf_dir, scratch_root, name):
     if not os.path.exists(mpath):
         with open(mpath, "w") as f:
             f.write(manifest + "\n")
+    return scratch
+
+
+def sharded_oracle(sf_dir, scratch_root, name):
+    # Scratch is keyed by FAMILY and kept between runs: the two minhash
+    # gates share identical partials (and so do the two posting gates),
+    # and a failed/tuned final pass must not recompute 20+ minutes of
+    # shards. A manifest (shard count + corpus fingerprint) guards the
+    # reuse: on mismatch the stale scratch is DELETED and rebuilt.
+    fam = ("minhash" if name in MINHASH_QUERIES
+           else "copairs" if name in COPAIRS_QUERIES
+           else "simhash" if name in SIMHASH_QUERIES
+           else "winnow" if name in WINNOW_QUERIES
+           else "fuzzy" if name in FUZZY_QUERIES
+           else "eval" if name in EVAL_QUERIES
+           else "emb" if name in EMB_QUERIES else "posting")
+    scratch = family_scratch(sf_dir, scratch_root, fam)
     con = connect(sf_dir, os.path.join(scratch, "duck_tmp"))
     try:
         if name in MINHASH_QUERIES:
@@ -523,6 +662,23 @@ def sharded_oracle(sf_dir, scratch_root, name):
         elif name in WINNOW_QUERIES:
             shard_winnow(con, scratch)
             return winnow_result(con, scratch, name)
+        elif name in FUZZY_QUERIES:
+            shard_fuzzy(con, scratch)
+            return fuzzy_result(con, scratch, name)
+        elif name in EVAL_QUERIES:
+            # dedup_eval composes two attested families: minhash
+            # candidates (n_match >= 32) vs exact-Jaccard truth
+            # (inter / union >= 0.5 over the SAME posting partials).
+            # Build/serve both ingredient scratches — each resumable,
+            # each a no-op when its artifacts already exist.
+            mh = family_scratch(sf_dir, scratch_root, "minhash")
+            po = family_scratch(sf_dir, scratch_root, "posting")
+            shard_minhash(con, mh)
+            shard_postings(con, po)
+            return eval_result(con, mh, po)
+        elif name in EMB_QUERIES:
+            shard_emb(con, scratch)
+            return emb_result(con, scratch, name)
         elif name in POSTING_QUERIES:
             shard_postings(con, scratch)
             return posting_result(con, scratch, name)
@@ -554,7 +710,8 @@ def selfcheck(sf_dir, scratch_root, name):
                   "orders", "events", "embeddings"]:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+                con.execute(
+                    f"CREATE VIEW IF NOT EXISTS {t} AS SELECT * FROM '{p}'")
         mono = con.execute(oracle_sql).fetchdf()
     finally:
         con.close()
