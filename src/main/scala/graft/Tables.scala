@@ -84,6 +84,40 @@ object Tables {
     load(spark, sfDir, "events").withColumn("ts_t", timestamp_micros(tsUs))
   }
 
+  /** Memoized corpus ROW COUNT (ADVICE r13): adaptive-parameter
+    * choices (SRP band width, SimHash banding mode) need n once per
+    * corpus, not one count scan per gate invocation folded into that
+    * query's timing. Keyed by dir + table + a filesystem stamp
+    * (content length + mtimes), so a regenerated corpus misses the
+    * cache naturally without paying a data scan for the freshness
+    * check — exactly the catalog row-count lookup a production
+    * metastore serves for free. Per-JVM (the count is
+    * session-independent); bounded. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def cachedCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val stamp = try {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cs = fs.getContentSummary(p)
+      // directory mtime alone misses an in-place file rewrite; fold the
+      // newest file mtime in as well
+      val newest = fs.listStatus(p) match {
+        case null => 0L
+        case sts if sts.nonEmpty => sts.map(_.getModificationTime).max
+        case _ => fs.getFileStatus(p).getModificationTime
+      }
+      s"${cs.getLength}|${fs.getFileStatus(p).getModificationTime}|$newest"
+    } catch {
+      // unstampable (exotic FS) → unique key = plain uncached count
+      case _: Exception => java.util.UUID.randomUUID().toString
+    }
+    if (countCache.size > 64) countCache.clear()
+    countCache.computeIfAbsent(s"$sfDir|$name|$stamp",
+      _ => load(spark, sfDir, name).count())
+  }
+
   /** Drop a managed table AND its warehouse location. A directory left
     * by a previous session is invisible to a fresh session's in-memory
     * catalog, so `mode("overwrite").saveAsTable` alone throws

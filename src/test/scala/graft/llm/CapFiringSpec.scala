@@ -125,6 +125,37 @@ class CapFiringSpec extends SparkSuite {
       s"fixture no longer adversarial (cap would be vacuous): $uncapped")
   }
 
+  test("SRP-LSH bucket cap fires: a planted hot direction drops its " +
+      "buckets WHOLE, cold buckets still pair") {
+    // Planted hot direction: cap+2 IDENTICAL unit vectors along e₀ —
+    // identical sign pattern in every band, so all 8 of their buckets
+    // exceed the cap and the capped run must yield ZERO candidates
+    // from them (dropped whole, exactly like EmbBlockCap/SemCellCap),
+    // even though every pair is an exact dup. Two identical vectors
+    // along a DIFFERENT direction occupy cold buckets (occupancy 2)
+    // and must still pair. This is the anisotropic-corpus failure mode
+    // the round-13 verdict flagged: bandBitsFor bounds the MEAN
+    // occupancy, only this cap bounds the TAIL.
+    val cap = 4L
+    val dim = 64
+    def unit(axis: Int): Seq[Double] =
+      Seq.tabulate(dim)(i => if (i == axis) 1.0 else 0.0)
+    val hot = (0 until (cap + 2).toInt).map(i => (100L + i, unit(0)))
+    val cold = Seq((900L, unit(7)), (901L, unit(7)))
+    val v = (hot ++ cold).toDF("vec_id", "e").withColumn("nrm", lit(1.0))
+
+    val capped = AnnOps.lshCandidates(spark, v, nb = 8, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((900L, 901L)),
+      s"capped run must keep only the cold bucket's pair: $capped")
+
+    val uncapped = AnnOps.lshCandidates(spark, v, nb = 8, bucketCap = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == (cap + 2) * (cap + 1) / 2 + 1,
+      s"fixture no longer adversarial (hot pairs absent uncapped): $uncapped")
+    assert(capped != uncapped, "cap did not fire — fixture is dead")
+  }
+
   test("fuzzy block cap fires: a stop-token block is dropped whole, " +
       "discriminative blocks still pair") {
     // FuzzyBlockCap+1 docs share first token "the" — uncapped this

@@ -110,23 +110,51 @@ def compare_frames(name, spark_df, oracle_df):
         return 1
     if len(s) != len(o):
         print(f"FAIL {name}: rows {len(s)} vs {len(o)}"); return 1
-    # Row-order-insensitive: sort BOTH frames by the stringified value
-    # tuple before the positional compare (pysmoke's rule). The compare
-    # used to lean on the oracle's top-level ORDER BY matching the
-    # engine dump's file order, but DuckDB under
+    # POSITIONAL compare first (ADVICE r13): every engine query ends in
+    # .orderBy() and every oracle carries a top-level ORDER BY, so row
+    # order IS part of the contract and an engine that drops a sort must
+    # not pass silently. Only when the positional compare fails do we
+    # fall back to a row-sorted compare — DuckDB under
     # preserve_insertion_order=false + threads>1 does not reliably honor
-    # either (the ROUND13 runbook's measured ORDER BY drop): at sf10 the
-    # two ~10M-row gates (sessionize_batch, window_analytics) produced
-    # IDENTICAL row sets that arrived differently ordered and failed
-    # positionally. Equal values stringify equally (dtypes already
-    # checked equal), so sorting both sides by str-tuple preserves
-    # exactness while removing the order coupling.
+    # its own ORDER BY at ~10M rows (the ROUND13 runbook's measured
+    # drop: sessionize_batch / window_analytics emitted identical row
+    # sets differently ordered) — and a pass via the fallback is
+    # reported distinctly as order-insensitive so it stays visible.
+    first = _mismatch(s, o)
+    if first is None:
+        print(f"PASS {name} ({len(s)} rows)")
+        return 0
     import numpy as np
+
     def _order(df):
-        return np.lexsort([df[c].astype(str).values
-                           for c in reversed(list(df.columns))])
-    s = s.iloc[_order(s)].reset_index(drop=True)
-    o = o.iloc[_order(o)].reset_index(drop=True)
+        # Sort keys: NUMERIC columns sort numerically (ADVICE r13: a
+        # string sort misaligns values that are == but stringify
+        # differently, e.g. -0.0 vs 0.0); everything else by str.
+        keys = []
+        for c in reversed(list(df.columns)):
+            v = df[c]
+            keys.append(v.values if v.dtype.kind in "fiu"
+                        else v.astype(str).values)
+        return np.lexsort(keys)
+    s2 = s.iloc[_order(s)].reset_index(drop=True)
+    o2 = o.iloc[_order(o)].reset_index(drop=True)
+    second = _mismatch(s2, o2)
+    if second is None:
+        # identical row SETS, divergent order: almost always the DuckDB
+        # ORDER BY instability — passes, but says so
+        c, i, a, b = first
+        print(f"PASS {name} ({len(s)} rows, order-insensitive: positional "
+              f"first-diff col={c} row={i} spark={a!r} oracle={b!r})")
+        return 0
+    c, i, a, b = second
+    print(f"FAIL {name}: value mismatch col={c} row={i}: "
+          f"spark={a!r} oracle={b!r}")
+    return 1
+
+
+def _mismatch(s, o):
+    """First differing cell between two same-shape frames, or None.
+    Exact compare: floats by ==, NaN==NaN, everything else by str."""
     for c in s.columns:
         for i, (a, b) in enumerate(zip(list(s[c]), list(o[c]))):
             if a is None and b is None:
@@ -135,15 +163,10 @@ def compare_frames(name, spark_df, oracle_df):
                 if math.isnan(a) and math.isnan(b):
                     continue
                 if a != b:
-                    print(f"FAIL {name}: value mismatch col={c} row={i}: "
-                          f"spark={a!r} oracle={b!r}")
-                    return 1
+                    return (c, i, a, b)
             elif str(a) != str(b):
-                print(f"FAIL {name}: value mismatch col={c} row={i}: "
-                      f"spark={a!r} oracle={b!r}")
-                return 1
-    print(f"PASS {name} ({len(s)} rows)")
-    return 0
+                return (c, i, a, b)
+    return None
 
 
 def acquire_lock():
@@ -197,6 +220,8 @@ def main(sf_dir, out_dir, cap):
     open(partial, "w").close()  # truncate: this run's incremental record
     n_pass = n_fail = n_to = 0
     failed, timed_out = [], []
+    statuses = {}
+    t_run = time.time()
     got_lock = acquire_lock()
     try:
         for name in sorted(oracles):
@@ -253,6 +278,7 @@ def main(sf_dir, out_dir, cap):
                     os.utime(LOCK)
                 except OSError:
                     pass
+            statuses[name] = detail.splitlines()[0][:200] if detail else status
             with open(partial, "a") as f:
                 f.write(json.dumps({"query": name, "status": status,
                                     "detail": detail,
@@ -265,6 +291,17 @@ def main(sf_dir, out_dir, cap):
     finally:
         if got_lock:
             release_lock()
+    # durable in-repo attestation (r13 verdict item 2): the /tmp census
+    # logs of heavy runs did not survive for the judge — leave a tiny
+    # committed record instead. GRAFT_ATTEST_KIND distinguishes e.g. a
+    # local-cluster census from a plain one.
+    try:
+        from attest import write_attest
+        write_attest(os.environ.get("GRAFT_ATTEST_KIND", "gate"),
+                     sf_dir, statuses, time.time() - t_run,
+                     extra={"cap_sec": cap})
+    except Exception as e:
+        print(f"WARN attest record not written: {e}", file=sys.stderr)
     print(f"\n{n_pass} pass / {n_fail} fail / {n_to} oracle-timeout "
           f"/ {len(oracles)} oracled (cap {cap} s)")
     if failed:

@@ -205,8 +205,84 @@ COPAIRS_FINAL = {
   SELECT CAST(count(*) AS BIGINT) AS n_wedges,
     CAST(sum(CASE WHEN p.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_triangles
   FROM w LEFT JOIN pairs p ON w.w1 = p.u AND w.w2 = p.v""",
+    # r14 (verdict item 3): link_predict and clustering_coeff both
+    # start from the SAME sparsified top-2000 edge set — everything
+    # past `pairs` is a trivially-small wedge/degree tail, so the
+    # already-attested copairs scratch converts both. Tails are the
+    # committed Graph.scala oracles verbatim.
+    "link_predict": """,
+  e AS (SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs),
+  deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+  cn AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS common FROM e e1 JOIN e e2
+    ON e1.src = e2.src AND e1.dst < e2.dst GROUP BY 1, 2),
+  cand AS (SELECT cn.a, cn.b, cn.common FROM cn WHERE NOT EXISTS
+    (SELECT 1 FROM pairs p WHERE p.u = cn.a AND p.v = cn.b))
+  SELECT c.a, c.b, c.common,
+    (1000000 * c.common) // (da.deg + db.deg - c.common) AS jaccard_ppm
+  FROM cand c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id
+  ORDER BY c.common DESC, jaccard_ppm DESC, c.a, c.b LIMIT 100""",
+    "clustering_coeff": """,
+  deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+    (SELECT u AS id FROM pairs UNION ALL SELECT v AS id FROM pairs) GROUP BY id),
+  o AS (SELECT CASE WHEN du.deg <= dv.deg THEN p.u ELSE p.v END AS src,
+    CASE WHEN du.deg <= dv.deg THEN p.v ELSE p.u END AS dst
+    FROM pairs p JOIN deg du ON p.u = du.id JOIN deg dv ON p.v = dv.id),
+  w AS (SELECT e1.src AS src, e1.dst AS w1, e2.dst AS w2 FROM o e1 JOIN o e2
+    ON e1.src = e2.src AND e1.dst < e2.dst),
+  tri AS (SELECT src, w1, w2 FROM w JOIN pairs p ON w.w1 = p.u AND w.w2 = p.v),
+  tv AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM
+    (SELECT src AS id FROM tri UNION ALL SELECT w1 FROM tri
+     UNION ALL SELECT w2 FROM tri) GROUP BY id)
+  SELECT d.id, d.deg, COALESCE(tv.n_tri, 0) AS n_tri,
+    (2000 * COALESCE(tv.n_tri, 0)) // nullif(d.deg * (d.deg - 1), 0) AS coeff_milli
+  FROM deg d LEFT JOIN tv USING (id) ORDER BY d.id""",
 }
 COPAIRS_QUERIES = set(COPAIRS_FINAL)
+
+# r14 (verdict item 3): pagerank_exact. The monolithic oracle's
+# orders x lineitem edge derivation + five superstep CTEs exhaust the
+# solo budget at sf10. Sharded: (1) the DISTINCT edge set is derived in
+# SHARDS order-partitioned passes (both sides filter the SAME
+# hash(orderkey) residue, so each pass is a bounded co-partitioned
+# join; an edge arising under several orderkeys recurs across shards
+# and the global DISTINCT collapses it); (2) nodes / out-degree-
+# weighted edges / each femto-fixed-point rank vector r0..r5
+# materialize as separate bounded passes — the committed
+# pagerankOracleSql superstep formula verbatim, integer-exact, so the
+# unrolled replay is bit-identical to the monolithic CTE chain.
+PR_S = "1000000000000000"
+PR_FINAL = {
+    "pagerank_exact": None,  # assembled in pr_result (reads r5 scratch)
+}
+PR_QUERIES = set(PR_FINAL)
+
+# r14 (verdict items 1+5): the SRP-LSH pair family. The monolithic
+# lshOracle replays planes -> sign bits -> capped buckets -> candidate
+# self-join -> exact-cosine re-rank in ONE query — resource-exhausted
+# at sf10 (the 183.8M-pair candidate stream). Sharded: the keyed
+# vector table and the occupancy-capped bucket rows (bit width
+# re-derived from count(*), the LshBucketCap window filter — both the
+# committed oracle text verbatim) materialize once; per-shard passes
+# self-join only the (band, bk) buckets with hash(band, bk) % SHARDS
+# = k (a bucket lives in exactly one shard) and re-rank in-shard, so
+# only thresholded (id1, id2, cos_sim) triples reach scratch. cos is
+# functionally pair-determined, so the final global DISTINCT
+# reproduces the monolithic DISTINCT-then-re-rank rows exactly.
+# Precomputed norms: nullif(a.nrm*b.nrm, 0) is the same float ops in
+# the same order as the monolithic sqrt(dot)*sqrt(dot) (the emb-family
+# precedent); --selfcheck proves value equality at small SFs.
+LSH_MD5K = ("CAST(list_sum(list_transform(range(1,16), k -> "
+            "strpos('123456789abcdef', substr(md5('rp|'||j||'|'||i), k, 1))"
+            "::BIGINT << (4*(15-k)))) AS BIGINT)")
+LSH_BUCKET_CAP = 8192
+LSH_FINAL = {
+    "dedup_embedding_lsh":
+        " SELECT DISTINCT id1, id2, cos_sim FROM lparts"
+        " ORDER BY id1, id2",
+    "dedup_embedding_lsh_indexed": None,  # alias — same oracle text
+}
+LSH_FINAL["dedup_embedding_lsh_indexed"] = LSH_FINAL["dedup_embedding_lsh"]
+LSH_QUERIES = set(LSH_FINAL)
 
 # r13: SimHash family (dedup_simhash). The monolithic oracle's 4-band
 # self-join materializes a ~460M-pair candidate stream at sf10 (the
@@ -323,7 +399,7 @@ def connect(sf_dir, tmp):
     con.execute(f"SET max_temp_directory_size='{TMP_QUOTA}'")
     con.execute("CREATE VIEW documents AS "
                 f"SELECT * FROM '{sf_dir}/documents.parquet'")
-    for t in ("lineitem", "embeddings"):
+    for t in ("lineitem", "orders", "embeddings"):
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS "
                         f"SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -409,6 +485,11 @@ def shard_postings(con, scratch):
     # blew the quota as ONE aggregate): pass m touches only its pairs,
     # and a pair's partials land wholly in one pass, so the union is
     # the exact global aggregation.
+    # ADVICE r13: the pairs_ -> pairs2_ rename orphaned any partials a
+    # pre-rename run left behind — multi-GB dead parquet that nothing
+    # would ever read again. Sweep them (and their .tmp siblings).
+    for stale in glob.glob(f"{scratch}/pairs_*.parquet*"):
+        os.unlink(stale)
     for m in range(SHARDS):
         if copy_to(con, f"""
           SELECT id1, id2, CAST(sum(inter) AS BIGINT) AS inter
@@ -434,14 +515,20 @@ def posting_result(con, scratch, name):
     return con.execute(sql).fetchdf()
 
 
-def scratch_manifest(sf_dir, table="documents.parquet"):
+def scratch_manifest(sf_dir, table="documents.parquet", extra_tables=()):
     """Identity of the partials in a scratch dir: shard count + corpus
     file size/mtime. ADVICE r12: resumable scratch keyed by neither
     SHARDS nor the corpus silently mixes shard layouts (overlapping
     j-ranges → >64-element signatures) or serves a regenerated corpus
-    stale partials — refuse instead."""
+    stale partials — refuse instead. Multi-table families (pagerank:
+    orders AND lineitem) append extra stamps; single-table manifests
+    keep the historic format so attested scratches stay reusable."""
     st = os.stat(os.path.join(sf_dir, table))
-    return f"shards={SHARDS} corpus={st.st_size}:{int(st.st_mtime)}"
+    base = f"shards={SHARDS} corpus={st.st_size}:{int(st.st_mtime)}"
+    for t in extra_tables:
+        st2 = os.stat(os.path.join(sf_dir, t))
+        base += f" {t}={st2.st_size}:{int(st2.st_mtime)}"
+    return base
 
 
 def shard_copairs(con, scratch):
@@ -474,6 +561,114 @@ def shard_copairs(con, scratch):
 def copairs_result(con, scratch, name):
     sql = (f"WITH pairs AS (SELECT * FROM '{scratch}/pairs.parquet')"
            f"{COPAIRS_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
+def shard_pr(con, scratch):
+    """Order-partitioned edge derivation, then bounded superstep
+    passes — see the PR_FINAL comment."""
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+                     WHERE hash(o_orderkey) % {SHARDS} = {k}),
+          li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                 WHERE hash(l_orderkey) % {SHARDS} = {k})
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM o JOIN li ON o_orderkey = l_orderkey""",
+                   f"{scratch}/e_{k:02d}.parquet"):
+            print(f"  edge shard {k + 1}/{SHARDS}", flush=True)
+    if copy_to(con, f"SELECT DISTINCT src, dst FROM '{scratch}/e_*.parquet'",
+               f"{scratch}/edges.parquet"):
+        print("  edge set assembled", flush=True)
+    if copy_to(con, f"""
+      SELECT src AS id FROM '{scratch}/edges.parquet'
+      UNION SELECT dst FROM '{scratch}/edges.parquet'""",
+               f"{scratch}/nodes.parquet"):
+        print("  node set assembled", flush=True)
+    if copy_to(con, f"""
+      WITH e AS (SELECT * FROM '{scratch}/edges.parquet'),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+      SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src""",
+               f"{scratch}/ew.parquet"):
+        print("  degree-weighted edges assembled", flush=True)
+    if copy_to(con, f"""
+      SELECT id, CAST({PR_S} // (SELECT count(*)
+        FROM '{scratch}/nodes.parquet') AS BIGINT) AS r
+      FROM '{scratch}/nodes.parquet'""", f"{scratch}/r0.parquet"):
+        print("  r0 assembled", flush=True)
+    for i in range(1, 6):
+        if copy_to(con, f"""
+          WITH ew AS (SELECT * FROM '{scratch}/ew.parquet'),
+          r AS (SELECT * FROM '{scratch}/r{i - 1}.parquet'),
+          nodes AS (SELECT * FROM '{scratch}/nodes.parquet'),
+          c AS (SELECT ew.dst AS id, CAST(sum(r.r // ew.deg) AS BIGINT) AS m
+            FROM ew JOIN r ON ew.src = r.id GROUP BY ew.dst)
+          SELECT n.id, CAST((SELECT (15 * {PR_S}) // (100 * count(*)) FROM nodes)
+            + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN c ON n.id = c.id""",
+                   f"{scratch}/r{i}.parquet"):
+            print(f"  superstep {i}/5", flush=True)
+
+
+def pr_result(con, scratch, name):
+    assert name == "pagerank_exact", name
+    return con.execute(
+        f"SELECT id, r AS rank_fp FROM '{scratch}/r5.parquet' "
+        "ORDER BY rank_fp DESC, id LIMIT 100").fetchdf()
+
+
+def shard_srplsh(con, scratch):
+    """Keyed vectors + capped bucket rows once, then bucket-hash-
+    sharded candidate self-joins with the exact-cosine re-rank
+    in-shard — see the LSH_FINAL comment."""
+    if copy_to(con, """
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings""", f"{scratch}/vkeyed.parquet"):
+        print("  keyed vectors assembled", flush=True)
+    if copy_to(con, f"""
+      WITH v AS (SELECT vec_id, e FROM '{scratch}/vkeyed.parquet'),
+      bw AS (SELECT greatest(8, CASE
+          WHEN (greatest(count(*),1) + 127)//128 <= 1 THEN 0
+          ELSE length(bin((greatest(count(*),1) + 127)//128 - 1)) END) AS nb
+        FROM v),
+      planes AS (SELECT j, list_transform(range(0,64), i ->
+          CAST({LSH_MD5K} % 2001 - 1000 AS DOUBLE)) AS p
+        FROM (SELECT unnest(range(0, 8 * nb)) AS j FROM bw) t),
+      bits AS (SELECT v.vec_id, p.j,
+          CASE WHEN list_dot_product(v.e, p.p) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM v, planes p),
+      buckets0 AS (SELECT vec_id, j//bw.nb AS band,
+          CAST(sum(CAST(bit AS BIGINT) << (j%bw.nb)) AS BIGINT) AS bk
+        FROM bits, bw GROUP BY vec_id, j//bw.nb)
+      SELECT vec_id, band, bk FROM (
+          SELECT vec_id, band, bk,
+            count(*) OVER (PARTITION BY band, bk) AS occ
+          FROM buckets0) t
+      WHERE occ <= {LSH_BUCKET_CAP}""", f"{scratch}/buckets.parquet"):
+        print("  capped bucket rows assembled", flush=True)
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH b AS (SELECT * FROM '{scratch}/buckets.parquet'
+                     WHERE hash(band, bk) % {SHARDS} = {k}),
+          v AS (SELECT * FROM '{scratch}/vkeyed.parquet'),
+          cand AS (SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+            FROM b a JOIN b b2
+            ON a.band = b2.band AND a.bk = b2.bk AND a.vec_id < b2.vec_id),
+          pairs AS (SELECT id1, id2,
+              list_dot_product(va.e, vb.e) / nullif(va.nrm * vb.nrm, 0) AS cos
+            FROM cand JOIN v va ON va.vec_id = id1
+                      JOIN v vb ON vb.vec_id = id2)
+          SELECT id1, id2, round(cos, 6) AS cos_sim
+          FROM pairs WHERE cos >= 0.4""",
+                   f"{scratch}/lp_{k:02d}.parquet"):
+            print(f"  lsh shard {k + 1}/{SHARDS}", flush=True)
+
+
+def srplsh_result(con, scratch, name):
+    sql = (f"WITH lparts AS (SELECT * FROM '{scratch}/lp_*.parquet')"
+           f"{LSH_FINAL[name]}")
     return con.execute(sql).fetchdf()
 
 
@@ -617,8 +812,11 @@ def family_scratch(sf_dir, scratch_root, fam):
     fingerprint): stale layouts are deleted and rebuilt, never mixed."""
     scratch = os.path.join(scratch_root, f".shard_{fam}")
     manifest = scratch_manifest(
-        sf_dir, "lineitem.parquet" if fam == "copairs"
-        else "embeddings.parquet" if fam == "emb" else "documents.parquet")
+        sf_dir,
+        "lineitem.parquet" if fam in ("copairs", "pr")
+        else "embeddings.parquet" if fam in ("emb", "srplsh")
+        else "documents.parquet",
+        extra_tables=("orders.parquet",) if fam == "pr" else ())
     mpath = os.path.join(scratch, "MANIFEST")
     if os.path.isdir(scratch):
         on_disk = (open(mpath).read().strip()
@@ -642,6 +840,8 @@ def sharded_oracle(sf_dir, scratch_root, name):
     # reuse: on mismatch the stale scratch is DELETED and rebuilt.
     fam = ("minhash" if name in MINHASH_QUERIES
            else "copairs" if name in COPAIRS_QUERIES
+           else "pr" if name in PR_QUERIES
+           else "srplsh" if name in LSH_QUERIES
            else "simhash" if name in SIMHASH_QUERIES
            else "winnow" if name in WINNOW_QUERIES
            else "fuzzy" if name in FUZZY_QUERIES
@@ -656,6 +856,12 @@ def sharded_oracle(sf_dir, scratch_root, name):
         elif name in COPAIRS_QUERIES:
             shard_copairs(con, scratch)
             return copairs_result(con, scratch, name)
+        elif name in PR_QUERIES:
+            shard_pr(con, scratch)
+            return pr_result(con, scratch, name)
+        elif name in LSH_QUERIES:
+            shard_srplsh(con, scratch)
+            return srplsh_result(con, scratch, name)
         elif name in SIMHASH_QUERIES:
             shard_simhash(con, scratch)
             return simhash_result(con, scratch, name)
@@ -726,11 +932,32 @@ def main():
     if mode == "--selfcheck":
         sys.exit(selfcheck(sf_dir, out_dir, name))
     assert mode == "--one", mode
+    import io
+    import time
+    t0 = time.time()
     spark_df = engine_frame(sf_dir, out_dir, name)
     if spark_df is None:
         sys.exit(1)
     oracle_df = sharded_oracle(sf_dir, out_dir, name)
-    sys.exit(compare_frames(name, spark_df, oracle_df))
+    # tee the PASS/FAIL line into the in-repo attestation record (r13
+    # verdict item 2) while still printing it
+    buf = io.StringIO()
+    _stdout = sys.stdout
+    sys.stdout = buf
+    try:
+        rc = compare_frames(name, spark_df, oracle_df)
+    finally:
+        sys.stdout = _stdout
+    out = buf.getvalue()
+    print(out, end="")
+    try:
+        from attest import merge_attest
+        line = next((l for l in out.splitlines()
+                     if l.startswith(("PASS", "FAIL"))), f"rc={rc}")
+        merge_attest("sharded", sf_dir, name, line, time.time() - t0)
+    except Exception as e:
+        print(f"WARN attest record not written: {e}", file=sys.stderr)
+    sys.exit(rc)
 
 
 if __name__ == "__main__":

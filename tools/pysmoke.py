@@ -67,6 +67,64 @@ def rows_equal(a, b):
     return True
 
 
+def streaming_probe(spark, sf_dir):
+    """Drive ONE readStream probe end-to-end from Python (round-13
+    verdict item 7: the five streaming probes were spec-only — none had
+    ever run from the Python surface). cellProbe is the natural pick:
+    stateless stream-static against the trained FlexDice, so the BATCH
+    invocation of the same operator over the same points is an exact
+    twin — streamed rows must be row-identical to it. Also asserts the
+    query ran with zero streaming state operators (the probe's design
+    claim). Returns a status line starting with PASS/FAIL."""
+    import shutil
+    import tempfile
+    jvm = spark._jvm
+    td = jvm.graft.algos.FlexDice.trainedDice(spark._jsparkSession, sf_dir)
+    term_j, bounds = td._1(), td._2()
+    xmin, xmax = bounds._1(), bounds._2()
+    ymin, ymax = bounds._3(), bounds._4()
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .where("value IS NOT NULL AND user_id IS NOT NULL")
+           .orderBy("event_id").limit(50)
+           .selectExpr("event_id + 70000000 AS id",
+                       "CAST(value AS DOUBLE) AS x",
+                       "CAST(user_id AS DOUBLE) AS y"))
+    d = tempfile.mkdtemp(prefix="pysmoke_probe_")
+    q = None
+    try:
+        pts.write.parquet(f"{d}/pts")
+        want = sorted(
+            tuple(r) for r in DataFrame(
+                jvm.graft.streaming.StreamOps.cellProbe(
+                    pts._jdf, term_j, xmin, xmax, ymin, ymax),
+                spark).collect())
+        if not want:
+            return "FAIL streaming_cell_probe: batch twin empty (dead fixture)"
+        stream = spark.readStream.schema(pts.schema).parquet(f"{d}/pts")
+        sdf = DataFrame(
+            jvm.graft.streaming.StreamOps.cellProbe(
+                stream._jdf, term_j, xmin, xmax, ymin, ymax), spark)
+        q = (sdf.writeStream.outputMode("append")
+             .format("memory").queryName("pysmoke_cellprobe")
+             .option("checkpointLocation", f"{d}/ckpt").start())
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM pysmoke_cellprobe").collect())
+        lp = q.lastProgress
+        state_ops = (lp or {}).get("stateOperators", [])
+        if state_ops:
+            return f"FAIL streaming_cell_probe: unexpected state {state_ops}"
+        if got != want:
+            return (f"FAIL streaming_cell_probe: {len(got)} streamed rows "
+                    f"!= {len(want)} batch rows")
+        return (f"PASS streaming_cell_probe ({len(got)} rows, stream == "
+                "batch twin, zero streaming state, python-driven)")
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main(sf_dir, quick):
     spark = (SparkSession.builder
              .appName("graft-pysmoke")
@@ -87,7 +145,10 @@ def main(sf_dir, quick):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    import time
+    t_run = time.time()
     failures = []
+    statuses = {}
     for name in names:
         fn = queries.apply(name)
         jdf = fn.apply(spark._jsparkSession, sf_dir)
@@ -101,18 +162,39 @@ def main(sf_dir, quick):
         want.sort(key=lambda r: tuple(str(v) for v in r))
         if sorted(cols) != sorted(odf.columns):
             failures.append(f"{name}: columns {cols} vs {sorted(odf.columns)}")
+            statuses[name] = f"FAIL column mismatch ({cols})"
             print(f"FAIL {name}: column mismatch")
         elif not rows_equal(got, want):
             failures.append(f"{name}: {len(got)} rows vs {len(want)} oracle rows")
+            statuses[name] = (f"FAIL {len(got)} rows vs {len(want)} "
+                              "oracle rows")
             print(f"FAIL {name}")
         else:
+            statuses[name] = f"PASS ({len(got)} rows, python-driven)"
             print(f"PASS {name} ({len(got)} rows, python-driven)")
+
+    # one readStream probe, python-driven end-to-end (r13 item 7)
+    try:
+        line = streaming_probe(spark, sf_dir)
+    except Exception as e:
+        line = f"FAIL streaming_cell_probe: {e!r:.300}"
+    print(line)
+    statuses["streaming_cell_probe"] = line
+    if line.startswith("FAIL"):
+        failures.append(line)
+
     spark.stop()
+    try:
+        sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        from attest import write_attest
+        write_attest("pysmoke", sf_dir, statuses, time.time() - t_run)
+    except Exception as e:
+        print(f"WARN attest record not written: {e}", file=sys.stderr)
     if failures:
         print("\n".join(failures))
         sys.exit(1)
-    print(f"pysmoke: {len(names)}/{len(names)} python-driven queries "
-          "row-identical to the DuckDB oracle")
+    print(f"pysmoke: {len(statuses)}/{len(statuses)} python-driven queries "
+          "row-identical to the DuckDB oracle (incl. 1 streaming probe)")
 
 
 if __name__ == "__main__":
