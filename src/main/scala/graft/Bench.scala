@@ -304,6 +304,13 @@ object Bench {
         if (existingSf.map(_ == sfName).getOrElse(sfName == "sf0.1")) canonical
         else Paths.get(s"bench_detail_$sfName.json")
       Files.writeString(target, detail + "\n")
+    } else {
+      // Subset runs keep their stage trace too — in a file the defense
+      // never reads (r14: the spill-regime probe needs per-query
+      // spill_mb from a BENCH_ONLY run; without this the bytes died
+      // with the JVM).
+      Files.writeString(Paths.get(s"bench_detail_${sfName}_subset.json"),
+        detail + "\n")
     }
     // subset runs are marked so a partial total can never be mistaken
     // for a full-run baseline

@@ -295,13 +295,19 @@ def main(sf_dir, out_dir, cap):
     # logs of heavy runs did not survive for the judge — leave a tiny
     # committed record instead. GRAFT_ATTEST_KIND distinguishes e.g. a
     # local-cluster census from a plain one.
-    try:
-        from attest import write_attest
-        write_attest(os.environ.get("GRAFT_ATTEST_KIND", "gate"),
-                     sf_dir, statuses, time.time() - t_run,
-                     extra={"cap_sec": cap})
-    except Exception as e:
-        print(f"WARN attest record not written: {e}", file=sys.stderr)
+    # GRAFT_ATTEST=0 skips the record — for LOCAL iteration against a
+    # SPARK_GRAFT_VERIFY_ONLY subset dump, where the missing dumps
+    # would be recorded as fails and shadow the last genuine census.
+    if os.environ.get("GRAFT_ATTEST", "1") != "0":
+        try:
+            from attest import write_attest
+            write_attest(os.environ.get("GRAFT_ATTEST_KIND", "gate"),
+                         sf_dir, statuses, time.time() - t_run,
+                         extra={"cap_sec": cap,
+                                "no_dump": sum(1 for v in statuses.values()
+                                               if "no spark output" in v)})
+        except Exception as e:
+            print(f"WARN attest record not written: {e}", file=sys.stderr)
     print(f"\n{n_pass} pass / {n_fail} fail / {n_to} oracle-timeout "
           f"/ {len(oracles)} oracled (cap {cap} s)")
     if failed:
