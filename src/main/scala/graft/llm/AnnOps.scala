@@ -409,6 +409,36 @@ object AnnOps {
         .orderBy("id1", "id2")
     }, Some(lshOracle)),
 
+    // ---- SRP-LSH occupancy telemetry (r14): per-band bucket census —
+    // bucket count, max occupancy, row conservation, and how many
+    // buckets sit OVER LshBucketCap — over the PRE-cap bucket rows.
+    // This is the observability the r13 skew finding needed: a
+    // production operator sizes (or re-sizes) the cap from exactly
+    // this table, and n_over_cap > 0 is the loud early warning that
+    // the cap is about to fire on the next corpus. O(bands) output
+    // rows; the scan is the same linear signature pipeline the dedup
+    // gates run, and the census is two hash aggregates (map-side
+    // partials — only (band, bk, count) partials shuffle). DuckDB
+    // replays the identical pre-cap census from its own count(*).
+    QueryDef("lsh_bucket_stats", (s, d) => {
+      val v = vecs(s, d)
+      val occ = lshBuckets(s, v, bandBitsFor(embCount(s, d)))
+        .groupBy("band", "bk").agg(count(lit(1)).as("occ"))
+      occ.groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          max("occ").as("max_occ"),
+          sum("occ").as("n_rows"),
+          sum(when(col("occ") > LshBucketCap, 1L).otherwise(0L)).as("n_over_cap"))
+        .orderBy("band")
+    }, Some(
+      s"""WITH $lshBucketsSql,
+          occ AS (SELECT band, bk, CAST(count(*) AS BIGINT) AS occ
+            FROM buckets0 GROUP BY band, bk)
+          SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+            max(occ) AS max_occ, CAST(sum(occ) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN occ > $LshBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+          FROM occ GROUP BY band ORDER BY band""")),
+
     // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // dedup by k-means-cell blocking — cluster the embedding space,
     // compute pairwise cosine ONLY within each cell, and evict, for
@@ -845,11 +875,16 @@ object AnnOps {
   /** Shared DuckDB replay for the SRP-LSH pipeline — both the broadcast
     * re-rank (`dedup_embedding_lsh`) and the bucketed-store re-rank
     * (`dedup_embedding_lsh_indexed`) hash-compare against this. */
-  private def lshOracle: String = {
+  /** DuckDB replay of the UNCAPPED bucket construction (v → bit-width
+    * → planes → sign bits → buckets0) — shared by [[lshOracle]] and
+    * the `lsh_bucket_stats` gate, which must observe PRE-cap
+    * occupancy (a stats gate that read the capped rows would hide the
+    * very skew it exists to surface). */
+  private def lshBucketsSql: String = {
     val md5k = (e: String) =>
       "CAST(list_sum(list_transform(range(1,16), k -> " +
       s"strpos('123456789abcdef', substr(md5($e), k, 1))::BIGINT << (4*(15-k)))) AS BIGINT)"
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         bw AS (SELECT greatest($BANDBITS, CASE
             WHEN (greatest(count(*),1) + ${LshOcc - 1})//$LshOcc <= 1 THEN 0
             ELSE length(bin((greatest(count(*),1) + ${LshOcc - 1})//$LshOcc - 1)) END) AS nb
@@ -862,7 +897,11 @@ object AnnOps {
           FROM v, planes p),
         buckets0 AS (SELECT vec_id, j//bw.nb AS band,
           CAST(sum(CAST(bit AS BIGINT) << (j%bw.nb)) AS BIGINT) AS bk
-          FROM bits, bw GROUP BY vec_id, j//bw.nb),
+          FROM bits, bw GROUP BY vec_id, j//bw.nb)"""
+  }
+
+  private def lshOracle: String = {
+    s"""WITH $lshBucketsSql,
         buckets AS (SELECT vec_id, band, bk FROM (
             SELECT vec_id, band, bk,
               count(*) OVER (PARTITION BY band, bk) AS occ

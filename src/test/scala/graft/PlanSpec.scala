@@ -323,12 +323,15 @@ class PlanSpec extends SparkSuite {
     // flexdice_clusters broadcasts its 4-row constant DIRECTION table
     // (±x/±y) against the dense-cell list (r13) — O(1) in the corpus,
     // same class as the hyperplane broadcast.
+    // lsh_bucket_stats (r14) is the occupancy census over the same
+    // signature pipeline — the identical O(bands·bits)-row hyperplane
+    // broadcast, nothing else joins.
     val bnlOk = Set("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_indexed",
       "ann_rerank",
       "mix_weights", "dedup_embedding_lsh", "dedup_embedding_lsh_indexed",
       "q22_global", "bm25_topk",
       "collocations", "bloom_join", "approx_topk", "q11_value", "q20_excess",
-      "flexdice_clusters")
+      "flexdice_clusters", "lsh_bucket_stats")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       // initial physical plan only — no execution; side-effecting ingest
       // queries still run their writes in fn(), cheap at sf0.001
