@@ -350,7 +350,8 @@ object AnnOps {
     // candidates, re-rank — bit-for-bit from its own count(*).
     QueryDef("dedup_embedding_lsh", (s, d) => {
       val v = vecs(s, d)
-      val cand = lshCandidates(s, v, bandBitsFor(embCount(s, d)))
+      val n = embCount(s, d)
+      val cand = lshCandidates(s, v, bandBitsFor(n), n = n)
       val va = v.select(col("vec_id").as("id1"), col("e").as("e1"), col("nrm").as("n1"))
       val vb = v.select(col("vec_id").as("id2"), col("e").as("e2"), col("nrm").as("n2"))
       // The re-rank joins BROADCAST the vector table (O(n) rows): with
@@ -393,8 +394,9 @@ object AnnOps {
       // path corpus-scan-free; a footer/metadata-only count.
       // Same occupancy cap as the inline twin, applied to the SAME
       // bucket rows BEFORE the store join — the twins stay identical.
+      val nStore = store.count()
       val withVec = cappedLshBuckets(
-          lshBuckets(s, store, bandBitsFor(store.count())), LshBucketCap)
+          lshBuckets(s, store, bandBitsFor(nStore)), LshBucketCap, nStore)
         .join(store, "vec_id")
       val a = withVec.select(col("vec_id").as("id1"), col("band"), col("bk"),
         col("e").as("e1"), col("nrm").as("n1"))
@@ -854,7 +856,15 @@ object AnnOps {
     * OK-list join — the EmbBlockCap shape — would broadcast O(n/occ)
     * rows, which does NOT stay bounded at corpus scale; anti-joining
     * the exceptional set is the 100 TB form.) */
-  private[llm] def cappedLshBuckets(buckets: DataFrame, cap: Long): DataFrame = {
+  /** `n` (when known, ≥ 0) lets the census be SKIPPED for n ≤ cap —
+    * a band holds exactly n rows total, so no (band, bk) bucket can
+    * possibly exceed the cap and the filter is a provable no-op
+    * (identical rows, zero plan cost). Small gate corpora take this
+    * branch; the census arm is exercised from sf1 up and by
+    * CapFiringSpec. */
+  private[llm] def cappedLshBuckets(buckets: DataFrame, cap: Long,
+      n: Long = -1L): DataFrame = {
+    if (n >= 0 && n <= cap) return buckets
     val hot = buckets.groupBy("band", "bk").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > cap)
       .select("band", "bk")
@@ -862,8 +872,8 @@ object AnnOps {
   }
 
   private[llm] def lshCandidates(s: SparkSession, v: DataFrame, nb: Int,
-      bucketCap: Long = LshBucketCap): DataFrame = {
-    val buckets = cappedLshBuckets(lshBuckets(s, v, nb), bucketCap)
+      bucketCap: Long = LshBucketCap, n: Long = -1L): DataFrame = {
+    val buckets = cappedLshBuckets(lshBuckets(s, v, nb), bucketCap, n)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&

@@ -154,6 +154,17 @@ class CapFiringSpec extends SparkSuite {
     assert(uncapped.size == (cap + 2) * (cap + 1) / 2 + 1,
       s"fixture no longer adversarial (hot pairs absent uncapped): $uncapped")
     assert(capped != uncapped, "cap did not fire — fixture is dead")
+
+    // the n ≤ cap FAST PATH (census provably vacuous — a band holds
+    // only n rows) must be row-identical to the census path
+    val n = (cap + 2) + 2
+    val viaSkip = AnnOps.lshCandidates(spark, v, nb = 8, bucketCap = n + 1, n = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCensus = AnnOps.lshCandidates(spark, v, nb = 8, bucketCap = n + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSkip == viaCensus && viaSkip == uncapped,
+      s"fast path must equal the census path when no bucket can exceed " +
+        s"the cap: skip=$viaSkip census=$viaCensus")
   }
 
   test("fuzzy block cap fires: a stop-token block is dropped whole, " +
