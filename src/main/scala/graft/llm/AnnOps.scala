@@ -411,6 +411,72 @@ object AnnOps {
         .orderBy("id1", "id2")
     }, Some(lshOracle)),
 
+    // ---- Steady-state embedding ingest for the SRP-LSH family (r14):
+    // the delta shape every sibling dedup family already has (minhash
+    // dedup_delta, paragraph delta, semdedup_delta). "Newly arriving"
+    // vectors (the vec_id % 8 == 7 shard — the deterministic stand-in
+    // for an ingest batch) probe the PERSISTED band index
+    // ([[lshIndex]]) for near-dups against the EXISTING corpus:
+    // per-ingest cost is O(delta · bands · occupancy) — the delta
+    // vectors' 8 band keys equality-join the bk-bucketed index
+    // (delta-vs-delta pairs excluded: in-batch dups are the pair
+    // family's job once the batch lands), the surviving candidate ids
+    // probe the vec_id-bucketed [[vecStore]] for the exact-cosine
+    // re-rank, and the per-delta aggregate is the semdedup_delta
+    // argmax (highest cosine, ties → lowest id; map-side partials).
+    // No corpus scan, no signature recompute, and the SAME
+    // [[LshBucketCap]] occupancy guard on the base side (census over
+    // the base rows; skipped provably when n ≤ cap) — a hot ingest
+    // key cannot go quadratic either. DuckDB replays buckets, the
+    // cap, the probe, and the argmax exactly.
+    QueryDef("dedup_embedding_lsh_delta", (s, d) => {
+      val bands = lshIndex(s, d)
+      val n = embCount(s, d)
+      val base = cappedLshBuckets(
+        bands.filter(col("vec_id") % 8 =!= 7), LshBucketCap, n)
+      val delta = bands.filter(col("vec_id") % 8 === 7)
+        .select(col("vec_id").as("delta_id"), col("band"), col("bk"))
+      val cand = delta
+        .join(base.select(col("vec_id").as("base_id"), col("band"), col("bk")),
+          Seq("band", "bk"))
+        .select("delta_id", "base_id").distinct()
+      val store = vecStore(s, d)
+      cand
+        .join(store.select(col("vec_id").as("delta_id"), col("e").as("de"),
+          col("nrm").as("dn")), "delta_id")
+        .join(store.select(col("vec_id").as("base_id"), col("e").as("be"),
+          col("nrm").as("bn")), "base_id")
+        .withColumn("cos", cosCol("de", "be", "dn", "bn"))
+        .filter(col("cos") >= 0.4)
+        .groupBy("delta_id")
+        .agg(count(lit(1)).as("n_near"),
+          min(struct(negate(col("cos")), col("base_id"))).as("m"),
+          expr("try_cast(round(max(cos) * 1000000, 0) AS BIGINT)").as("max_cos_micro"))
+        .select(col("delta_id"), col("n_near"),
+          col("m.base_id").as("best_id"), col("max_cos_micro"))
+        .orderBy("delta_id")
+    }, Some(
+      s"""WITH $lshBucketsSql,
+          base AS (SELECT vec_id, band, bk FROM (
+              SELECT vec_id, band, bk,
+                count(*) OVER (PARTITION BY band, bk) AS occ
+              FROM buckets0 WHERE vec_id % 8 <> 7) t
+            WHERE occ <= $LshBucketCap),
+          delta AS (SELECT vec_id AS delta_id, band, bk
+            FROM buckets0 WHERE vec_id % 8 = 7),
+          cand AS (SELECT DISTINCT delta_id, b.vec_id AS base_id
+            FROM delta d JOIN base b ON d.band = b.band AND d.bk = b.bk),
+          vv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+          pairs AS (SELECT delta_id, base_id,
+              list_dot_product(a.e, b.e)/nullif(a.nrm*b.nrm, 0) AS cos
+            FROM cand JOIN vv a ON a.vec_id = delta_id
+                      JOIN vv b ON b.vec_id = base_id)
+          SELECT delta_id, CAST(count(*) AS BIGINT) AS n_near,
+            (min(struct_pack(nc := -cos, id := base_id))).id AS best_id,
+            TRY_CAST(round(max(cos) * 1000000, 0) AS BIGINT) AS max_cos_micro
+          FROM pairs WHERE cos >= 0.4
+          GROUP BY delta_id ORDER BY delta_id""")),
+
     // ---- SRP-LSH occupancy telemetry (r14): per-band bucket census —
     // bucket count, max occupancy, row conservation, and how many
     // buckets sit OVER LshBucketCap — over the PRE-cap bucket rows.
@@ -871,6 +937,10 @@ object AnnOps {
     buckets.join(broadcast(hot), Seq("band", "bk"), "left_anti")
   }
 
+  /** Test bridge (LshIndexSpec): the raw bucket rows. */
+  private[llm] def lshBucketsForTest(s: SparkSession, v: DataFrame,
+      nb: Int): DataFrame = lshBuckets(s, v, nb)
+
   private[llm] def lshCandidates(s: SparkSession, v: DataFrame, nb: Int,
       bucketCap: Long = LshBucketCap, n: Long = -1L): DataFrame = {
     val buckets = cappedLshBuckets(lshBuckets(s, v, nb), bucketCap, n)
@@ -939,6 +1009,27 @@ object AnnOps {
       s, s"vec_store$sfx", s"vec_store$sfx", "vecstore1|" + embFingerprint(s, d),
       "vec_id BIGINT, e ARRAY<DOUBLE>, nrm DOUBLE", "vec_id", 8) {
       vecs(s, d)
+    }
+  }
+
+  /** The PERSISTED SRP band index (r14): (vec_id, band, bk) for the
+    * FULL corpus, bucketed by bk — the O(delta)-probe side of the
+    * steady-state ingest path (`dedup_embedding_lsh_delta`). Written
+    * once per corpus; an ingest batch computes only its OWN band keys
+    * and equality-joins this table. The bit width rides the
+    * fingerprint: corpus growth that crosses a [[bandBitsFor]]
+    * boundary rebuilds the index rather than serving stale-width
+    * buckets (which would silently miss every cross-width collision).
+    * Freshness + cross-session re-registration via
+    * [[graft.sources.ServedIndex]]. */
+  def lshIndex(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    val nb = bandBitsFor(embCount(s, d))
+    graft.sources.ServedIndex.cached(
+      s, s"lsh_bands$sfx", s"lsh_bands$sfx",
+      s"lshband1|nb=$nb|" + embFingerprint(s, d),
+      "vec_id BIGINT, band BIGINT, bk BIGINT", "bk", 8) {
+      lshBuckets(s, vecs(s, d), nb)
     }
   }
 

@@ -179,9 +179,34 @@ object ServedIndex {
     val tmp = new org.apache.hadoop.fs.Path(root, s"_graft_meta.tmp.$active")
     val out = fs.create(tmp, true)
     try out.write(s"$active\n$prev\n$fp".getBytes(UTF8)) finally out.close()
-    org.apache.hadoop.fs.FileContext
+    val fc = org.apache.hadoop.fs.FileContext
       .getFileContext(root.toUri, s.sparkContext.hadoopConfiguration)
-      .rename(tmp, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // ChecksumFs wart (IndexChaosSpec, two builders racing the commit):
+    // Rename.OVERWRITE replaces the DATA file atomically but the `.crc`
+    // sibling rename has no overwrite arm — when a concurrent publisher
+    // just committed, our crc rename collides with its fresh
+    // `._graft_meta.crc` and throws FileAlreadyExistsException, possibly
+    // AFTER our data rename already landed. The crc is derived state:
+    // drop it and retry (bounded). If our tmp is already gone, the data
+    // rename succeeded — the pointer IS ours; with the stale crc
+    // removed, readers verify nothing rather than a mismatched sum.
+    val crc = new org.apache.hadoop.fs.Path(root, "._graft_meta.crc")
+    val tmpCrc = new org.apache.hadoop.fs.Path(root, s"._graft_meta.tmp.$active.crc")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        fc.rename(tmp, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        done = true
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          fs.delete(crc, false)
+          fs.delete(tmpCrc, false)
+          if (!fs.exists(tmp)) done = true // data rename already landed
+      }
+    }
   }
 
   /** The active version's data directory as a local File (spec helper —
