@@ -278,9 +278,30 @@ object Bench {
       case (k, _, None) if trace.byGroup.contains(s"index:$k") =>
         s"""${jstr(k)}:{${traceJson(s"index:$k").drop(1)}}"""
     }.mkString("{", ",", "}")
+    // Best-of-windows merge (r14 verdict "What's wrong #1"): a full run
+    // at the canonical SF must never REPLACE a better committed min with
+    // a noisy window's value — the committed detail is the threshold
+    // source for the noise defense, so one elevated driver window would
+    // silently loosen every threshold it feeds. Timing (min, med) is
+    // kept as a PAIR from whichever window has the lower min; the
+    // byte/stage shape is always the fresh run's (bytes are
+    // deterministic and must describe the current code's plan).
+    // tools/merge_bench_detail.py is the offline twin for repairing an
+    // already-clobbered file. committedMins is SF-guarded, so a run at
+    // a non-canonical SF merges against nothing.
+    val priorTiming: Map[String, (Double, Double)] =
+      if (only.isEmpty)
+        (committedMins(Paths.get("bench_detail.json"), sfName),
+         committedField(Paths.get("bench_detail.json"), sfName, "med")) match {
+          case (Some(mins), Some(meds)) =>
+            mins.flatMap { case (k, mn) => meds.get(k).map(md => k -> (mn, md)) }
+          case _ => Map.empty[String, (Double, Double)]
+        }
+      else Map.empty[String, (Double, Double)]
     val detail = ok.sortBy(_._1)
       .map { case (k, v, m, _) =>
-        s"""${jstr(k)}:{"min":${fmt(v)},"med":${fmt(m)}${traceJson(k)}}""" }
+        val (bv, bm) = priorTiming.get(k).filter(_._1 < v).getOrElse((v, m))
+        s"""${jstr(k)}:{"min":${fmt(bv)},"med":${fmt(bm)}${traceJson(k)}}""" }
       .mkString("{\"queries\":{", ",",
         s"""},"index_build_s":$buildJson,"index_trace":$indexTrace,"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed

@@ -231,7 +231,10 @@ object Dedup {
   /** DuckDB replay of the winnow pipeline + df-cap + pair join — shared
     * by dedup_substring and its index-served twin (a stale index fails
     * the shared hash gate, the dedup_indexed discipline). */
-  private val substringOracleSql: String =
+  /** Front half of the winnow replay — per-doc distinct fingerprints as
+    * CTE `g (doc_id, fp)` — shared by the whole-corpus pair oracle and
+    * the delta-ingest oracle (r15). */
+  private val winnowCtesSql: String =
       """WITH h AS (SELECT doc_id,
            list_transform(range(1, greatest(length(text) - 30, 2)),
              i -> CAST(concat('0x', substr(md5(text[i:i+31]), 1, 15)) AS BIGINT)) AS hs
@@ -239,7 +242,11 @@ object Dedup {
          f AS (SELECT doc_id,
            list_distinct(list_transform(range(1, greatest(len(hs) - 14, 2)), j -> list_min(hs[j:j+15]))) AS fps
            FROM h),
-         g AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         g AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
+
+  private val substringOracleSql: String =
+    winnowCtesSql +
+      """,
          dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= 50),
          kept AS (SELECT g.doc_id, g.fp FROM g JOIN dfk USING (fp))
          SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
@@ -366,6 +373,62 @@ object Dedup {
       jaccardPairsFrom(shingleIndex(s, d), minJ = 0.6, dfCap = JaccardDfCap),
     Some(jaccardOracleSql)),
 
+    // ---- Steady-state exact-Jaccard ingest (r15, the
+    // dedup_substring_delta shape over the shingle family): delta
+    // documents (source != 'src0') tokenize + shingle ONLY their own
+    // text — O(delta grams), no corpus rescan — and probe the
+    // PERSISTED inverted shingle index ([[shingleIndex]]) for
+    // base-corpus near-dups. The stop-gram list and the base doc sizes
+    // both derive from the index's base rows (gram- resp. doc-keyed
+    // aggregates over the bucketed table, no text re-derivation); the
+    // probe is a gram-equality join delta-vs-base bounded by the same
+    // O(Σ df²) guard as the inline gate, then J = |∩|/(n1+n2−|∩|) with
+    // n1 from the delta batch itself. Same rounding + threshold as
+    // dedup_jaccard, so the oracle replays shingling, the split, the
+    // base-side df-cap, and the similarity arithmetic exactly.
+    QueryDef("dedup_jaccard_delta", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val srcOf = docs.select("doc_id", "source")
+      val deltaG = shinglesOf(docs.filter(col("source") =!= "src0"))
+        .select(col("doc_id").as("delta_id"), col("gram"))
+      val base = shingleIndex(s, d)
+        .join(srcOf.filter(col("source") === "src0"), "doc_id")
+        .select(col("doc_id").as("base_id"), col("gram"))
+      val rare = base.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= JaccardDfCap).select("gram")
+      val n1s = deltaG.groupBy("delta_id").agg(count(lit(1)).as("n1"))
+      val n2s = base.groupBy("base_id").agg(count(lit(1)).as("n2"))
+      deltaG.join(base.join(rare, "gram"), "gram")
+        .groupBy("delta_id", "base_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(n1s, "delta_id")
+        .join(n2s, "base_id")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.6)
+        .select("delta_id", "base_id", "jaccard")
+        .orderBy("delta_id", "base_id")
+    }, Some(
+      shinglesSql +
+      s""",
+         srcs AS (SELECT doc_id, source FROM documents),
+         base AS (SELECT g.doc_id AS base_id, g.gram FROM grams g
+                  JOIN srcs USING (doc_id) WHERE source = 'src0'),
+         delta AS (SELECT g.doc_id AS delta_id, g.gram FROM grams g
+                   JOIN srcs USING (doc_id) WHERE source <> 'src0'),
+         dfk AS (SELECT gram FROM base GROUP BY gram
+                 HAVING count(*) <= $JaccardDfCap),
+         kept AS (SELECT base_id, gram FROM base JOIN dfk USING (gram)),
+         n1s AS (SELECT delta_id, count(*) AS n1 FROM delta GROUP BY 1),
+         n2s AS (SELECT base_id, count(*) AS n2 FROM base GROUP BY 1),
+         pairs AS (SELECT delta_id, base_id, count(*) AS inter
+                   FROM delta JOIN kept USING (gram) GROUP BY 1, 2)
+         SELECT delta_id, base_id,
+           round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) AS jaccard
+         FROM pairs JOIN n1s USING (delta_id) JOIN n2s USING (base_id)
+         WHERE round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) >= 0.6
+         ORDER BY delta_id, base_id""".stripMargin)),
+
     // ---- The SAME exact-Jaccard pairs via PREFIX FILTERING (AllPairs/
     // PPJoin, Bayardo et al. WWW'07): instead of self-joining the full
     // inverted index — O(Σ df²) over every shingle — only each doc's
@@ -432,6 +495,53 @@ object Dedup {
     QueryDef("dedup_substring_indexed", (s, d) =>
       substringPairsFrom(winnowIndex(s, d), dfCap = 50L),
     Some(substringOracleSql)),
+
+    // ---- Steady-state substring-level ingest (r15: the dedup_delta
+    // shape for the winnow family, completing the O(delta) incremental
+    // set: exact → minhash → embedding-LSH → paragraph → winnow).
+    // "Newly arriving" documents (source != 'src0', the deterministic
+    // ingest stand-in every document-table delta gate uses) compute
+    // ONLY their own winnowed fingerprints — the codegen'd
+    // [[graft.functions.WinnowFps]] pass over the delta text, O(delta
+    // grams), no corpus rescan — and probe the PERSISTED fingerprint
+    // index ([[winnowIndex]]) for base-corpus docs sharing a
+    // fingerprint. The df stop-list is derived from the BASE side of
+    // the index (the corpus you already hold; an arriving batch must
+    // not reshape the corpus stop-list) — a bucket-co-located
+    // aggregate on the fp-bucketed index, never a text rescan — and
+    // the probe itself is an fp-equality join delta-vs-base, so the
+    // per-ingest cost is O(delta·fps·df≤cap). Reference anchor: the
+    // kmr_match-as-persisted-index reading of src/kmrmoreops.c:695-728
+    // the sibling delta gates cite. The oracle replays winnowing, the
+    // source split, the base-side df-cap, and the pair count — a stale
+    // winnow index fails the hash gate.
+    QueryDef("dedup_substring_delta", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val srcOf = docs.select("doc_id", "source")
+      val deltaFps = winnowFps(docs.filter(col("source") =!= "src0"))
+        .select(col("doc_id").as("delta_id"), col("fp"))
+      val base = winnowIndex(s, d)
+        .join(srcOf.filter(col("source") === "src0"), "doc_id")
+        .select(col("doc_id").as("base_id"), col("fp"))
+      val rare = base.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50L).select("fp")
+      deltaFps.join(base.join(rare, "fp"), "fp")
+        .groupBy("delta_id", "base_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("delta_id", "base_id")
+    }, Some(
+      winnowCtesSql +
+      """,
+         srcs AS (SELECT doc_id, source FROM documents),
+         base AS (SELECT g.doc_id AS base_id, g.fp FROM g
+                  JOIN srcs USING (doc_id) WHERE source = 'src0'),
+         delta AS (SELECT g.doc_id AS delta_id, g.fp FROM g
+                   JOIN srcs USING (doc_id) WHERE source <> 'src0'),
+         dfk AS (SELECT fp FROM base GROUP BY fp HAVING count(*) <= 50),
+         kept AS (SELECT base_id, fp FROM base JOIN dfk USING (fp))
+         SELECT delta_id, base_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM delta JOIN kept USING (fp)
+         GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- MinHash + LSH banding: 64 fixed-seed permutations over
     // md5-derived shingle hashes; 16 bands × 4 rows. Candidates =

@@ -1,0 +1,85 @@
+package graft.llm
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** The r15 steady-state ingest gates for the winnow and shingle
+  * families: `dedup_substring_delta` / `dedup_jaccard_delta`. Each is
+  * pinned two ways — value parity against a driver-side replay that
+  * derives BOTH sides from text (so a stale or corrupt persisted index
+  * would diverge: served ≡ inline), and plan shape (the O(delta) claim:
+  * the text→fingerprint pipeline runs on the DELTA side only; the base
+  * side is the bucketed index scan). */
+class DeltaDedupSpec extends SparkSuite {
+
+  private def srcOf: Map[Long, String] =
+    Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("dedup_substring_delta equals an all-from-text winnow replay (served ≡ inline)") {
+    val got = graft.SparkEntry.queries("dedup_substring_delta")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val src = srcOf
+    val fps = Dedup.winnowFps(Tables.load(spark, sfDir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val base = fps.filter { case (id, _) => src(id) == "src0" }
+    val delta = fps.filter { case (id, _) => src(id) != "src0" }
+    val df = base.groupBy(_._2).map { case (fp, v) => fp -> v.length }
+    val byFp = base.filter { case (_, fp) => df(fp) <= 50 }.groupBy(_._2)
+    val exp = delta.flatMap { case (did, fp) =>
+      byFp.getOrElse(fp, Array.empty[(Long, Long)]).map { case (bid, _) => (did, bid) }
+    }.groupBy(identity).map { case ((did, bid), v) => (did, bid, v.length.toLong) }.toSet
+    assert(got == exp, s"gate ${got.size} pairs vs replay ${exp.size}")
+    assert(got.nonEmpty, "sf0.001 should contain delta-vs-base substring pairs")
+  }
+
+  test("dedup_jaccard_delta equals an all-from-text shingle replay (served ≡ inline)") {
+    val got = graft.SparkEntry.queries("dedup_jaccard_delta")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val src = srcOf
+    val grams = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TextNorm.toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat(w[i],' ',w[i+1],' ',w[i+2]))")).as("gram"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = grams.filter { case (id, _) => src(id) == "src0" }
+    val delta = grams.filter { case (id, _) => src(id) != "src0" }
+    val df = base.groupBy(_._2).map { case (g, v) => g -> v.length }
+    val byGram = base.filter { case (_, g) => df(g) <= Dedup.JaccardDfCap }.groupBy(_._2)
+    val n1 = delta.groupBy(_._1).map { case (id, v) => id -> v.length }
+    val n2 = base.groupBy(_._1).map { case (id, v) => id -> v.length }
+    val exp = delta.flatMap { case (did, g) =>
+      byGram.getOrElse(g, Array.empty[(Long, String)]).map { case (bid, _) => (did, bid) }
+    }.groupBy(identity).flatMap { case ((did, bid), v) =>
+      val inter = v.length
+      val j = BigDecimal(inter.toDouble / (n1(did) + n2(bid) - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (j >= 0.6) Some((did, bid, j)) else None
+    }.toSet
+    assert(got == exp, s"gate ${got.size} pairs vs replay ${exp.size}")
+    assert(got.nonEmpty, "sf0.001 should contain delta-vs-base jaccard pairs")
+  }
+
+  test("delta plans recompute text fingerprints on the delta side only") {
+    // O(delta) shape: exactly one winnow_fps over the documents text in
+    // the substring gate (the delta batch); the base side must arrive
+    // via the persisted index relation, not a second winnow.
+    val sub = graft.SparkEntry.queries("dedup_substring_delta")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert("winnow_fps".r.findAllIn(sub).size == 1,
+      s"expected exactly one delta-side winnow in:\n$sub")
+    assert(sub.contains("winnow_idx"), s"base side should scan the winnow index:\n$sub")
+    val jac = graft.SparkEntry.queries("dedup_jaccard_delta")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    // the delta subtree is referenced twice (its size aggregate and the
+    // probe), so up to two explodes — both over the O(delta) batch; what
+    // must NOT appear is a third, corpus-sized shingle derivation (the
+    // base side arrives via the persisted index relation)
+    assert("explode".r.findAllIn(jac).size <= 2,
+      s"expected at most two delta-side shingle explodes in:\n$jac")
+    assert(jac.contains("shingle_idx"), s"base side should scan the shingle index:\n$jac")
+  }
+}
