@@ -101,20 +101,38 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cs = fs.getContentSummary(p)
+      val parts = Option(fs.listStatus(p)).getOrElse(
+        Array.empty[org.apache.hadoop.fs.FileStatus])
       // directory mtime alone misses an in-place file rewrite; fold the
       // newest file mtime in as well
-      val newest = fs.listStatus(p) match {
-        case null => 0L
-        case sts if sts.nonEmpty => sts.map(_.getModificationTime).max
-        case _ => fs.getFileStatus(p).getModificationTime
-      }
-      s"${cs.getLength}|${fs.getFileStatus(p).getModificationTime}|$newest"
+      val newest =
+        if (parts.nonEmpty) parts.map(_.getModificationTime).max
+        else fs.getFileStatus(p).getModificationTime
+      // Per-file (name, length) manifest (ADVICE r14): Spark and Arrow
+      // writers mint fresh part-file UUIDs per write, so a same-total-
+      // size rewrite landing inside mtime granularity still changes the
+      // stamp. A same-SECOND single-FILE in-place rewrite of identical
+      // length remains the documented (metadata-indistinguishable)
+      // contract gap.
+      val manifest = java.util.Objects.hash(
+        parts.map(st => s"${st.getPath.getName}:${st.getLen}").sorted.mkString(","))
+      s"${cs.getLength}|${fs.getFileStatus(p).getModificationTime}|$newest|$manifest"
     } catch {
       // unstampable (exotic FS) → unique key = plain uncached count
       case _: Exception => java.util.UUID.randomUUID().toString
     }
-    if (countCache.size > 64) countCache.clear()
-    countCache.computeIfAbsent(s"$sfDir|$name|$stamp",
+    val key = s"$sfDir|$name|$stamp"
+    // A fresh stamp supersedes older stamps of the SAME table — those
+    // entries can never hit again, so evict exactly them instead of
+    // flushing every hot table (ADVICE r14). The >64 backstop then only
+    // fires on genuinely many distinct tables and drops one entry.
+    val prefix = s"$sfDir|$name|"
+    countCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    if (countCache.size > 64) {
+      val it = countCache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+    countCache.computeIfAbsent(key,
       _ => load(spark, sfDir, name).count())
   }
 

@@ -33,11 +33,11 @@ object AnnOps {
   private val CAND = 50 // ann_rerank prefilter pool per query
   private val TOPK = 5
   private val NQUERY = 10
-  private val LshBands = 8 // RP-LSH bands (rows in the banding matrix)
+  private[llm] val LshBands = 8 // RP-LSH bands (rows in the banding matrix)
   private val SemDedupEps = 0.4 // semdedup near-dup cosine threshold
   private[llm] val SemCellCap = 100000L // semdedup per-cell size guard
   private[llm] val EmbBlockCap = 100000L // dedup_embedding per-label block guard
-  private val BANDBITS = 8 // FLOOR bits per LSH band (see bandBitsFor)
+  private[llm] val BANDBITS = 8 // FLOOR bits per LSH band (see bandBitsFor)
   private[llm] val LshOcc = 128L // target mean bucket occupancy per band
 
   /** Per-(band, bucket) occupancy guard on the SRP-LSH self-join
@@ -902,12 +902,18 @@ object AnnOps {
     * indexed variant. `nb` = bits per band ([[bandBitsFor]] of the
     * corpus size — caller supplies it so the inline and indexed twins
     * derive it from the same count). */
-  private def lshBuckets(s: SparkSession, v: DataFrame, nb: Int): DataFrame = {
-    // hyperplane j, component i = md5('rp|j|i') % 2001 - 1000
-    val planes = s.range(LshBands.toLong * nb).select(col("id").as("j"), expr(
+  /** The SRP hyperplanes for a given bit width: (j, 64 components),
+    * hyperplane j component i = md5('rp|j|i') % 2001 - 1000 — the
+    * deterministic, engine-portable plane family every SRP path (batch,
+    * indexed, delta, streaming literal) derives from. */
+  private[llm] def planesDf(s: SparkSession, nb: Int): DataFrame =
+    s.range(LshBands.toLong * nb).select(col("id").as("j"), expr(
       "transform(sequence(0, 63), i -> CAST(" +
       "CAST(conv(substring(md5(concat('rp|', CAST(id AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
       " % 2001 - 1000 AS DOUBLE))").as("p"))
+
+  private def lshBuckets(s: SparkSession, v: DataFrame, nb: Int): DataFrame = {
+    val planes = planesDf(s, nb)
     v.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("j"),
         when(dot(col("e"), col("p")) >= 0, 1L).otherwise(0L).as("bit0"))
@@ -1034,6 +1040,31 @@ object AnnOps {
       "vec_id BIGINT, band BIGINT, bk BIGINT", "bk", 8) {
       lshBuckets(s, vecs(s, d), nb)
     }
+  }
+
+  /** Serve-side inputs for the STREAMING SRP probe
+    * (graft.streaming.StreamOps.lshProbe), packaged for both the spec
+    * and the Python (py4j) surface: (capped base band rows, vec store,
+    * plane literals ordered by j, bits per band). The base side uses
+    * the SAME deterministic corpus split as the batch
+    * `dedup_embedding_lsh_delta` gate (vec_id % 8 != 7, occupancy cap
+    * over the persisted [[lshIndex]] rows), so a stream of the % 8 == 7
+    * vectors is an EXACT twin of that gate's pre-aggregate pair set —
+    * the replayable anchor. Production callers feed [[lshIndex]]
+    * unfiltered (their arriving vectors are genuinely new). The planes
+    * are a driver-held literal (LshBands · nb rows of 64 doubles —
+    * ~10 KB; the [[graft.streaming.StreamOps.vectorProbe]] centroid
+    * pattern) collected from the SAME Spark expression the index was
+    * built with, so bits cannot drift. */
+  def lshStreamInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[Seq[Double]], Int) = {
+    val n = embCount(s, d)
+    val nb = bandBitsFor(n)
+    val base = cappedLshBuckets(
+      lshIndex(s, d).filter(col("vec_id") % 8 =!= 7), LshBucketCap, n)
+    val planes = planesDf(s, nb).orderBy("j")
+      .collect().map(_.getSeq[Double](1)).toSeq
+    (base, vecStore(s, d), planes, nb)
   }
 
   /** The PERSISTED IVF index (round-8 verdict item 2): centroids and the

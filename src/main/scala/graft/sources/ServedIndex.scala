@@ -207,6 +207,31 @@ object ServedIndex {
           if (!fs.exists(tmp)) done = true // data rename already landed
       }
     }
+    // ADVICE r14: the retry path above deleted the pointer's `.crc`, so
+    // whichever publisher won is served with checksum verification
+    // DISABLED until the next commit — weakened torn-read detection on
+    // exactly the file that needs it. Repair: re-publish the WINNING
+    // bytes once through the normal create+rename path, which mints a
+    // fresh crc sibling. Racing publishers of one root write equivalent
+    // content for the same fingerprint (IndexChaosSpec's invariant), so
+    // re-landing the current winner's bytes is value-neutral whichever
+    // racer they came from. A further collision here means yet another
+    // commit just landed and ITS writer runs this same repair — give up
+    // quietly (no worse than today: pointer correct, crc absent).
+    if (attempt > 0) {
+      readMeta(fs, root).foreach { case (a, p, f) =>
+        val tmp2 = new org.apache.hadoop.fs.Path(root, s"_graft_meta.tmp.recrc.$active")
+        val o2 = fs.create(tmp2, true)
+        try o2.write(s"$a\n$p\n$f".getBytes(UTF8)) finally o2.close()
+        try fc.rename(tmp2, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            fs.delete(tmp2, false)
+            fs.delete(new org.apache.hadoop.fs.Path(
+              root, s"._graft_meta.tmp.recrc.$active.crc"), false)
+        }
+      }
+    }
   }
 
   /** The active version's data directory as a local File (spec helper —

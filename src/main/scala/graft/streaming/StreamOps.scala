@@ -358,6 +358,71 @@ object StreamOps {
       .select(col("id").as("delta_id"), col("level"), col("cx"), col("cy"),
         col("density"), col("n_objects"))
 
+  /** Stream-static SRP-LSH embedding probe — the STREAMING sibling of
+    * the dedup_embedding_lsh_delta gate, completing the probe family
+    * (exact/minhash → [[indexProbe]], embedding/IVF → [[vectorProbe]],
+    * paragraph → [[chunkProbe]], density-grid → [[cellProbe]], SRP →
+    * this): arriving vectors compute their OWN band keys map-only —
+    * the hyperplanes ride the plan as a LITERAL (LshBands · nb rows of
+    * 64 doubles, ~10 KB; the [[vectorProbe]] centroid pattern), the
+    * per-plane sign bits fold into per-band bucket keys in one
+    * expression — then equality-join the PERSISTED bk-bucketed band
+    * index (`bandIndex`: the O(delta·bands·occ) probe), and the
+    * surviving candidates re-rank by exact cosine against the vec_id-
+    * bucketed `store`. Stateless pure append: no watermark, no
+    * streaming state, no distinct — a pair colliding in several bands
+    * emits once PER BAND (cos is pair-determined, so the duplicates
+    * carry identical values); the per-pair DISTINCT and any per-delta
+    * argmax belong in the sink where batch semantics apply (the spec
+    * replays them there). Bit parity with the batch index is exact:
+    * the zip_with/aggregate fold is the same ascending-index double
+    * accumulation as the codegen'd dot the index was built with. */
+  def lshProbe(deltaVecs: DataFrame, bandIndex: DataFrame, store: DataFrame,
+      planes: Seq[Seq[Double]], nb: Int, minCos: Double): DataFrame = {
+    require(nb > 0 && planes.nonEmpty && planes.size % nb == 0,
+      s"planes (${planes.size}) must be bands*nb (nb=$nb)")
+    val bands = planes.size / nb
+    val bandExpr =
+      s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+            'band', CAST(b AS BIGINT),
+            'bk', aggregate(sequence(0, ${nb - 1}), CAST(0 AS BIGINT),
+              (acc, i) -> acc + shiftleft(
+                CASE WHEN aggregate(
+                       zip_with(e, element_at(planes_arr, b * $nb + i + 1),
+                                (x, y) -> x * y),
+                       CAST(0 AS DOUBLE), (s, v) -> s + v) >= 0D
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, i))))"""
+    val keyed = deltaVecs
+      .withColumn("dn", sqrt(graft.functions.DotProductD.dotD(col("e"), col("e"))))
+      .withColumn("planes_arr", typedlit(planes))
+      .withColumn("bb", explode(expr(bandExpr)))
+      .select(col("vec_id").as("delta_id"), col("e").as("de"), col("dn"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    keyed
+      .join(bandIndex.select(col("band"), col("bk"),
+        col("vec_id").as("base_id")), Seq("band", "bk"))
+      .join(store.select(col("vec_id").as("base_id"), col("e").as("be"),
+        col("nrm").as("bn")), "base_id")
+      .withColumn("cos",
+        when(col("dn") * col("bn") === 0, lit(null))
+          .otherwise(graft.functions.DotProductD.dotD(col("de"), col("be"))
+            / (col("dn") * col("bn"))))
+      .where(col("cos") >= minCos)
+      .select(col("delta_id"), col("base_id"), col("band"),
+        expr("try_cast(round(cos * 1000000, 0) AS BIGINT)").as("cos_micro"))
+  }
+
+  /** [[lshProbe]] pre-wired to a corpus directory's persisted SRP
+    * artifacts (graft.llm.AnnOps.lshStreamInputs) — the py4j-friendly
+    * entry pysmoke drives: base side = the dedup_embedding_lsh_delta
+    * gate's corpus split, so streaming the vec_id % 8 == 7 vectors is
+    * an exact twin of that gate's pre-aggregate pairs. */
+  def lshProbeFor(deltaVecs: DataFrame, s: org.apache.spark.sql.SparkSession,
+      d: String, minCos: Double): DataFrame = {
+    val (base, store, planes, nb) = graft.llm.AnnOps.lshStreamInputs(s, d)
+    lshProbe(deltaVecs, base, store, planes, nb, minCos)
+  }
+
   /** Per-doc keep decision over [[streamingMinhashDedup]] verdicts: a
     * doc is a near-dup iff ANY of its bands is owned by an earlier doc;
     * dup_of = the smallest such owner (deterministic attribution). */

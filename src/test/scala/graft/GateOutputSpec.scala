@@ -38,6 +38,9 @@ class GateOutputSpec extends SparkSuite {
     "dedup_jaccard_indexed" -> Set("jaccard"),
     // prefix-filtered twin: identical output shape, PrefixJoinSpec-proven
     "dedup_jaccard_prefix" -> Set("jaccard"),
+    // delta-ingest twin (r15): same round(x, 6) expression mirrored in
+    // the oracle, hash-green at sf0.001/0.01/0.1 in the landing commit
+    "dedup_jaccard_delta" -> Set("jaccard"),
     "embed_quantize" -> Set("scale_r"),
     "histogram_ranks" -> Set("avg_cnt"),
     "matmul_gram" -> Set("dot"),

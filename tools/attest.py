@@ -54,33 +54,43 @@ def write_attest(kind, sf_dir, statuses, wall_sec, extra=None):
 def merge_attest(kind, sf_dir, query, status_line, wall_sec):
     """Per-query accumulation (the sharded-oracle shape: one heavy query
     per process invocation). Read-modify-write of <kind>_<sf>.json's
-    `queries` map; tallies recomputed from the merged map."""
+    `queries` map; tallies recomputed from the merged map.
+
+    The whole read-modify-write runs under an exclusive flock on a
+    sidecar .lock file (ADVICE r14: two concurrent `oracle_sharded
+    --one` processes finishing different queries could interleave
+    load/replace and silently drop each other's entries). A sidecar —
+    not the record itself — because os.replace swaps the locked inode
+    out from under a third waiter."""
+    import fcntl
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = os.path.join(repo, "attest")
     os.makedirs(d, exist_ok=True)
     sfname = os.path.basename(os.path.normpath(sf_dir)) or "unknown"
     path = os.path.join(d, f"{kind}_{sfname}.json")
-    rec = {"kind": kind, "sf_dir": os.path.abspath(sf_dir), "queries": {}}
-    if os.path.exists(path):
-        try:
-            rec = json.load(open(path))
-        except Exception:
-            pass
-    q = rec.setdefault("queries", {})
-    q[query] = {
-        "status": status_line,
-        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "wall_sec": round(wall_sec, 1),
-    }
-    rec["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    rec["census"] = len(q)
-    rec["pass"] = sum(1 for v in q.values()
-                      if v["status"].startswith("PASS"))
-    rec["fail"] = sum(1 for v in q.values()
-                      if v["status"].startswith("FAIL"))
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(rec, f, indent=1, sort_keys=True)
-        f.write("\n")
-    os.replace(tmp, path)
+    with open(path + ".lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        rec = {"kind": kind, "sf_dir": os.path.abspath(sf_dir), "queries": {}}
+        if os.path.exists(path):
+            try:
+                rec = json.load(open(path))
+            except Exception:
+                pass
+        q = rec.setdefault("queries", {})
+        q[query] = {
+            "status": status_line,
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "wall_sec": round(wall_sec, 1),
+        }
+        rec["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        rec["census"] = len(q)
+        rec["pass"] = sum(1 for v in q.values()
+                          if v["status"].startswith("PASS"))
+        rec["fail"] = sum(1 for v in q.values()
+                          if v["status"].startswith("FAIL"))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, path)
     return path

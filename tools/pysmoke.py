@@ -125,6 +125,58 @@ def streaming_probe(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def streaming_lsh_probe(spark, sf_dir):
+    """Drive the SRP-LSH readStream probe end-to-end from Python (r15:
+    the streaming sibling of dedup_embedding_lsh_delta — arriving
+    vectors compute their own band keys against the plane literal,
+    probe the persisted band index stream-static, re-rank by exact
+    cosine). Same twin discipline as streaming_cell_probe: the BATCH
+    invocation of the same operator over the same vectors must be
+    row-identical, and the query must carry zero streaming state.
+    Returns a status line starting with PASS/FAIL."""
+    import shutil
+    import tempfile
+    jvm = spark._jvm
+    vecs = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where("vec_id % 8 = 7")
+            .selectExpr("vec_id",
+                        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e"))
+    d = tempfile.mkdtemp(prefix="pysmoke_lshprobe_")
+    q = None
+    try:
+        vecs.write.parquet(f"{d}/vecs")
+        want = sorted(
+            tuple(r) for r in DataFrame(
+                jvm.graft.streaming.StreamOps.lshProbeFor(
+                    vecs._jdf, spark._jsparkSession, sf_dir, 0.4),
+                spark).collect())
+        if not want:
+            return "FAIL streaming_lsh_probe: batch twin empty (dead fixture)"
+        stream = spark.readStream.schema(vecs.schema).parquet(f"{d}/vecs")
+        sdf = DataFrame(
+            jvm.graft.streaming.StreamOps.lshProbeFor(
+                stream._jdf, spark._jsparkSession, sf_dir, 0.4), spark)
+        q = (sdf.writeStream.outputMode("append")
+             .format("memory").queryName("pysmoke_lshprobe")
+             .option("checkpointLocation", f"{d}/ckpt").start())
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM pysmoke_lshprobe").collect())
+        lp = q.lastProgress
+        state_ops = (lp or {}).get("stateOperators", [])
+        if state_ops:
+            return f"FAIL streaming_lsh_probe: unexpected state {state_ops}"
+        if got != want:
+            return (f"FAIL streaming_lsh_probe: {len(got)} streamed rows "
+                    f"!= {len(want)} batch rows")
+        return (f"PASS streaming_lsh_probe ({len(got)} rows, stream == "
+                "batch twin, zero streaming state, python-driven)")
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main(sf_dir, quick):
     spark = (SparkSession.builder
              .appName("graft-pysmoke")
@@ -173,15 +225,18 @@ def main(sf_dir, quick):
             statuses[name] = f"PASS ({len(got)} rows, python-driven)"
             print(f"PASS {name} ({len(got)} rows, python-driven)")
 
-    # one readStream probe, python-driven end-to-end (r13 item 7)
-    try:
-        line = streaming_probe(spark, sf_dir)
-    except Exception as e:
-        line = f"FAIL streaming_cell_probe: {e!r:.300}"
-    print(line)
-    statuses["streaming_cell_probe"] = line
-    if line.startswith("FAIL"):
-        failures.append(line)
+    # readStream probes, python-driven end-to-end (r13 item 7 cell probe,
+    # r15 SRP-LSH probe)
+    for key, fn in (("streaming_cell_probe", streaming_probe),
+                    ("streaming_lsh_probe", streaming_lsh_probe)):
+        try:
+            line = fn(spark, sf_dir)
+        except Exception as e:
+            line = f"FAIL {key}: {e!r:.300}"
+        print(line)
+        statuses[key] = line
+        if line.startswith("FAIL"):
+            failures.append(line)
 
     spark.stop()
     try:
@@ -194,7 +249,7 @@ def main(sf_dir, quick):
         print("\n".join(failures))
         sys.exit(1)
     print(f"pysmoke: {len(statuses)}/{len(statuses)} python-driven queries "
-          "row-identical to the DuckDB oracle (incl. 1 streaming probe)")
+          "row-identical to the DuckDB oracle (incl. 2 streaming probes)")
 
 
 if __name__ == "__main__":
