@@ -63,6 +63,7 @@ object SparkEntry {
     "minhash" -> ((s, d) => graft.llm.Dedup.minhashIndex(s, d)),
     "winnow" -> ((s, d) => graft.llm.Dedup.winnowIndex(s, d)),
     "shingle" -> ((s, d) => graft.llm.Dedup.shingleIndex(s, d)),
+    "shingle_sizes" -> ((s, d) => graft.llm.Dedup.shingleSizes(s, d)),
     "vecstore" -> ((s, d) => graft.llm.AnnOps.vecStore(s, d)),
     // two tables (assignment + centroids); force the small one inline
     "ivf" -> ((s, d) => {

@@ -383,9 +383,14 @@ object Dedup {
     // aggregates over the bucketed table, no text re-derivation); the
     // probe is a gram-equality join delta-vs-base bounded by the same
     // O(Σ df²) guard as the inline gate, then J = |∩|/(n1+n2−|∩|) with
-    // n1 from the delta batch itself. Same rounding + threshold as
-    // dedup_jaccard, so the oracle replays shingling, the split, the
-    // base-side df-cap, and the similarity arithmetic exactly.
+    // n1 from the delta batch itself and n2 served from the PERSISTED
+    // per-doc size table ([[shingleSizes]], the index's companion stat
+    // — re-aggregating the gram-bucketed posting list by doc_id would
+    // be a corpus-sized Exchange per ingest, exactly what the O(delta)
+    // claim forbids; the candidate join against the doc_id-bucketed
+    // sizes is co-located). Same rounding + threshold as dedup_jaccard,
+    // so the oracle replays shingling, the split, the base-side
+    // df-cap, the sizes, and the similarity arithmetic exactly.
     QueryDef("dedup_jaccard_delta", (s, d) => {
       val docs = Tables.load(s, d, "documents")
       val srcOf = docs.select("doc_id", "source")
@@ -397,7 +402,8 @@ object Dedup {
       val rare = base.groupBy("gram").agg(count(lit(1)).as("df"))
         .filter(col("df") <= JaccardDfCap).select("gram")
       val n1s = deltaG.groupBy("delta_id").agg(count(lit(1)).as("n1"))
-      val n2s = base.groupBy("base_id").agg(count(lit(1)).as("n2"))
+      val n2s = shingleSizes(s, d)
+        .select(col("doc_id").as("base_id"), col("n").as("n2"))
       deltaG.join(base.join(rare, "gram"), "gram")
         .groupBy("delta_id", "base_id")
         .agg(count(lit(1)).as("inter"))
@@ -1153,6 +1159,24 @@ object Dedup {
       corpusFingerprint(s, d),
       "doc_id BIGINT, gram STRING",
       "gram", IndexBuckets)(shingles(s, d))
+  }
+
+  /** Persisted per-doc distinct-shingle COUNTS — the companion stat
+    * table of [[shingleIndex]], bucketed by doc_id (r15): the Jaccard
+    * denominator needs |doc| for every candidate's base doc, and
+    * re-aggregating the gram-bucketed posting list by doc_id is a
+    * corpus-sized Exchange on every ingest batch — exactly the shuffle
+    * the O(delta) serve claim forbids. One row per doc, written with
+    * the index (same corpus fingerprint, so staleness fails the shared
+    * hash gate); a candidate join against it is a bucket-co-located
+    * doc_id lookup. */
+  def shingleSizes(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"shingle_sizes$sfx", s"shingle_sizes$sfx",
+      corpusFingerprint(s, d),
+      "doc_id BIGINT, n BIGINT",
+      "doc_id", IndexBuckets)(
+      shingles(s, d).groupBy("doc_id").agg(count(lit(1)).as("n")))
   }
 
   /** Candidate pairs served FROM the persisted index — same semantics as

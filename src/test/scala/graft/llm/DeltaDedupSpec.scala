@@ -81,5 +81,9 @@ class DeltaDedupSpec extends SparkSuite {
     assert("explode".r.findAllIn(jac).size <= 2,
       s"expected at most two delta-side shingle explodes in:\n$jac")
     assert(jac.contains("shingle_idx"), s"base side should scan the shingle index:\n$jac")
+    // the Jaccard denominator must come from the persisted per-doc size
+    // table, not a corpus-wide re-aggregation of the posting list
+    assert(jac.contains("shingle_sizes"),
+      s"base sizes should serve from the persisted stat table:\n$jac")
   }
 }

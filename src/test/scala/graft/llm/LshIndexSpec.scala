@@ -29,6 +29,18 @@ class LshIndexSpec extends SparkSuite {
     val perVec = served.groupBy(_._1).values.map(_.size).toSet
     assert(perVec == Set(8), s"band conservation broken: $perVec")
   }
+
+  test("lsh_bucket_stats serves from the persisted index, not a recompute") {
+    // r15 verdict item 3's done-criterion: the occupancy telemetry must
+    // describe exactly the table the delta ingest path probes — its plan
+    // reads the lsh_bands relation and contains no signature pipeline
+    // (no plane family, no embeddings scan).
+    val plan = graft.SparkEntry.queries("lsh_bucket_stats")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("lsh_bands"), s"stats should scan the band index:\n$plan")
+    assert(!plan.contains("rp|"), s"stats recompute the plane family:\n$plan")
+    assert(!plan.contains("embeddings"), s"stats re-scan the corpus:\n$plan")
+  }
 }
 
 /** Test-only bridge to the private bucket builder (the spec needs the
