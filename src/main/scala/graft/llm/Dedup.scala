@@ -370,7 +370,8 @@ object Dedup {
     // bucketed posting list, with the df-cap groupBy and gram self-join
     // bucket-co-located. Shares dedup_jaccard's oracle.
     QueryDef("dedup_jaccard_indexed", (s, d) =>
-      jaccardPairsFrom(shingleIndex(s, d), minJ = 0.6, dfCap = JaccardDfCap),
+      jaccardPairsFrom(shingleIndex(s, d), minJ = 0.6, dfCap = JaccardDfCap,
+        sizesOpt = Some(shingleSizes(s, d))),
     Some(jaccardOracleSql)),
 
     // ---- Steady-state exact-Jaccard ingest (r15, the
@@ -468,7 +469,8 @@ object Dedup {
     // ---- Containment served from the same persisted shingle index
     // (see dedup_jaccard_indexed); shares dedup_containment's oracle.
     QueryDef("dedup_containment_indexed", (s, d) =>
-      containmentPairsFrom(shingleIndex(s, d), minMilli = 800L,
+      containmentPairsFrom(shingleIndex(s, d), sizesOpt = Some(shingleSizes(s, d)),
+        minMilli = 800L,
         dfCap = JaccardDfCap),
     Some(containmentOracleSql)),
 
@@ -633,7 +635,8 @@ object Dedup {
       // the oracle still replays the inline chain, so index drift
       // fails here)
       val truth = jaccardPairsFrom(shingleIndex(s, d),
-          minJ = 0.5, dfCap = JaccardDfCap)
+          minJ = 0.5, dfCap = JaccardDfCap,
+          sizesOpt = Some(shingleSizes(s, d)))
         .select(col("id1"), col("id2"), lit(1L).as("t"))
       // served from the persisted band index (identical rows — the
       // oracle still replays the inline chain, so index drift fails here)
@@ -900,9 +903,15 @@ object Dedup {
     jaccardPairsFrom(shinglesOf(docs), minJ, dfCap)
 
   /** [[jaccardPairs]] over an explicit (doc_id, gram) frame — shared by
-    * the inline path and the persisted shingle index. */
-  def jaccardPairsFrom(grams: DataFrame, minJ: Double, dfCap: Long): DataFrame = {
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    * the inline path and the persisted shingle index. `sizesOpt` (r15):
+    * index-served callers pass the persisted per-doc size table
+    * ([[shingleSizes]], identical values) so the denominator is a
+    * doc_id-bucketed lookup instead of a SECOND corpus-wide scan +
+    * re-aggregation of the posting list. */
+  def jaccardPairsFrom(grams: DataFrame, minJ: Double, dfCap: Long,
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesOpt.getOrElse(
+      grams.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val kept = grams.join(
       grams.groupBy("gram").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("gram"),
@@ -1023,8 +1032,10 @@ object Dedup {
     containmentPairsFrom(shinglesOf(docs), minMilli, dfCap)
 
   /** [[containmentPairs]] over an explicit (doc_id, gram) frame. */
-  def containmentPairsFrom(grams: DataFrame, minMilli: Long, dfCap: Long): DataFrame = {
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  def containmentPairsFrom(grams: DataFrame, minMilli: Long, dfCap: Long,
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesOpt.getOrElse(
+      grams.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val kept = grams.join(
       grams.groupBy("gram").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("gram"),
