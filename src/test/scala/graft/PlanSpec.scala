@@ -136,6 +136,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), s"seq_pack fell back to a window funnel:\n$p")
   }
 
+  test("census sweep: no gate plans an unpartitioned Window over row-scale data") {
+    // WindowExec with an empty partitionSpec funnels EVERYTHING through
+    // one task — the classic silent scale-killer. A global window is
+    // admissible only over a provably bounded input (an aggregate whose
+    // cardinality is a domain, not the row count); each whitelist entry
+    // records that proof. Anything else failing here means a new gate
+    // shipped a global sort-window it shouldn't have.
+    val whitelist: Map[String, String] = Map(
+      // suffix-min over min-price-per-size: |p_size domain| ~ 50 rows,
+      // bounded by the domain (Analytics.scala "skyline_parts")
+      "skyline_parts" -> "window over per-size aggregate, O(|size domain|)")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.toSet == whitelist.keySet,
+      s"unpartitioned windows: unexpected=${offenders.toSet -- whitelist.keySet} " +
+        s"stale-whitelist=${whitelist.keySet -- offenders.toSet}")
+  }
+
   test("rep_tokens and split_assign are scan-side only (no joins, no windows)") {
     Seq("rep_tokens", "split_assign").foreach { name =>
       val p = planString(q(name))
