@@ -64,7 +64,11 @@ object SparkEntry {
     "winnow" -> ((s, d) => graft.llm.Dedup.winnowIndex(s, d)),
     "shingle" -> ((s, d) => graft.llm.Dedup.shingleIndex(s, d)),
     "shingle_sizes" -> ((s, d) => graft.llm.Dedup.shingleSizes(s, d)),
+    "shingle_df" -> ((s, d) => graft.llm.Dedup.shingleDf(s, d)),
+    "winnow_df" -> ((s, d) => graft.llm.Dedup.winnowDf(s, d)),
     "vecstore" -> ((s, d) => graft.llm.AnnOps.vecStore(s, d)),
+    "lsh_bands" -> ((s, d) => graft.llm.AnnOps.lshIndex(s, d)),
+    "lsh_hot" -> ((s, d) => graft.llm.AnnOps.lshHot(s, d)),
     // two tables (assignment + centroids); force the small one inline
     "ivf" -> ((s, d) => {
       val (assigned, cents) = graft.llm.AnnOps.ivfIndex(s, d)

@@ -393,10 +393,18 @@ object AnnOps {
       // count (the store mirrors it, fingerprint-fresh), keeping this
       // path corpus-scan-free; a footer/metadata-only count.
       // Same occupancy cap as the inline twin, applied to the SAME
-      // bucket rows BEFORE the store join — the twins stay identical.
+      // bucket rows BEFORE the store join (the twins stay identical) —
+      // but served from the PERSISTED hot list ([[lshHot]], r15): the
+      // per-query O(n·bands) occupancy census leaves the plan; the
+      // normally-empty stop list broadcasts into an anti-join. The
+      // n ≤ cap skip stays (a band holds only n rows, so the filter is
+      // a provable no-op — small corpora pay zero; CapFiringSpec's
+      // planted direction exercises the served arm).
       val nStore = store.count()
-      val withVec = cappedLshBuckets(
-          lshBuckets(s, store, bandBitsFor(nStore)), LshBucketCap, nStore)
+      val bucketRows = lshBuckets(s, store, bandBitsFor(nStore))
+      val withVec =
+        (if (nStore <= LshBucketCap) bucketRows
+         else cappedByHot(bucketRows, lshHot(s, d)))
         .join(store, "vec_id")
       val a = withVec.select(col("vec_id").as("id1"), col("band"), col("bk"),
         col("e").as("e1"), col("nrm").as("n1"))
@@ -937,6 +945,13 @@ object AnnOps {
     * (identical rows, zero plan cost). Small gate corpora take this
     * branch; the census arm is exercised from sf1 up and by
     * CapFiringSpec. */
+  /** The cap as an anti-join against an ALREADY-KNOWN hot list (the
+    * persisted [[lshHot]] table): identical semantics to
+    * [[cappedLshBuckets]] when the list is fresh for these bucket rows,
+    * with the occupancy census gone from the per-query plan. */
+  private[llm] def cappedByHot(buckets: DataFrame, hot: DataFrame): DataFrame =
+    buckets.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+
   private[llm] def cappedLshBuckets(buckets: DataFrame, cap: Long,
       n: Long = -1L): DataFrame = {
     if (n >= 0 && n <= cap) return buckets
@@ -1039,6 +1054,29 @@ object AnnOps {
       s"lshband1|nb=$nb|" + embFingerprint(s, d),
       "vec_id BIGINT, band BIGINT, bk BIGINT", "bk", 8) {
       lshBuckets(s, vecs(s, d), nb)
+    }
+  }
+
+  /** Persisted over-cap (band, bk) hot list — the occupancy-cap stop
+    * list of [[lshIndex]], written with it (same fingerprint + width +
+    * cap in the key), normally EMPTY (the cap is a tail guard; max
+    * measured occupancy is 1000 at sf10 vs cap 8192). Serving it turns
+    * the whole-corpus capped paths' per-query O(n·bands) occupancy
+    * census into a tiny-table read + broadcast anti-join; the hot list
+    * is provably ≤ n·bands/cap rows, so the broadcast is always safe.
+    * (The DELTA gate keeps its split census: its stand-in corpus is
+    * the index minus the arriving batch, and base-side occupancy is
+    * not derivable from the whole-corpus list.) */
+  def lshHot(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    val nb = bandBitsFor(embCount(s, d))
+    graft.sources.ServedIndex.cached(
+      s, s"lsh_hot$sfx", s"lsh_hot$sfx",
+      s"lshhot1|cap=$LshBucketCap|nb=$nb|" + embFingerprint(s, d),
+      "band BIGINT, bk BIGINT", "bk", 0) {
+      lshIndex(s, d).groupBy("band", "bk").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > LshBucketCap)
+        .select("band", "bk")
     }
   }
 

@@ -178,8 +178,12 @@ object Dedup {
     * When `fps` is the bucketed index table, the df-cap groupBy AND the
     * fingerprint self-join are bucket-co-located on fp. */
   private[llm] def substringPairsFrom(fps: org.apache.spark.sql.DataFrame,
-      dfCap: Long): org.apache.spark.sql.DataFrame = {
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      dfCap: Long,
+      dfOpt: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    // served callers pass the persisted (fp, df) stat ([[winnowDf]],
+    // identical values): one posting scan per query instead of two
+    val rare = dfOpt.getOrElse(fps.groupBy("fp").agg(count(lit(1)).as("df")))
       .filter(col("df") <= dfCap).select("fp")
     val kept = fps.join(rare, "fp")
     val right = kept.select(col("fp").as("fp2"), col("doc_id").as("id2"))
@@ -371,7 +375,7 @@ object Dedup {
     // bucket-co-located. Shares dedup_jaccard's oracle.
     QueryDef("dedup_jaccard_indexed", (s, d) =>
       jaccardPairsFrom(shingleIndex(s, d), minJ = 0.6, dfCap = JaccardDfCap,
-        sizesOpt = Some(shingleSizes(s, d))),
+        sizesOpt = Some(shingleSizes(s, d)), dfOpt = Some(shingleDf(s, d))),
     Some(jaccardOracleSql)),
 
     // ---- Steady-state exact-Jaccard ingest (r15, the
@@ -470,7 +474,7 @@ object Dedup {
     // (see dedup_jaccard_indexed); shares dedup_containment's oracle.
     QueryDef("dedup_containment_indexed", (s, d) =>
       containmentPairsFrom(shingleIndex(s, d), sizesOpt = Some(shingleSizes(s, d)),
-        minMilli = 800L,
+        dfOpt = Some(shingleDf(s, d)), minMilli = 800L,
         dfCap = JaccardDfCap),
     Some(containmentOracleSql)),
 
@@ -501,7 +505,8 @@ object Dedup {
     // fingerprint self-join are bucket-co-located on fp. Shares
     // dedup_substring's oracle, so a stale index fails the hash gate.
     QueryDef("dedup_substring_indexed", (s, d) =>
-      substringPairsFrom(winnowIndex(s, d), dfCap = 50L),
+      substringPairsFrom(winnowIndex(s, d), dfCap = 50L,
+        dfOpt = Some(winnowDf(s, d))),
     Some(substringOracleSql)),
 
     // ---- Steady-state substring-level ingest (r15: the dedup_delta
@@ -636,7 +641,8 @@ object Dedup {
       // fails here)
       val truth = jaccardPairsFrom(shingleIndex(s, d),
           minJ = 0.5, dfCap = JaccardDfCap,
-          sizesOpt = Some(shingleSizes(s, d)))
+          sizesOpt = Some(shingleSizes(s, d)),
+          dfOpt = Some(shingleDf(s, d)))
         .select(col("id1"), col("id2"), lit(1L).as("t"))
       // served from the persisted band index (identical rows — the
       // oracle still replays the inline chain, so index drift fails here)
@@ -909,11 +915,15 @@ object Dedup {
     * doc_id-bucketed lookup instead of a SECOND corpus-wide scan +
     * re-aggregation of the posting list. */
   def jaccardPairsFrom(grams: DataFrame, minJ: Double, dfCap: Long,
-      sizesOpt: Option[DataFrame] = None): DataFrame = {
+      sizesOpt: Option[DataFrame] = None,
+      dfOpt: Option[DataFrame] = None): DataFrame = {
     val sizes = sizesOpt.getOrElse(
       grams.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    // df stop list: served callers pass the persisted (gram, df) stat
+    // ([[shingleDf]], identical values) so the guard costs a tiny
+    // bucket-co-located scan instead of a SECOND full posting scan
     val kept = grams.join(
-      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      dfOpt.getOrElse(grams.groupBy("gram").agg(count(lit(1)).as("df")))
         .filter(col("df") <= dfCap).select("gram"),
       "gram")
     val pairs = kept.as("a")
@@ -1033,11 +1043,12 @@ object Dedup {
 
   /** [[containmentPairs]] over an explicit (doc_id, gram) frame. */
   def containmentPairsFrom(grams: DataFrame, minMilli: Long, dfCap: Long,
-      sizesOpt: Option[DataFrame] = None): DataFrame = {
+      sizesOpt: Option[DataFrame] = None,
+      dfOpt: Option[DataFrame] = None): DataFrame = {
     val sizes = sizesOpt.getOrElse(
       grams.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val kept = grams.join(
-      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      dfOpt.getOrElse(grams.groupBy("gram").agg(count(lit(1)).as("df")))
         .filter(col("df") <= dfCap).select("gram"),
       "gram")
     val pairs = kept.as("a")
@@ -1170,6 +1181,39 @@ object Dedup {
       corpusFingerprint(s, d),
       "doc_id BIGINT, gram STRING",
       "gram", IndexBuckets)(shingles(s, d))
+  }
+
+  /** Persisted per-gram document frequencies — the stop-list stat of
+    * [[shingleIndex]], bucketed by gram (r15): the df-cap guard needs
+    * df per gram, and re-aggregating the posting list on every ingest
+    * batch is a second full corpus scan per batch (bucket-co-located,
+    * so no shuffle — but the IO is O(corpus), not O(delta)). One row
+    * per distinct gram, written with the index (same corpus
+    * fingerprint); the index-served twins join it bucket-co-located on
+    * gram. (The DELTA gates keep deriving df from the base split: their
+    * stand-in corpus is the index MINUS the arriving batch, so the
+    * whole-corpus stat would over-count df by the batch's own grams —
+    * in production, where the batch is not yet indexed, this table IS
+    * the stop list.) */
+  def shingleDf(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"shingle_df$sfx", s"shingle_df$sfx",
+      corpusFingerprint(s, d),
+      "gram STRING, df BIGINT",
+      "gram", IndexBuckets)(
+      shingles(s, d).groupBy("gram").agg(count(lit(1)).as("df")))
+  }
+
+  /** Persisted per-fingerprint document frequencies — the winnow
+    * family's twin of [[shingleDf]], bucketed by fp. */
+  def winnowDf(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"winnow_df$sfx", s"winnow_df$sfx",
+      corpusFingerprint(s, d),
+      "fp BIGINT, df BIGINT",
+      "fp", IndexBuckets)(
+      winnowFps(Tables.load(s, d, "documents"))
+        .groupBy("fp").agg(count(lit(1)).as("df")))
   }
 
   /** Persisted per-doc distinct-shingle COUNTS — the companion stat

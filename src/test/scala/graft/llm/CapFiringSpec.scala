@@ -167,6 +167,40 @@ class CapFiringSpec extends SparkSuite {
         s"the cap: skip=$viaSkip census=$viaCensus")
   }
 
+  test("the PERSISTED hot list drops a planted hot direction from the " +
+      "indexed twin (cap fires through ServedIndex, twins agree)") {
+    // The r15 serve path: dedup_embedding_lsh_indexed anti-joins the
+    // persisted lshHot stop list instead of running the occupancy
+    // census per query. Plant LshBucketCap+2 identical vectors — the
+    // built hot table must cover all 8 bands, and the indexed twin
+    // must agree with the inline (census-path) twin with the hot
+    // direction's pairs GONE and the cold pair kept.
+    val cap = AnnOps.LshBucketCap
+    val dim = 64
+    def unitF(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val hotV = (0 until (cap + 2).toInt).map(i => (100000L + i, unitF(0)))
+    val cold = Seq((900L, unitF(7)), (901L, unitF(7)))
+    val dir = java.nio.file.Files.createTempDirectory("cap_lsh_served").toString
+    (hotV ++ cold).toDF("vec_id", "embedding")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val hot = AnnOps.lshHot(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hot.map(_._1).toSet == (0L until 8L).toSet,
+      s"hot list must cover all 8 bands of the planted direction: ${hot.toSeq}")
+
+    val indexed = graft.SparkEntry.queries("dedup_embedding_lsh_indexed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = graft.SparkEntry.queries("dedup_embedding_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == inline,
+      s"served-hot twin diverged from the census twin: " +
+        s"extra=${(indexed -- inline).take(3)} missing=${(inline -- indexed).take(3)}")
+    assert(indexed == Set((900L, 901L)),
+      s"hot direction must be dropped whole, cold pair kept: $indexed")
+  }
+
   test("fuzzy block cap fires: a stop-token block is dropped whole, " +
       "discriminative blocks still pair") {
     // FuzzyBlockCap+1 docs share first token "the" — uncapped this
