@@ -74,6 +74,23 @@ object Bench {
   def committedSpillMb(path: java.nio.file.Path, sf: String): Option[Map[String, Double]] =
     committedField(path, sf, "spill_mb")
 
+  /** Raw committed per-query object bodies (same two-stage parse as
+    * [[committedField]]) — for carrying a still-live gate's whole entry
+    * through a window in which it errored. Callers must filter the keys
+    * against the live gate census: the flat regex also captures
+    * `index_trace` sub-objects. */
+  private def committedBodies(path: java.nio.file.Path,
+      sf: String): Map[String, String] =
+    try {
+      val txt = Files.readString(path)
+      val sfRe = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+      if (!sfRe.findFirstMatchIn(txt).exists(_.group(1) == sf)) Map.empty
+      else {
+        val objRe = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{([^{}]*)\\}".r
+        objRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   private def committedField(path: java.nio.file.Path, sf: String,
       field: String): Option[Map[String, Double]] =
     try {
@@ -298,10 +315,25 @@ object Bench {
           case _ => Map.empty[String, (Double, Double)]
         }
       else Map.empty[String, (Double, Double)]
-    val detail = ok.sortBy(_._1)
+    val okEntries = ok.sortBy(_._1)
       .map { case (k, v, m, _) =>
         val (bv, bm) = priorTiming.get(k).filter(_._1 < v).getOrElse((v, m))
         s"""${jstr(k)}:{"min":${fmt(bv)},"med":${fmt(bm)}${traceJson(k)}}""" }
+    // A still-live gate that ERRORED this window must not lose its
+    // committed entry — dropping it would disable the noise defense for
+    // that query and let the next (possibly elevated) window become its
+    // ratchet floor, the same hole the best-of merge closes for noisy
+    // mins. Carry the whole committed object through; retired gates
+    // (absent from SparkEntry.queries) are dropped as before.
+    val okNames = ok.map(_._1).toSet
+    val carried =
+      (if (only.isEmpty)
+         committedBodies(Paths.get("bench_detail.json"), sfName)
+           .filter { case (k, _) =>
+             !okNames(k) && SparkEntry.queries.contains(k) }
+       else Map.empty[String, String])
+        .toSeq.sortBy(_._1).map { case (k, b) => s"${jstr(k)}:{$b}" }
+    val detail = (okEntries ++ carried)
       .mkString("{\"queries\":{", ",",
         s"""},"index_build_s":$buildJson,"index_trace":$indexTrace,"runs":$runs,"sf":${jstr(Paths.get(sfDir).getFileName.toString)}}""")
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed

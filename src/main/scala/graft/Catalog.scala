@@ -13,34 +13,10 @@ package graft
   */
 object Catalog {
 
-  /** The same per-module lists [[SparkEntry.defs]] concatenates, tagged
-    * with their module name. [[main]] asserts the concatenation matches
-    * SparkEntry.defs exactly — a module added there but not here fails
-    * generation rather than silently missing from the catalog. */
-  def modules: Seq[(String, Seq[QueryDef])] = Seq(
-    "graft.queries.Tpch" -> graft.queries.Tpch.defs,
-    "graft.queries.Analytics" -> graft.queries.Analytics.defs,
-    "graft.operators.CoreOps" -> graft.operators.CoreOps.defs,
-    "graft.operators.KvsOps" -> graft.operators.KvsOps.defs,
-    "graft.operators.EventOps" -> graft.operators.EventOps.defs,
-    "graft.operators.JoinOps" -> graft.operators.JoinOps.defs,
-    "graft.llm.Dedup" -> graft.llm.Dedup.defs,
-    "graft.llm.TextOps" -> graft.llm.TextOps.defs,
-    "graft.llm.TrainPrep" -> graft.llm.TrainPrep.defs,
-    "graft.llm.Curate" -> graft.llm.Curate.defs,
-    "graft.llm.AnnOps" -> graft.llm.AnnOps.defs,
-    "graft.llm.MultiModal" -> graft.llm.MultiModal.defs,
-    "graft.sources.Ingest" -> graft.sources.Ingest.defs,
-    "graft.sources.ZipSplice" -> graft.sources.ZipSplice.defs,
-    "graft.sources.CmdFarm" -> graft.sources.CmdFarm.defs,
-    "graft.sources.DpRun" -> graft.sources.DpRun.defs,
-    "graft.sources.Locality" -> graft.sources.Locality.defs,
-    "graft.core.Checkpoint" -> graft.core.Checkpoint.defs,
-    "graft.core.SpawnerKvs" -> graft.core.SpawnerKvs.defs,
-    "graft.core.Lanes" -> graft.core.Lanes.defs,
-    "graft.algos.Iterative" -> graft.algos.Iterative.defs,
-    "graft.algos.Graph" -> graft.algos.Graph.defs,
-    "graft.algos.FlexDice" -> graft.algos.FlexDice.defs)
+  /** Single-sourced from [[SparkEntry.moduleDefs]] (which [[SparkEntry
+    * .defs]] itself flattens), so the catalog cannot miss a module by
+    * construction. */
+  def modules: Seq[(String, Seq[QueryDef])] = SparkEntry.moduleDefs
 
   /** ScalaTest suites whose source mentions the query name as a string
     * literal — the "where is this pinned beyond the oracle" column. */
@@ -48,8 +24,13 @@ object Catalog {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/test/scala")
     if (!java.nio.file.Files.isDirectory(root)) return Map.empty
-    val files = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith("Spec.scala")).toSeq
+    // Files.walk holds open directory handles until closed — CatalogSpec
+    // calls this inside the long-lived test JVM, so close deterministically
+    val walk = java.nio.file.Files.walk(root)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith("Spec.scala")).toSeq
+      finally walk.close()
     val bodies = files.map(p =>
       p.getFileName.toString.stripSuffix(".scala") ->
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
@@ -84,11 +65,7 @@ object Catalog {
   }
 
   def render(): String = {
-    val fromModules = modules.flatMap(_._2.map(_.name))
     val fromEntry = SparkEntry.defs.map(_.name)
-    require(fromModules == fromEntry,
-      "Catalog.modules diverged from SparkEntry.defs: " +
-        s"${fromEntry.diff(fromModules)} missing, ${fromModules.diff(fromEntry)} extra")
     val specs = specIndex()
     val heavy = heavyAttest()
     val oracled = modules.flatMap(_._2).count(_.oracle.isDefined)

@@ -9,23 +9,37 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Per-module QueryDef lists tagged with the owning module — the
+    * SINGLE source for both [[defs]] and the CATALOG.md generator
+    * (graft.Catalog), so the catalog cannot miss a module by
+    * construction. */
+  def moduleDefs: Seq[(String, Seq[QueryDef])] = Seq(
+    "graft.queries.Tpch" -> graft.queries.Tpch.defs,
+    "graft.queries.Analytics" -> graft.queries.Analytics.defs,
+    "graft.operators.CoreOps" -> graft.operators.CoreOps.defs,
+    "graft.operators.KvsOps" -> graft.operators.KvsOps.defs,
+    "graft.operators.EventOps" -> graft.operators.EventOps.defs,
+    "graft.operators.JoinOps" -> graft.operators.JoinOps.defs,
+    "graft.llm.Dedup" -> graft.llm.Dedup.defs,
+    "graft.llm.TextOps" -> graft.llm.TextOps.defs,
+    "graft.llm.TrainPrep" -> graft.llm.TrainPrep.defs,
+    "graft.llm.Curate" -> graft.llm.Curate.defs,
+    "graft.llm.AnnOps" -> graft.llm.AnnOps.defs,
+    "graft.llm.MultiModal" -> graft.llm.MultiModal.defs,
+    "graft.sources.Ingest" -> graft.sources.Ingest.defs,
+    "graft.sources.ZipSplice" -> graft.sources.ZipSplice.defs,
+    "graft.sources.CmdFarm" -> graft.sources.CmdFarm.defs,
+    "graft.sources.DpRun" -> graft.sources.DpRun.defs,
+    "graft.sources.Locality" -> graft.sources.Locality.defs,
+    "graft.core.Checkpoint" -> graft.core.Checkpoint.defs,
+    "graft.core.SpawnerKvs" -> graft.core.SpawnerKvs.defs,
+    "graft.core.Lanes" -> graft.core.Lanes.defs,
+    "graft.algos.Iterative" -> graft.algos.Iterative.defs,
+    "graft.algos.Graph" -> graft.algos.Graph.defs,
+    "graft.algos.FlexDice" -> graft.algos.FlexDice.defs)
+
   /** All implemented queries, one per SURVEY.md §2 operator/capability. */
-  def defs: Seq[QueryDef] =
-    graft.queries.Tpch.defs ++ graft.queries.Analytics.defs ++
-      graft.operators.CoreOps.defs ++
-      graft.operators.KvsOps.defs ++ graft.operators.EventOps.defs ++
-      graft.operators.JoinOps.defs ++
-      graft.llm.Dedup.defs ++ graft.llm.TextOps.defs ++
-      graft.llm.TrainPrep.defs ++ graft.llm.Curate.defs ++
-      graft.llm.AnnOps.defs ++ graft.llm.MultiModal.defs ++
-      graft.sources.Ingest.defs ++ graft.sources.ZipSplice.defs ++
-      graft.sources.CmdFarm.defs ++
-      graft.sources.DpRun.defs ++
-      graft.sources.Locality.defs ++
-      graft.core.Checkpoint.defs ++ graft.core.SpawnerKvs.defs ++
-      graft.core.Lanes.defs ++
-      graft.algos.Iterative.defs ++ graft.algos.Graph.defs ++
-      graft.algos.FlexDice.defs
+  def defs: Seq[QueryDef] = moduleDefs.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

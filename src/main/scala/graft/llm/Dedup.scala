@@ -1201,7 +1201,11 @@ object Dedup {
       corpusFingerprint(s, d),
       "gram STRING, df BIGINT",
       "gram", IndexBuckets)(
-      shingles(s, d).groupBy("gram").agg(count(lit(1)).as("df")))
+      // aggregate the PERSISTED index, not the text: the gram-bucketed
+      // posting table makes this a co-located count with no re-tokenize
+      // (the lshHot pattern), and consistency with the index is by
+      // construction rather than by determinism
+      shingleIndex(s, d).groupBy("gram").agg(count(lit(1)).as("df")))
   }
 
   /** Persisted per-fingerprint document frequencies — the winnow
@@ -1212,8 +1216,7 @@ object Dedup {
       corpusFingerprint(s, d),
       "fp BIGINT, df BIGINT",
       "fp", IndexBuckets)(
-      winnowFps(Tables.load(s, d, "documents"))
-        .groupBy("fp").agg(count(lit(1)).as("df")))
+      winnowIndex(s, d).groupBy("fp").agg(count(lit(1)).as("df")))
   }
 
   /** Persisted per-doc distinct-shingle COUNTS — the companion stat
@@ -1231,7 +1234,9 @@ object Dedup {
       corpusFingerprint(s, d),
       "doc_id BIGINT, n BIGINT",
       "doc_id", IndexBuckets)(
-      shingles(s, d).groupBy("doc_id").agg(count(lit(1)).as("n")))
+      // one doc_id-keyed aggregate over the persisted posting table —
+      // no re-tokenize; see [[shingleDf]] for the rationale
+      shingleIndex(s, d).groupBy("doc_id").agg(count(lit(1)).as("n")))
   }
 
   /** Candidate pairs served FROM the persisted index — same semantics as

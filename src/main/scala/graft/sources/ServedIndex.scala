@@ -210,19 +210,26 @@ object ServedIndex {
     // ADVICE r14: the retry path above deleted the pointer's `.crc`, so
     // whichever publisher won is served with checksum verification
     // DISABLED until the next commit — weakened torn-read detection on
-    // exactly the file that needs it. Repair: re-publish the WINNING
-    // bytes once through the normal create+rename path, which mints a
-    // fresh crc sibling. Racing publishers of one root write equivalent
-    // content for the same fingerprint (IndexChaosSpec's invariant), so
-    // re-landing the current winner's bytes is value-neutral whichever
-    // racer they came from. A further collision here means yet another
-    // commit just landed and ITS writer runs this same repair — give up
-    // quietly (no worse than today: pointer correct, crc absent).
+    // exactly the file that needs it. Repair: re-land OUR OWN bytes
+    // once through the normal create+rename path (minting a fresh crc
+    // sibling) — but ONLY if the current pointer still IS our commit.
+    // Re-publishing whatever readMeta returns would be a rollback
+    // hazard: a third writer can commit a NEWER version (possibly a new
+    // fingerprint) between the read and the rename, and the rename's
+    // data file can land even when the crc sibling then throws — the
+    // pointer would silently revert to superseded content. Comparing
+    // against our own (active, prev, fp) makes the repair value-neutral
+    // by construction: we only ever re-write bytes that are already the
+    // current content. If another publisher superseded us, we skip —
+    // their commit minted its own fresh crc. (The residual TOCTOU
+    // window between compare and rename is the base protocol's inherent
+    // last-write-wins race, not widened by the repair.)
     if (attempt > 0) {
-      readMeta(fs, root).foreach { case (a, p, f) =>
+      val stillOurs = readMeta(fs, root).contains((active, prev, fp))
+      if (stillOurs) {
         val tmp2 = new org.apache.hadoop.fs.Path(root, s"_graft_meta.tmp.recrc.$active")
         val o2 = fs.create(tmp2, true)
-        try o2.write(s"$a\n$p\n$f".getBytes(UTF8)) finally o2.close()
+        try o2.write(s"$active\n$prev\n$fp".getBytes(UTF8)) finally o2.close()
         try fc.rename(tmp2, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>

@@ -17,8 +17,12 @@ Merge rule, per query key:
     current code — bytes are deterministic, timings are not).
 Top-level fields (`index_build_s`, `index_trace`, `runs`, `sf`) come
 from --new; `index_build_s` also takes the elementwise best-of min.
-Queries present in only one input are passed through unchanged (a gate
-added or retired between windows).
+Queries present in only one input are passed through unchanged. NOTE
+this is broader than the in-engine merge: Bench.scala carries an
+old-only entry through only when the gate is still in
+SparkEntry.queries (it errored that window), and drops retired gates;
+this offline tool cannot consult the census, so after repairing a file
+across a census change, hand-delete any retired gates' rows.
 
 Usage:
   python3 tools/merge_bench_detail.py --old <committed> --new <latest> \
@@ -35,8 +39,10 @@ TIMING = ("min", "med")
 
 def merge_query(old, new):
     """Best-of-windows for one query entry: timing pair from the faster
-    window, shape from the new run."""
-    best_t = old if old["min"] <= new["min"] else new
+    window, shape from the new run. Tie-break matches Bench.scala's
+    in-engine merge exactly (old kept only when STRICTLY better, so an
+    exact tie takes the fresh pair)."""
+    best_t = old if old["min"] < new["min"] else new
     out = dict(new)
     for k in TIMING:
         if k in best_t:
