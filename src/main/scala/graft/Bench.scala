@@ -79,7 +79,7 @@ object Bench {
     * through a window in which it errored. Callers must filter the keys
     * against the live gate census: the flat regex also captures
     * `index_trace` sub-objects. */
-  private def committedBodies(path: java.nio.file.Path,
+  private[graft] def committedBodies(path: java.nio.file.Path,
       sf: String): Map[String, String] =
     try {
       val txt = Files.readString(path)

@@ -101,4 +101,31 @@ class BenchNoiseSpec extends AnyFunSuite {
       """{"queries": {"pagerank": {"min": 6.123, "med": 6.5}}, "runs": 3, "sf": "sf0.1"}""")
     assert(Bench.committedMins(p, "sf0.1").contains(Map("pagerank" -> 6.123)))
   }
+
+  test("committedBodies returns whole per-query bodies (carry-over source) " +
+      "and is SF-guarded; index_trace sub-objects need caller filtering") {
+    val p = java.nio.file.Files.createTempFile("detail_bodies", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"pagerank":{"min":6.1,"med":6.5,"stages":9},
+        |"q1_pricing":{"min":0.8,"med":0.9}},
+        |"index_build_s":{"copairs":1.4},
+        |"index_trace":{"copairs":{"stages":3,"tasks":12}},
+        |"runs":3,"sf":"sf0.1"}""".stripMargin)
+    val bodies = Bench.committedBodies(p, "sf0.1")
+    // whole bodies round-trip: re-embedding the carried body must yield
+    // the original entry (this is exactly what the error carry-over does)
+    assert(bodies.get("pagerank").exists(b =>
+      b.contains("\"min\":6.1") && b.contains("\"stages\":9")))
+    assert(bodies.contains("q1_pricing"))
+    // the flat regex ALSO captures index_trace sub-objects — the
+    // documented contract is that callers filter against the live gate
+    // census (Bench.run filters on SparkEntry.queries membership)
+    assert(bodies.contains("copairs"))
+    assert(!graft.SparkEntry.queries.contains("copairs"),
+      "an index named like a gate would defeat the carry-over filter")
+    // other SF or unreadable file → empty, never a partial parse
+    assert(Bench.committedBodies(p, "sf1").isEmpty)
+    assert(Bench.committedBodies(
+      java.nio.file.Paths.get("/nonexistent_detail.json"), "sf0.1").isEmpty)
+  }
 }
