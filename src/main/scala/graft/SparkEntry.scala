@@ -80,6 +80,14 @@ object SparkEntry {
     "shingle_sizes" -> ((s, d) => graft.llm.Dedup.shingleSizes(s, d)),
     "shingle_df" -> ((s, d) => graft.llm.Dedup.shingleDf(s, d)),
     "winnow_df" -> ((s, d) => graft.llm.Dedup.winnowDf(s, d)),
+    // base-split family (r16): the indexes + stat tables the delta
+    // gates probe — built over source = 'src0' only, i.e. exactly the
+    // corpus production holds when a batch arrives
+    "shingle_base" -> ((s, d) => graft.llm.Dedup.shingleIndexBase(s, d)),
+    "shingle_df_base" -> ((s, d) => graft.llm.Dedup.shingleDfBase(s, d)),
+    "shingle_sizes_base" -> ((s, d) => graft.llm.Dedup.shingleSizesBase(s, d)),
+    "winnow_base" -> ((s, d) => graft.llm.Dedup.winnowIndexBase(s, d)),
+    "winnow_df_base" -> ((s, d) => graft.llm.Dedup.winnowDfBase(s, d)),
     "vecstore" -> ((s, d) => graft.llm.AnnOps.vecStore(s, d)),
     "lsh_bands" -> ((s, d) => graft.llm.AnnOps.lshIndex(s, d)),
     "lsh_hot" -> ((s, d) => graft.llm.AnnOps.lshHot(s, d)),

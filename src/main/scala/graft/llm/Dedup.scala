@@ -152,7 +152,7 @@ object Dedup {
   /** The winnow pipeline up to distinct (doc_id, fp) — the front half
     * of [[substringPairs]], also materialized verbatim by the persisted
     * index ([[winnowIndex]]). */
-  private[llm] def winnowFps(documents: org.apache.spark.sql.DataFrame)
+  private[graft] def winnowFps(documents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     // The whole winnow (32-char grams → 60-bit md5-prefix hash →
     // sliding 16-gram min → per-doc distinct) happens INSIDE the scan
@@ -378,36 +378,35 @@ object Dedup {
         sizesOpt = Some(shingleSizes(s, d)), dfOpt = Some(shingleDf(s, d))),
     Some(jaccardOracleSql)),
 
-    // ---- Steady-state exact-Jaccard ingest (r15, the
-    // dedup_substring_delta shape over the shingle family): delta
-    // documents (source != 'src0') tokenize + shingle ONLY their own
-    // text — O(delta grams), no corpus rescan — and probe the
-    // PERSISTED inverted shingle index ([[shingleIndex]]) for
-    // base-corpus near-dups. The stop-gram list and the base doc sizes
-    // both derive from the index's base rows (gram- resp. doc-keyed
-    // aggregates over the bucketed table, no text re-derivation); the
-    // probe is a gram-equality join delta-vs-base bounded by the same
-    // O(Σ df²) guard as the inline gate, then J = |∩|/(n1+n2−|∩|) with
-    // n1 from the delta batch itself and n2 served from the PERSISTED
-    // per-doc size table ([[shingleSizes]], the index's companion stat
-    // — re-aggregating the gram-bucketed posting list by doc_id would
-    // be a corpus-sized Exchange per ingest, exactly what the O(delta)
-    // claim forbids; the candidate join against the doc_id-bucketed
-    // sizes is co-located). Same rounding + threshold as dedup_jaccard,
-    // so the oracle replays shingling, the split, the base-side
-    // df-cap, the sizes, and the similarity arithmetic exactly.
+    // ---- Steady-state exact-Jaccard ingest (r15; r16 moved it onto
+    // the PRODUCTION serve plan): delta documents (source !=
+    // BaseSource) tokenize + shingle ONLY their own text — O(delta
+    // grams), no corpus rescan — and probe the BASE-SPLIT persisted
+    // inverted shingle index ([[shingleIndexBase]], built over exactly
+    // the corpus production holds at ingest time) for base-corpus
+    // near-dups. The stop-gram list and the base doc sizes are READ
+    // FROM DISK: [[shingleDfBase]] and [[shingleSizesBase]] are the
+    // index's companion stat tables, written once with the index — the
+    // per-ingest plan contains NO base-side aggregate at all
+    // (DeltaDedupSpec pins this structurally), so per-batch cost is
+    // O(delta grams · df≤cap) data motion plus bucket-co-located index
+    // scans. The probe is a gram-equality join delta-vs-base bounded
+    // by the same O(Σ df²) guard as the inline gate, then
+    // J = |∩|/(n1+n2−|∩|) with n1 from the delta batch itself. Same
+    // rounding + threshold as dedup_jaccard, so the oracle replays
+    // shingling, the split, the base-side df-cap, the sizes, and the
+    // similarity arithmetic exactly — a stale or mis-split base index
+    // fails the hash gate.
     QueryDef("dedup_jaccard_delta", (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val srcOf = docs.select("doc_id", "source")
-      val deltaG = shinglesOf(docs.filter(col("source") =!= "src0"))
+      val deltaG = shinglesOf(docs.filter(col("source") =!= BaseSource))
         .select(col("doc_id").as("delta_id"), col("gram"))
-      val base = shingleIndex(s, d)
-        .join(srcOf.filter(col("source") === "src0"), "doc_id")
+      val base = shingleIndexBase(s, d)
         .select(col("doc_id").as("base_id"), col("gram"))
-      val rare = base.groupBy("gram").agg(count(lit(1)).as("df"))
+      val rare = shingleDfBase(s, d)
         .filter(col("df") <= JaccardDfCap).select("gram")
       val n1s = deltaG.groupBy("delta_id").agg(count(lit(1)).as("n1"))
-      val n2s = shingleSizes(s, d)
+      val n2s = shingleSizesBase(s, d)
         .select(col("doc_id").as("base_id"), col("n").as("n2"))
       deltaG.join(base.join(rare, "gram"), "gram")
         .groupBy("delta_id", "base_id")
@@ -512,31 +511,31 @@ object Dedup {
     // ---- Steady-state substring-level ingest (r15: the dedup_delta
     // shape for the winnow family, completing the O(delta) incremental
     // set: exact → minhash → embedding-LSH → paragraph → winnow).
-    // "Newly arriving" documents (source != 'src0', the deterministic
-    // ingest stand-in every document-table delta gate uses) compute
-    // ONLY their own winnowed fingerprints — the codegen'd
-    // [[graft.functions.WinnowFps]] pass over the delta text, O(delta
-    // grams), no corpus rescan — and probe the PERSISTED fingerprint
-    // index ([[winnowIndex]]) for base-corpus docs sharing a
-    // fingerprint. The df stop-list is derived from the BASE side of
-    // the index (the corpus you already hold; an arriving batch must
-    // not reshape the corpus stop-list) — a bucket-co-located
-    // aggregate on the fp-bucketed index, never a text rescan — and
-    // the probe itself is an fp-equality join delta-vs-base, so the
-    // per-ingest cost is O(delta·fps·df≤cap). Reference anchor: the
-    // kmr_match-as-persisted-index reading of src/kmrmoreops.c:695-728
-    // the sibling delta gates cite. The oracle replays winnowing, the
-    // source split, the base-side df-cap, and the pair count — a stale
-    // winnow index fails the hash gate.
+    // "Newly arriving" documents (source != BaseSource, the
+    // deterministic ingest stand-in every document-table delta gate
+    // uses) compute ONLY their own winnowed fingerprints — the
+    // codegen'd [[graft.functions.WinnowFps]] pass over the delta
+    // text, O(delta grams), no corpus rescan — and probe the
+    // BASE-SPLIT persisted fingerprint index ([[winnowIndexBase]]) for
+    // base-corpus docs sharing a fingerprint. The df stop-list is the
+    // PERSISTED [[winnowDfBase]] stat table read straight from disk
+    // (the corpus you already hold; an arriving batch must not
+    // reshape the corpus stop-list) — the per-ingest plan contains NO
+    // base-side aggregate (DeltaDedupSpec pins this structurally) —
+    // and the probe itself is an fp-equality join delta-vs-base, so
+    // the per-ingest cost is O(delta·fps·df≤cap). Reference anchor:
+    // the kmr_match-as-persisted-index reading of
+    // src/kmrmoreops.c:695-728 the sibling delta gates cite. The
+    // oracle replays winnowing, the source split, the base-side
+    // df-cap, and the pair count — a stale or mis-split winnow index
+    // fails the hash gate.
     QueryDef("dedup_substring_delta", (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val srcOf = docs.select("doc_id", "source")
-      val deltaFps = winnowFps(docs.filter(col("source") =!= "src0"))
+      val deltaFps = winnowFps(docs.filter(col("source") =!= BaseSource))
         .select(col("doc_id").as("delta_id"), col("fp"))
-      val base = winnowIndex(s, d)
-        .join(srcOf.filter(col("source") === "src0"), "doc_id")
+      val base = winnowIndexBase(s, d)
         .select(col("doc_id").as("base_id"), col("fp"))
-      val rare = base.groupBy("fp").agg(count(lit(1)).as("df"))
+      val rare = winnowDfBase(s, d)
         .filter(col("df") <= 50L).select("fp")
       deltaFps.join(base.join(rare, "fp"), "fp")
         .groupBy("delta_id", "base_id")
@@ -1190,11 +1189,11 @@ object Dedup {
     * so no shuffle — but the IO is O(corpus), not O(delta)). One row
     * per distinct gram, written with the index (same corpus
     * fingerprint); the index-served twins join it bucket-co-located on
-    * gram. (The DELTA gates keep deriving df from the base split: their
-    * stand-in corpus is the index MINUS the arriving batch, so the
-    * whole-corpus stat would over-count df by the batch's own grams —
-    * in production, where the batch is not yet indexed, this table IS
-    * the stop list.) */
+    * gram. (The DELTA gates read the BASE-SPLIT twin [[shingleDfBase]]
+    * instead: their stand-in corpus is the whole table MINUS the
+    * arriving batch, so this whole-corpus stat would over-count df by
+    * the batch's own grams — the base-split family below is built over
+    * exactly the corpus production holds at ingest time.) */
   def shingleDf(s: SparkSession, d: String): DataFrame = {
     val sfx = graft.sources.ServedIndex.suffix(d)
     graft.sources.ServedIndex.cached(s, s"shingle_df$sfx", s"shingle_df$sfx",
@@ -1237,6 +1236,92 @@ object Dedup {
       // one doc_id-keyed aggregate over the persisted posting table —
       // no re-tokenize; see [[shingleDf]] for the rationale
       shingleIndex(s, d).groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** The deterministic "existing corpus" split every delta-ingest gate
+    * stands in on: documents with source = BaseSource are the
+    * already-ingested corpus; everything else is the arriving batch. */
+  private[llm] val BaseSource = "src0"
+
+  /** [[corpusFingerprint]] over the BASE split only, tagged so it can
+    * never collide with a whole-corpus fingerprint — the freshness key
+    * of the base-split index family below. */
+  private[llm] def baseFingerprint(s: SparkSession, d: String): String = {
+    val r = Tables.load(s, d, "documents")
+      .filter(col("source") === BaseSource).agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum("doc_id"), lit(0L)),
+        coalesce(sum(length(col("text"))).cast("long"), lit(0L))).head()
+    s"base:$BaseSource|${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+  }
+
+  /** BASE-SPLIT persisted index family (r16): [[shingleIndex]] /
+    * [[winnowIndex]] and their stat tables built over the EXISTING
+    * corpus only (source = [[BaseSource]]). This is what production
+    * actually holds at ingest time — the arriving batch is by
+    * definition not yet indexed — so the persisted df stop-lists and
+    * size table ARE the guards the delta gates read, verbatim. (The
+    * r15 gates derived df/sizes by re-aggregating the base split of
+    * the WHOLE-corpus index per ingest: value-correct for the
+    * stand-in, but an O(corpus)-IO aggregate per batch that meant the
+    * claimed "the stat table IS the stop list" plan was never
+    * executed by any gate. These tables close that gap.) Same
+    * reference anchor as the whole-corpus family: kmr_match as a
+    * persisted inverted index, src/kmrmoreops.c:695-728. */
+  def shingleIndexBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"shingle_idx_base$sfx", s"shingle_base$sfx",
+      baseFingerprint(s, d),
+      "doc_id BIGINT, gram STRING",
+      "gram", IndexBuckets)(
+      shinglesOf(Tables.load(s, d, "documents")
+        .filter(col("source") === BaseSource)))
+  }
+
+  /** Per-gram df over the base corpus — the PRODUCTION stop list the
+    * delta gates read from disk (one bucket-co-located aggregate at
+    * index-build time, zero per-ingest cost). */
+  def shingleDfBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"shingle_df_base$sfx", s"shingle_df_base$sfx",
+      baseFingerprint(s, d),
+      "gram STRING, df BIGINT",
+      "gram", IndexBuckets)(
+      shingleIndexBase(s, d).groupBy("gram").agg(count(lit(1)).as("df")))
+  }
+
+  /** Per-base-doc distinct-shingle counts — the Jaccard denominator's
+    * base side, served from disk per ingest (see [[shingleSizes]] for
+    * why re-aggregating the posting list per batch is forbidden). */
+  def shingleSizesBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"shingle_sizes_base$sfx", s"shingle_sizes_base$sfx",
+      baseFingerprint(s, d),
+      "doc_id BIGINT, n BIGINT",
+      "doc_id", IndexBuckets)(
+      shingleIndexBase(s, d).groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** Base-split winnowing-fingerprint index (see [[winnowIndex]]). */
+  def winnowIndexBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"winnow_idx_base$sfx", s"winnow_base$sfx",
+      baseFingerprint(s, d),
+      "doc_id BIGINT, fp BIGINT",
+      "fp", IndexBuckets)(
+      winnowFps(Tables.load(s, d, "documents")
+        .filter(col("source") === BaseSource)))
+  }
+
+  /** Per-fingerprint df over the base corpus — the winnow family's
+    * production stop list. */
+  def winnowDfBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"winnow_df_base$sfx", s"winnow_df_base$sfx",
+      baseFingerprint(s, d),
+      "fp BIGINT, df BIGINT",
+      "fp", IndexBuckets)(
+      winnowIndexBase(s, d).groupBy("fp").agg(count(lit(1)).as("df")))
   }
 
   /** Candidate pairs served FROM the persisted index — same semantics as

@@ -66,12 +66,17 @@ class DeltaDedupSpec extends SparkSuite {
   test("delta plans recompute text fingerprints on the delta side only") {
     // O(delta) shape: exactly one winnow_fps over the documents text in
     // the substring gate (the delta batch); the base side must arrive
-    // via the persisted index relation, not a second winnow.
+    // via the BASE-SPLIT persisted index + stat relations (r16 — the
+    // production serve plan), not a second winnow or a whole-corpus
+    // index filtered per query.
     val sub = graft.SparkEntry.queries("dedup_substring_delta")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()
     assert("winnow_fps".r.findAllIn(sub).size == 1,
       s"expected exactly one delta-side winnow in:\n$sub")
-    assert(sub.contains("winnow_idx"), s"base side should scan the winnow index:\n$sub")
+    assert(sub.contains("winnow_idx_base"),
+      s"base side should scan the base-split winnow index:\n$sub")
+    assert(sub.contains("winnow_df_base"),
+      s"the df stop-list should serve from the persisted base stat table:\n$sub")
     val jac = graft.SparkEntry.queries("dedup_jaccard_delta")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()
     // the delta subtree is referenced twice (its size aggregate and the
@@ -80,10 +85,46 @@ class DeltaDedupSpec extends SparkSuite {
     // base side arrives via the persisted index relation)
     assert("explode".r.findAllIn(jac).size <= 2,
       s"expected at most two delta-side shingle explodes in:\n$jac")
-    assert(jac.contains("shingle_idx"), s"base side should scan the shingle index:\n$jac")
+    assert(jac.contains("shingle_idx_base"),
+      s"base side should scan the base-split shingle index:\n$jac")
+    assert(jac.contains("shingle_df_base"),
+      s"the stop-gram list should serve from the persisted base stat table:\n$jac")
     // the Jaccard denominator must come from the persisted per-doc size
     // table, not a corpus-wide re-aggregation of the posting list
-    assert(jac.contains("shingle_sizes"),
-      s"base sizes should serve from the persisted stat table:\n$jac")
+    assert(jac.contains("shingle_sizes_base"),
+      s"base sizes should serve from the persisted base stat table:\n$jac")
+  }
+
+  test("delta plans contain NO base-side aggregate — the persisted stat " +
+      "tables ARE the stop lists (r16, the production-plan pin)") {
+    // Structural form of the O(delta) claim: every Aggregate in the
+    // optimized plan must read the delta batch (a path-based documents
+    // scan somewhere under it). An Aggregate whose leaves are ALL
+    // catalog tables is a per-ingest re-derivation of index state —
+    // exactly the O(corpus)-IO-per-batch shape the base-split stat
+    // tables exist to remove (the r15 gates had two: the df stop-list
+    // groupBy and, transitively, the sizes re-aggregate).
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def pureIndexAggregates(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case a: Aggregate if a.collectLeaves().nonEmpty &&
+            a.collectLeaves().forall {
+              case r: LogicalRelation => r.catalogTable.isDefined
+              case _ => false
+            } => a.simpleString(120)
+      }
+    // negative control: the detector must fire on the exact shape it
+    // bans (the r15 per-ingest df groupBy over the index) — otherwise
+    // a Catalyst representation change could blunt the pin silently
+    val banned = Dedup.shingleIndexBase(spark, sfDir)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    assert(pureIndexAggregates(banned).nonEmpty,
+      "the pure-index-aggregate detector no longer fires on a base-side groupBy")
+    for (g <- Seq("dedup_substring_delta", "dedup_jaccard_delta")) {
+      val bad = pureIndexAggregates(graft.SparkEntry.queries(g)(spark, sfDir))
+      assert(bad.isEmpty,
+        s"$g re-aggregates persisted index state per ingest:\n${bad.mkString("\n")}")
+    }
   }
 }
