@@ -102,8 +102,8 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(Bench.committedMins(p, "sf0.1").contains(Map("pagerank" -> 6.123)))
   }
 
-  test("committedBodies returns whole per-query bodies (carry-over source) " +
-      "and is SF-guarded; index_trace sub-objects need caller filtering") {
+  test("committedBodies returns whole per-query bodies (carry-over source), " +
+      "is SF-guarded, and is SCOPED to the queries object") {
     val p = java.nio.file.Files.createTempFile("detail_bodies", ".json")
     java.nio.file.Files.writeString(p,
       """{"queries":{"pagerank":{"min":6.1,"med":6.5,"stages":9},
@@ -117,15 +117,41 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(bodies.get("pagerank").exists(b =>
       b.contains("\"min\":6.1") && b.contains("\"stages\":9")))
     assert(bodies.contains("q1_pricing"))
-    // the flat regex ALSO captures index_trace sub-objects — the
-    // documented contract is that callers filter against the live gate
-    // census (Bench.run filters on SparkEntry.queries membership)
-    assert(bodies.contains("copairs"))
-    assert(!graft.SparkEntry.queries.contains("copairs"),
-      "an index named like a gate would defeat the carry-over filter")
+    // r16 (ADVICE r15): the parse is scoped to the "queries" object —
+    // an index_trace sub-object can NEVER collide with a gate name, so
+    // an index named like a gate can no longer corrupt a carried entry
+    assert(!bodies.contains("copairs"),
+      "index_trace sub-objects must not leak into the carry-over key space")
     // other SF or unreadable file → empty, never a partial parse
     assert(Bench.committedBodies(p, "sf1").isEmpty)
     assert(Bench.committedBodies(
       java.nio.file.Paths.get("/nonexistent_detail.json"), "sf0.1").isEmpty)
+  }
+
+  test("committedBodies round-trips a body that gains a NESTED object " +
+      "(the r15 flat-regex silent-drop hazard)") {
+    val p = java.nio.file.Files.createTempFile("detail_nested", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"pagerank":{"min":6.1,"med":6.5,"trace":{"stages":9,"detail":{"t":1}}},
+        |"q1_pricing":{"min":0.8,"med":0.9}},"runs":3,"sf":"sf0.1"}""".stripMargin)
+    val bodies = Bench.committedBodies(p, "sf0.1")
+    // the nested body must be captured WHOLE — the old flat regex
+    // dropped it entirely, silently disabling the errored-gate carry
+    assert(bodies.get("pagerank").exists(b =>
+      b.contains("\"min\":6.1") && b.contains("\"detail\":{\"t\":1}")),
+      s"nested body not captured: ${bodies.get("pagerank")}")
+    assert(bodies.contains("q1_pricing"),
+      "entries AFTER a nested body must still parse")
+    // and the field parsers ride the same scoped parse
+    assert(Bench.committedMins(p, "sf0.1").contains(
+      Map("pagerank" -> 6.1, "q1_pricing" -> 0.8)))
+  }
+
+  test("index names never collide with gate names (ADVICE r15: the " +
+      "carry-over key space must stay disjoint)") {
+    val overlap =
+      graft.SparkEntry.indexes.keySet.intersect(graft.SparkEntry.queries.keySet)
+    assert(overlap.isEmpty,
+      s"SparkEntry.indexes keys colliding with gate names: $overlap")
   }
 }
