@@ -111,11 +111,17 @@ object Tables {
       // Per-file (name, length) manifest (ADVICE r14): Spark and Arrow
       // writers mint fresh part-file UUIDs per write, so a same-total-
       // size rewrite landing inside mtime granularity still changes the
-      // stamp. A same-SECOND single-FILE in-place rewrite of identical
-      // length remains the documented (metadata-indistinguishable)
-      // contract gap.
-      val manifest = java.util.Objects.hash(
-        parts.map(st => s"${st.getPath.getName}:${st.getLen}").sorted.mkString(","))
+      // stamp. SHA-256 of the manifest string (ADVICE r15) — the
+      // earlier 32-bit Objects.hash could collide across two distinct
+      // name:length lists and serve a stale count; a 256-bit digest
+      // makes the stamp effectively the manifest itself without putting
+      // an unbounded string in the cache key. A same-SECOND single-FILE
+      // in-place rewrite of identical length remains the documented
+      // (metadata-indistinguishable) contract gap.
+      val manifest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(parts.map(st => s"${st.getPath.getName}:${st.getLen}")
+          .sorted.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
       s"${cs.getLength}|${fs.getFileStatus(p).getModificationTime}|$newest|$manifest"
     } catch {
       // unstampable (exotic FS) → unique key = plain uncached count

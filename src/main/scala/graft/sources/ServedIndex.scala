@@ -221,10 +221,18 @@ object ServedIndex {
     // against our own (active, prev, fp) makes the repair value-neutral
     // by construction: we only ever re-write bytes that are already the
     // current content. If another publisher superseded us, we skip —
-    // their commit minted its own fresh crc. (The residual TOCTOU
-    // window between compare and rename is the base protocol's inherent
-    // last-write-wins race, not widened by the repair.)
-    if (attempt > 0) {
+    // their commit minted its own fresh crc. ADVICE r15 narrowed the
+    // residual compare-then-rename window further: the repair also
+    // requires the destination crc sibling to be ABSENT. A publisher
+    // that fully committed between our readMeta and our rename has
+    // minted a fresh `._graft_meta.crc` (its rename carries the crc
+    // sibling along), so the crc-present case is exactly "someone else
+    // owns the pointer now" — and a crc-less pointer is the only state
+    // this repair exists to fix in the first place. What remains is
+    // the base protocol's inherent last-write-wins race (a publisher
+    // landing between the crc stat and our rename), not widened by
+    // the repair; the downstream fingerprint recheck bounds it.
+    if (attempt > 0 && !fs.exists(crc)) {
       val stillOurs = readMeta(fs, root).contains((active, prev, fp))
       if (stillOurs) {
         val tmp2 = new org.apache.hadoop.fs.Path(root, s"_graft_meta.tmp.recrc.$active")
