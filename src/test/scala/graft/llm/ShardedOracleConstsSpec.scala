@@ -43,4 +43,12 @@ class ShardedOracleConstsSpec extends AnyFunSuite {
     assert(py.contains("WHERE cos >= 0.4"),
       "sharded replay's cosine threshold != the gate's 0.4")
   }
+
+  test("jaccard df cap and delta threshold match the engine (r16 jdelta family)") {
+    assert(py.contains(s"JACCARD_DF_CAP = ${Dedup.JaccardDfCap}"),
+      s"tools/oracle_sharded.py JACCARD_DF_CAP != ${Dedup.JaccardDfCap}")
+    // the jdelta final pass replays dedup_jaccard_delta's 0.6 threshold
+    assert(py.contains("(n1 + n2 - inter), 6) >= 0.6"),
+      "sharded jdelta replay's jaccard threshold != the gate's 0.6")
+  }
 }

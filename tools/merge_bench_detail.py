@@ -37,11 +37,20 @@ import sys
 TIMING = ("min", "med")
 
 
-def merge_query(old, new):
+def merge_query(name, old, new):
     """Best-of-windows for one query entry: timing pair from the faster
     window, shape from the new run. Tie-break matches Bench.scala's
     in-engine merge exactly (old kept only when STRICTLY better, so an
-    exact tie takes the fresh pair)."""
+    exact tie takes the fresh pair). A side with no 'min' (a hand-edited
+    or partially-written file — the situation this repair tool exists
+    for) can't compete on timing: take the other side's entry unchanged
+    rather than raising KeyError mid-merge."""
+    if "min" not in old:
+        print(f"warning: {name}: old entry has no 'min', keeping new", file=sys.stderr)
+        return dict(new)
+    if "min" not in new:
+        print(f"warning: {name}: new entry has no 'min', keeping old", file=sys.stderr)
+        return dict(old)
     best_t = old if old["min"] < new["min"] else new
     out = dict(new)
     for k in TIMING:
@@ -58,7 +67,7 @@ def merge(old, new):
     qs = {}
     for name in sorted(set(old["queries"]) | set(new["queries"])):
         o, n = old["queries"].get(name), new["queries"].get(name)
-        qs[name] = merge_query(o, n) if o and n else (o or n)
+        qs[name] = merge_query(name, o, n) if o and n else (o or n)
     out["queries"] = qs
     ob, nb = old.get("index_build_s"), new.get("index_build_s")
     if isinstance(ob, dict) and isinstance(nb, dict):
@@ -79,10 +88,11 @@ def main():
     with open(args.new) as f:
         new = json.load(f)
     merged = merge(old, new)
+    inf = float("inf")
     better_old = sum(
         1 for q in merged["queries"]
         if q in old["queries"] and q in new["queries"]
-        and old["queries"][q]["min"] < new["queries"][q]["min"])
+        and old["queries"][q].get("min", inf) < new["queries"][q].get("min", inf))
     with open(args.out, "w") as f:
         json.dump(merged, f, separators=(",", ":"))
         f.write("\n")

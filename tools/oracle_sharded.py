@@ -335,6 +335,28 @@ WINNOW_FINAL = {
 WINNOW_FINAL["dedup_substring_indexed"] = WINNOW_FINAL["dedup_substring"]
 WINNOW_QUERIES = set(WINNOW_FINAL)
 
+# r16 (verdict item 2): dedup_jaccard_delta — the delta-ingest gate
+# whose monolithic sf10 replay was the attestation chain's single
+# heaviest link (GRAFT_ORACLE_MEM=40GB). Sharded like the posting
+# family, but the pair join is DELTA-vs-BASE and the df cap is
+# BASE-side only (the committed oracle text verbatim): the base
+# df-capped postings, the delta postings, and both size tables
+# materialize once (the base df cap is GLOBAL, computed inside the
+# base pass); per-shard passes join only grams with hash(gram) %
+# SHARDS = k (a gram lives in exactly one shard, so partial `inter`
+# counts SUM exactly); the pair re-aggregation is itself sharded by
+# pair hash (the pairs2_ lesson); the final pass applies the identical
+# n1/n2 join + rounding + threshold.
+JDELTA_FINAL = {
+    "dedup_jaccard_delta": """
+  SELECT delta_id, base_id,
+    round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) AS jaccard
+  FROM pairs JOIN n1s USING (delta_id) JOIN n2s USING (base_id)
+  WHERE round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) >= 0.6
+  ORDER BY delta_id, base_id""",
+}
+JDELTA_QUERIES = set(JDELTA_FINAL)
+
 # r13 census follow-up: fuzzy_pairs. The monolithic oracle's
 # block-keyed self-join + in-join levenshtein exhausts the solo budget
 # at sf10. A pair lives in exactly ONE first-token block, so sharding
@@ -732,6 +754,69 @@ def winnow_result(con, scratch, name):
     return con.execute(sql).fetchdf()
 
 
+def shard_jdelta(con, scratch):
+    """Base/delta split postings once (the committed dedup_jaccard_delta
+    oracle's srcs/base/delta/dfk/kept chain verbatim — the BASE-side df
+    cap is GLOBAL, computed inside the base pass), then hash(gram)-
+    sharded delta-vs-base pair partials and a pair-hash-sharded
+    re-aggregation."""
+    if copy_to(con, f"""
+      WITH {SHINGLES},
+      srcs AS (SELECT doc_id, source FROM documents),
+      base AS (SELECT g.doc_id AS base_id, g.gram FROM grams g
+               JOIN srcs USING (doc_id) WHERE source = 'src0'),
+      dfk AS (SELECT gram FROM base GROUP BY gram
+              HAVING count(*) <= {JACCARD_DF_CAP})
+      SELECT base_id, gram FROM base JOIN dfk USING (gram)""",
+               f"{scratch}/bkept.parquet"):
+        print("  base kept postings assembled", flush=True)
+    if copy_to(con, f"""
+      WITH {SHINGLES},
+      srcs AS (SELECT doc_id, source FROM documents)
+      SELECT g.doc_id AS delta_id, g.gram FROM grams g
+      JOIN srcs USING (doc_id) WHERE source <> 'src0'""",
+               f"{scratch}/dgrams.parquet"):
+        print("  delta postings assembled", flush=True)
+    if copy_to(con, f"""
+      SELECT delta_id, count(*) AS n1 FROM '{scratch}/dgrams.parquet'
+      GROUP BY 1""", f"{scratch}/n1.parquet"):
+        print("  delta sizes assembled", flush=True)
+    # n2 is over ALL base grams (not the df-capped kept set) — the
+    # denominator always uses full shingle sets, mirroring the oracle
+    if copy_to(con, f"""
+      WITH {SHINGLES},
+      srcs AS (SELECT doc_id, source FROM documents)
+      SELECT g.doc_id AS base_id, count(*) AS n2 FROM grams g
+      JOIN srcs USING (doc_id) WHERE source = 'src0' GROUP BY 1""",
+               f"{scratch}/n2.parquet"):
+        print("  base sizes assembled", flush=True)
+    for k in range(SHARDS):
+        if copy_to(con, f"""
+          WITH d AS (SELECT delta_id, gram FROM '{scratch}/dgrams.parquet'
+                     WHERE hash(gram) % {SHARDS} = {k}),
+          b AS (SELECT base_id, gram FROM '{scratch}/bkept.parquet'
+                WHERE hash(gram) % {SHARDS} = {k})
+          SELECT delta_id, base_id, count(*) AS inter
+          FROM d JOIN b USING (gram) GROUP BY 1, 2""",
+                   f"{scratch}/jd_{k:02d}.parquet"):
+            print(f"  jdelta shard {k + 1}/{SHARDS}", flush=True)
+    for m in range(SHARDS):
+        if copy_to(con, f"""
+          SELECT delta_id, base_id, CAST(sum(inter) AS BIGINT) AS inter
+          FROM '{scratch}/jd_*.parquet'
+          WHERE hash(delta_id, base_id) % {SHARDS} = {m}
+          GROUP BY 1, 2""", f"{scratch}/jdpairs_{m:02d}.parquet"):
+            print(f"  jdelta pair re-agg shard {m + 1}/{SHARDS}", flush=True)
+
+
+def jdelta_result(con, scratch, name):
+    sql = (f"WITH pairs AS (SELECT * FROM '{scratch}/jdpairs_*.parquet'),\n"
+           f"  n1s AS (SELECT * FROM '{scratch}/n1.parquet'),\n"
+           f"  n2s AS (SELECT * FROM '{scratch}/n2.parquet')"
+           f"{JDELTA_FINAL[name]}")
+    return con.execute(sql).fetchdf()
+
+
 def shard_fuzzy(con, scratch):
     """Globally block-capped keyed table once (committed fuzzy_pairs
     oracle text verbatim), then hash(blk)-sharded block self-joins with
@@ -844,6 +929,7 @@ def sharded_oracle(sf_dir, scratch_root, name):
            else "srplsh" if name in LSH_QUERIES
            else "simhash" if name in SIMHASH_QUERIES
            else "winnow" if name in WINNOW_QUERIES
+           else "jdelta" if name in JDELTA_QUERIES
            else "fuzzy" if name in FUZZY_QUERIES
            else "eval" if name in EVAL_QUERIES
            else "emb" if name in EMB_QUERIES else "posting")
@@ -868,6 +954,9 @@ def sharded_oracle(sf_dir, scratch_root, name):
         elif name in WINNOW_QUERIES:
             shard_winnow(con, scratch)
             return winnow_result(con, scratch, name)
+        elif name in JDELTA_QUERIES:
+            shard_jdelta(con, scratch)
+            return jdelta_result(con, scratch, name)
         elif name in FUZZY_QUERIES:
             shard_fuzzy(con, scratch)
             return fuzzy_result(con, scratch, name)
