@@ -333,6 +333,92 @@ object StreamOps {
         when(col("n_dup") * 2 <= col("n_chunks"), 1L).otherwise(0L)
           .as("keep_doc"))
 
+  /** Stream-static winnow-fingerprint probe — the STREAMING sibling of
+    * the dedup_substring_delta gate (r16, completing the probe family
+    * for the substring family): arriving documents winnow ONLY their
+    * own text map-only (the codegen'd graft.functions.WinnowFps pass —
+    * the SAME expression the batch gate and the index build use), then
+    * equality-join the PERSISTED fp-bucketed base-split index with the
+    * df stop-list read from the PERSISTED [[graft.llm.Dedup.winnowDfBase]]
+    * stat table (a static-static join folded into the base side — no
+    * aggregate anywhere in the plan, the r16 production-stop-list
+    * discipline the batch gate pins). Stateless pure append: no
+    * watermark, no streaming state — one row per shared (delta, base,
+    * fp); the per-pair n_shared roll-up ([[fpPairCounts]]) belongs in
+    * the sink where batch semantics apply (the spec replays it there
+    * and pins equality with the batch gate). */
+  def fpProbe(deltaDocs: DataFrame, baseIndex: DataFrame, baseDf: DataFrame,
+      dfCap: Long): DataFrame =
+    graft.llm.Dedup.winnowFps(deltaDocs)
+      .select(col("doc_id").as("delta_id"), col("fp"))
+      .join(baseIndex.select(col("doc_id").as("base_id"), col("fp"))
+        .join(baseDf.filter(col("df") <= dfCap).select("fp"), "fp"), "fp")
+      .select(col("delta_id"), col("base_id"), col("fp"))
+
+  /** [[fpProbe]] pre-wired to a corpus directory's persisted base-split
+    * winnow artifacts — the streaming twin of dedup_substring_delta. */
+  def fpProbeFor(deltaDocs: DataFrame, s: org.apache.spark.sql.SparkSession,
+      d: String, dfCap: Long = 50L): DataFrame =
+    fpProbe(deltaDocs, graft.llm.Dedup.winnowIndexBase(s, d),
+      graft.llm.Dedup.winnowDfBase(s, d), dfCap)
+
+  /** Sink-side pair roll-up over [[fpProbe]] rows: the batch gate's
+    * n_shared aggregate. */
+  def fpPairCounts(probe: DataFrame): DataFrame =
+    probe.groupBy("delta_id", "base_id").agg(count(lit(1)).as("n_shared"))
+
+  /** Stream-static shingle probe — the STREAMING sibling of the
+    * dedup_jaccard_delta gate (r16; with [[fpProbe]] this makes the
+    * probe family symmetric with the batch O(delta) family across
+    * every index type): arriving documents derive their distinct word
+    * 3-grams map-only — array_distinct over one row's own tokens, the
+    * same gram set graft.llm.Dedup.shinglesOf produces, with NO
+    * streaming-side distinct (that would be a stateful aggregate) —
+    * and carry their own denominator n1 = size(grams) as a map-only
+    * column on every emitted row. The probe equality-joins the
+    * PERSISTED gram-bucketed base-split index with the stop-gram list
+    * read from the PERSISTED [[graft.llm.Dedup.shingleDfBase]] stat
+    * table. Stateless pure append; the per-pair intersection count,
+    * the [[graft.llm.Dedup.shingleSizesBase]] n2 lookup, and the
+    * Jaccard arithmetic belong in the sink ([[gramPairJaccard]] — the
+    * spec pins the roll-up against the batch gate). */
+  def gramProbe(deltaDocs: DataFrame, baseIndex: DataFrame, baseDf: DataFrame,
+      dfCap: Long): DataFrame =
+    deltaDocs
+      .select(col("doc_id"), graft.llm.TextNorm.toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id").as("delta_id"), expr(
+        "array_distinct(transform(sequence(0, size(w)-3), " +
+        "i -> concat(w[i],' ',w[i+1],' ',w[i+2])))").as("grams"))
+      .select(col("delta_id"), size(col("grams")).cast("long").as("n1"),
+        explode(col("grams")).as("gram"))
+      .join(baseIndex.select(col("doc_id").as("base_id"), col("gram"))
+        .join(baseDf.filter(col("df") <= dfCap).select("gram"), "gram"), "gram")
+      .select(col("delta_id"), col("n1"), col("base_id"), col("gram"))
+
+  /** [[gramProbe]] pre-wired to a corpus directory's persisted
+    * base-split shingle artifacts — the streaming twin of
+    * dedup_jaccard_delta. */
+  def gramProbeFor(deltaDocs: DataFrame, s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    gramProbe(deltaDocs, graft.llm.Dedup.shingleIndexBase(s, d),
+      graft.llm.Dedup.shingleDfBase(s, d), graft.llm.Dedup.JaccardDfCap)
+
+  /** Sink-side Jaccard roll-up over [[gramProbe]] rows: per-pair
+    * intersection count (n1 rides every row, so first() recovers it
+    * without a second stream pass), n2 from the persisted base size
+    * table, then the batch gate's rounding + threshold. */
+  def gramPairJaccard(probe: DataFrame, baseSizes: DataFrame,
+      minJ: Double): DataFrame =
+    probe.groupBy("delta_id", "base_id")
+      .agg(count(lit(1)).as("inter"), first("n1").as("n1"))
+      .join(baseSizes.select(col("doc_id").as("base_id"), col("n").as("n2")),
+        "base_id")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select("delta_id", "base_id", "jaccard")
+
   /** Stream-static FlexDice outlier probe — the STREAMING sibling of
     * the flexdice_outliers gate, completing the probe family
     * (exact/minhash → [[indexProbe]], embedding → [[vectorProbe]],
