@@ -177,6 +177,57 @@ def streaming_lsh_probe(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def streaming_winnow_probe(spark, sf_dir):
+    """Drive the winnow-fingerprint readStream probe end-to-end from
+    Python (r16: the streaming sibling of dedup_substring_delta —
+    arriving documents winnow only their own text map-only and probe
+    the persisted BASE-SPLIT index with the persisted df stop-list, the
+    production stop-list plan). Same twin discipline as the other two
+    probes: the BATCH invocation of the same operator over the same
+    documents must be row-identical, and the query must carry zero
+    streaming state. Returns a status line starting with PASS/FAIL."""
+    import shutil
+    import tempfile
+    jvm = spark._jvm
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("source <> 'src0'")
+            .select("doc_id", "text"))
+    d = tempfile.mkdtemp(prefix="pysmoke_winnowprobe_")
+    q = None
+    try:
+        docs.write.parquet(f"{d}/docs")
+        want = sorted(
+            tuple(r) for r in DataFrame(
+                jvm.graft.streaming.StreamOps.fpProbeFor(
+                    docs._jdf, spark._jsparkSession, sf_dir, 50),
+                spark).collect())
+        if not want:
+            return "FAIL streaming_winnow_probe: batch twin empty (dead fixture)"
+        stream = spark.readStream.schema(docs.schema).parquet(f"{d}/docs")
+        sdf = DataFrame(
+            jvm.graft.streaming.StreamOps.fpProbeFor(
+                stream._jdf, spark._jsparkSession, sf_dir, 50), spark)
+        q = (sdf.writeStream.outputMode("append")
+             .format("memory").queryName("pysmoke_winnowprobe")
+             .option("checkpointLocation", f"{d}/ckpt").start())
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM pysmoke_winnowprobe").collect())
+        lp = q.lastProgress
+        state_ops = (lp or {}).get("stateOperators", [])
+        if state_ops:
+            return f"FAIL streaming_winnow_probe: unexpected state {state_ops}"
+        if got != want:
+            return (f"FAIL streaming_winnow_probe: {len(got)} streamed rows "
+                    f"!= {len(want)} batch rows")
+        return (f"PASS streaming_winnow_probe ({len(got)} rows, stream == "
+                "batch twin, zero streaming state, python-driven)")
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main(sf_dir, quick):
     spark = (SparkSession.builder
              .appName("graft-pysmoke")
@@ -228,7 +279,8 @@ def main(sf_dir, quick):
     # readStream probes, python-driven end-to-end (r13 item 7 cell probe,
     # r15 SRP-LSH probe)
     for key, fn in (("streaming_cell_probe", streaming_probe),
-                    ("streaming_lsh_probe", streaming_lsh_probe)):
+                    ("streaming_lsh_probe", streaming_lsh_probe),
+                    ("streaming_winnow_probe", streaming_winnow_probe)):
         try:
             line = fn(spark, sf_dir)
         except Exception as e:
@@ -248,8 +300,9 @@ def main(sf_dir, quick):
     if failures:
         print("\n".join(failures))
         sys.exit(1)
+    n_probes = sum(1 for k in statuses if k.startswith("streaming_"))
     print(f"pysmoke: {len(statuses)}/{len(statuses)} python-driven queries "
-          "row-identical to the DuckDB oracle (incl. 2 streaming probes)")
+          f"row-identical to the DuckDB oracle (incl. {n_probes} streaming probes)")
 
 
 if __name__ == "__main__":
