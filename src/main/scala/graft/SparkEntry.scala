@@ -88,6 +88,9 @@ object SparkEntry {
     "shingle_sizes_base" -> ((s, d) => graft.llm.Dedup.shingleSizesBase(s, d)),
     "winnow_base" -> ((s, d) => graft.llm.Dedup.winnowIndexBase(s, d)),
     "winnow_df_base" -> ((s, d) => graft.llm.Dedup.winnowDfBase(s, d)),
+    "chunk_h_base" -> ((s, d) => graft.llm.Dedup.chunkHashesBase(s, d)),
+    "minhash_base" -> ((s, d) => graft.llm.Dedup.minhashIndexBase(s, d)),
+    "content_h_base" -> ((s, d) => graft.llm.Dedup.contentHashesBase(s, d)),
     "vecstore" -> ((s, d) => graft.llm.AnnOps.vecStore(s, d)),
     "lsh_bands" -> ((s, d) => graft.llm.AnnOps.lshIndex(s, d)),
     "lsh_hot" -> ((s, d) => graft.llm.AnnOps.lshHot(s, d)),

@@ -96,13 +96,19 @@ object Curate {
     // survives iff its content hash is unseen in the corpus (left-anti
     // join on the hash). This is the steady-state ingest path of a
     // training pipeline — the full-corpus variants (dedup_exact/minhash)
-    // are the batch backfill, this is the delta.
+    // are the batch backfill, this is the delta. r16: the corpus hash
+    // set serves from the PERSISTED base-split table
+    // ([[Dedup.contentHashesBase]], hash-bucketed, one row per distinct
+    // base hash) — the r15 form re-hashed and DISTINCT'd the whole
+    // src0 split per ingest, a corpus-sized scan+aggregate per batch;
+    // production holds this set as the exact-dedup index. Only the
+    // arriving shards' text is hashed per query (O(delta)).
     QueryDef("dedup_incremental", (s, d) => {
-      val h = Tables.load(s, d, "documents")
+      val fresh = Tables.load(s, d, "documents")
+        .filter(col("source") =!= "src0")
         .select(col("source"), contentHash.as("h"))
-      val corpus = h.filter(col("source") === "src0").select("h").distinct()
-      val fresh = h.filter(col("source") =!= "src0")
-      val survivors = fresh.join(corpus, Seq("h"), "left_anti")
+      val survivors = fresh.join(Dedup.contentHashesBase(s, d),
+        Seq("h"), "left_anti")
       fresh.groupBy("source").agg(count(lit(1)).as("n_docs"))
         .join(survivors.groupBy("source")
             .agg(count(lit(1)).as("n_new"),

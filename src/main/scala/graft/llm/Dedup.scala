@@ -316,25 +316,25 @@ object Dedup {
 
     // ---- Steady-state paragraph-level ingest (the dedup_delta shape
     // at paragraph granularity, completing the O(delta) incremental
-    // family: exact → minhash → embedding → paragraph): "newly
-    // arriving" documents (source != 'src0', the same deterministic
-    // split dedup_delta uses) probe the PERSISTED chunk index for
-    // chunks already present in the EXISTING corpus (source = 'src0').
-    // Per-ingest cost is O(delta chunks): the probe is an h-equality
-    // join against the h-bucketed index with the corpus side reduced
-    // to DISTINCT hashes first (one row per distinct chunk, however
-    // many corpus docs repeat it). The oracle replays chunking,
-    // hashing, the split, and the membership probe — a stale chunk
-    // index fails the hash gate.
+    // family: exact → minhash → embedding → paragraph; r16 moved it
+    // onto the production serve plan): "newly arriving" documents
+    // (source != BaseSource, the same deterministic split dedup_delta
+    // uses) chunk + hash ONLY their own text — the map-only
+    // [[paragraphChunks]] pass over the delta batch, O(delta), no
+    // corpus rescan — and probe the PERSISTED base-split membership
+    // set ([[chunkHashesBase]]: one row per distinct base chunk hash,
+    // h-bucketed, written once with the base corpus). The per-ingest
+    // plan contains NO base-side aggregate (the r15 form re-derived
+    // `DISTINCT h` over the whole index per batch; DeltaDedupSpec pins
+    // the new shape structurally). The oracle replays chunking,
+    // hashing, the split, and the membership probe — a stale or
+    // mis-split base table fails the hash gate.
     QueryDef("dedup_paragraph_delta", (s, d) => {
-      val srcOf = Tables.load(s, d, "documents").select("doc_id", "source")
-      val idx = chunkIndex(s, d)
-      val corpusH = idx
-        .join(srcOf.filter(col("source") === "src0"), "doc_id")
-        .select("h").distinct()
-        .withColumn("in_corpus", lit(1L))
-      idx.join(srcOf.filter(col("source") =!= "src0"), "doc_id")
-        .join(corpusH, Seq("h"), "left")
+      val delta = paragraphChunks(Tables.load(s, d, "documents")
+        .filter(col("source") =!= BaseSource))
+      delta
+        .join(chunkHashesBase(s, d).withColumn("in_corpus", lit(1L)),
+          Seq("h"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(coalesce(col("in_corpus"), lit(0L))).as("n_dup"))
@@ -581,22 +581,25 @@ object Dedup {
 
     // ---- Steady-state ingest NEAR-dup: documents arriving from the
     // non-'src0' shards are checked against the EXISTING corpus (src0)
-    // through the persisted band index — the production shape for
-    // incremental corpus growth (dedup_incremental is the exact-hash
-    // delta path; this is its near-duplicate sibling). Both sides read
-    // the same bucketed index table; the band join is candidate
-    // generation against the corpus only, never delta-vs-delta, so the
-    // per-ingest cost is O(delta · bands), independent of corpus size
-    // beyond the bucketed probe. Oracle replays the full minhash chain
-    // and splits pairs by source.
+    // through the BASE-SPLIT persisted band index — the production
+    // shape for incremental corpus growth (dedup_incremental is the
+    // exact-hash delta path; this is its near-duplicate sibling). The
+    // arriving batch computes its OWN signatures from text — the
+    // shingle → two md5 hashes → 64-permutation fold over the delta
+    // docs only, O(delta), exactly what a production ingest pays —
+    // and band-joins [[minhashIndexBase]] (r16; the r15 form read the
+    // whole-corpus index on BOTH sides and split it by a source join,
+    // a per-ingest corpus-sized index read production would never
+    // perform). Candidate generation is against the corpus only,
+    // never delta-vs-delta, so per-ingest cost is O(delta · bands)
+    // plus the bucketed probe. Oracle replays the full minhash chain
+    // and splits pairs by source — a stale or mis-split base index
+    // fails the hash gate.
     QueryDef("dedup_delta", (s, d) => {
-      val srcOf = Tables.load(s, d, "documents").select("doc_id", "source")
-      val idx = minhashIndex(s, d)
-      val corpus = idx
-        .join(srcOf.filter(col("source") === "src0"), "doc_id")
+      val docs = Tables.load(s, d, "documents")
+      val corpus = minhashIndexBase(s, d)
         .select(col("doc_id").as("corpus_id"), col("sig").as("csig"), col("bkey"))
-      val delta = idx
-        .join(srcOf.filter(col("source") =!= "src0"), "doc_id")
+      val delta = bandRows(minhashSigsOf(docs.filter(col("source") =!= BaseSource)))
         .select(col("doc_id").as("delta_id"), col("sig").as("dsig"), col("bkey"))
       corpus.join(delta, "bkey")
         .select(col("delta_id"), col("corpus_id"),
@@ -1073,7 +1076,13 @@ object Dedup {
     * values bit-for-bit, one tight loop per shingle, still map-side
     * partially aggregated. */
   private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).select(col("doc_id"),
+    minhashSigsOf(Tables.load(s, d, "documents"))
+
+  /** [[minhashSigs]] over an explicit documents frame — shared by the
+    * whole-corpus path, the base-split index build, and the delta
+    * gate's O(delta) batch-side signature pass (r16). */
+  private[graft] def minhashSigsOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs).select(col("doc_id"),
         (md5Long(col("gram")) % 2147483647L).as("h1"),
         (md5Long(concat(col("gram"), lit("!"))) % 2147483646L + 1).as("h2"))
       .groupBy("doc_id")
@@ -1300,6 +1309,60 @@ object Dedup {
       "doc_id BIGINT, n BIGINT",
       "doc_id", IndexBuckets)(
       shingleIndexBase(s, d).groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** BASE-SPLIT MinHash band index — [[minhashIndex]] built over the
+    * existing corpus only (r16): the table a production ingest probes
+    * for near-dups against the corpus it already holds. The delta
+    * gate's batch side computes its own signatures from text (O(delta)
+    * — the expensive pipeline runs over the arriving docs only) and
+    * band-joins this index; the r15 form instead read the WHOLE
+    * persisted index on both sides and split it by a source join —
+    * value-identical, but a corpus-sized index read per ingest on the
+    * delta side that production would never perform. */
+  def minhashIndexBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"minhash_idx_base$sfx", s"minhash_base$sfx",
+      baseFingerprint(s, d),
+      "doc_id BIGINT, sig ARRAY<BIGINT>, bkey STRING",
+      "bkey", IndexBuckets)(bandRows(minhashSigsOf(
+      Tables.load(s, d, "documents").filter(col("source") === BaseSource))))
+  }
+
+  /** DISTINCT content hashes of the BASE corpus — the membership set
+    * dedup_incremental probes (r16). The r15 gate re-hashed the whole
+    * src0 split and DISTINCT'd it per ingest; production holds this
+    * set as the exact-dedup index (one row per distinct base content
+    * hash, bucketed on the hash) and anti-joins each arriving shard
+    * against it. */
+  def contentHashesBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"content_h_base$sfx", s"content_h_base$sfx",
+      baseFingerprint(s, d),
+      "h STRING",
+      "h", IndexBuckets)(
+      Tables.load(s, d, "documents").filter(col("source") === BaseSource)
+        .select(TextNorm.contentHash.as("h")).distinct())
+  }
+
+  /** DISTINCT paragraph-chunk hashes of the BASE corpus — the
+    * membership set dedup_paragraph_delta probes, persisted (r16). The
+    * r15 gate derived it per ingest as `chunkIndex ⋈ src0 → DISTINCT h`
+    * — a corpus-sized aggregate per batch, the same O(corpus)-IO shape
+    * the jaccard/substring stop-list fix removed. One row per distinct
+    * base chunk hash, h-bucketed, keyed by the base fingerprint; the
+    * probe is a bucket-co-located h-equality join, and the streaming
+    * sibling ([[graft.streaming.StreamOps]].chunkProbeFor) reads the
+    * same table with no aggregate anywhere in its plan. */
+  def chunkHashesBase(s: SparkSession, d: String): DataFrame = {
+    val sfx = graft.sources.ServedIndex.suffix(d)
+    graft.sources.ServedIndex.cached(s, s"chunk_h_base$sfx", s"chunk_h_base$sfx",
+      baseFingerprint(s, d),
+      "h BIGINT",
+      "h", IndexBuckets)(
+      paragraphChunks(Tables.load(s, d, "documents")
+        .filter(col("source") === BaseSource))
+        .select("h").distinct())
   }
 
   /** Base-split winnowing-fingerprint index (see [[winnowIndex]]). */

@@ -323,6 +323,20 @@ object StreamOps {
       .select(col("doc_id").as("delta_id"), col("idx"), col("h"),
         coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
 
+  /** [[chunkProbe]] pre-wired to a corpus directory's PERSISTED
+    * base-split chunk-hash set (graft.llm.Dedup.chunkHashesBase) —
+    * the streaming twin of dedup_paragraph_delta's r16 production
+    * plan. The persisted table is distinct by construction, so this
+    * plan carries NO aggregate at all (generic [[chunkProbe]] must
+    * distinct whatever corpus frame it is handed). */
+  def chunkProbeFor(deltaDocs: DataFrame, s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.llm.Dedup.paragraphChunks(deltaDocs)
+      .join(graft.llm.Dedup.chunkHashesBase(s, d).withColumn("in_corpus", lit(1L)),
+        Seq("h"), "left")
+      .select(col("doc_id").as("delta_id"), col("idx"), col("h"),
+        coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
+
   /** Per-doc keep decision over [[chunkProbe]] rows (sink-side batch
     * roll-up): the dedup_paragraph_delta majority rule — keep iff at
     * most half the chunks already exist in the corpus. */

@@ -121,10 +121,41 @@ class DeltaDedupSpec extends SparkSuite {
       .groupBy("gram").agg(count(lit(1)).as("df"))
     assert(pureIndexAggregates(banned).nonEmpty,
       "the pure-index-aggregate detector no longer fires on a base-side groupBy")
-    for (g <- Seq("dedup_substring_delta", "dedup_jaccard_delta")) {
+    for (g <- Seq("dedup_substring_delta", "dedup_jaccard_delta",
+        "dedup_paragraph_delta", "dedup_delta", "dedup_incremental")) {
       val bad = pureIndexAggregates(graft.SparkEntry.queries(g)(spark, sfDir))
       assert(bad.isEmpty,
         s"$g re-aggregates persisted index state per ingest:\n${bad.mkString("\n")}")
     }
+  }
+
+  test("dedup_delta computes delta signatures from text and probes the " +
+      "base-split band index; dedup_incremental anti-joins the persisted " +
+      "base hash set (r16)") {
+    val md = graft.SparkEntry.queries("dedup_delta")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(md.contains("minhash_idx_base"),
+      s"corpus side should scan the base-split band index:\n$md")
+    // ONLY the base index relation — the whole-corpus index must not
+    // appear (every minhash_idx mention is the _base table)
+    assert("minhash_idx".r.findAllIn(md).size ==
+      "minhash_idx_base".r.findAllIn(md).size,
+      s"whole-corpus minhash index must not appear in the delta plan:\n$md")
+    val inc = graft.SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(inc.contains("content_h_base"),
+      s"corpus hash set should serve from the persisted base table:\n$inc")
+  }
+
+  test("dedup_paragraph_delta probes the persisted base chunk-hash set " +
+      "and chunks only the delta text (r16)") {
+    val plan = graft.SparkEntry.queries("dedup_paragraph_delta")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("chunk_h_base"),
+      s"membership set should serve from the persisted base table:\n$plan")
+    // exactly one chunking pass — the delta batch; the r15 shape read
+    // the whole chunk index on BOTH sides of the probe
+    assert(!plan.contains("chunk_idx"),
+      s"the whole-corpus chunk index must not appear in the delta plan:\n$plan")
   }
 }

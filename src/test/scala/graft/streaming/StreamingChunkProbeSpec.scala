@@ -89,4 +89,24 @@ class StreamingChunkProbeSpec extends SparkSuite {
     assert(keep(9000002L) == 1L, "a novel doc must be kept")
     assert(keep(9000003L) == 1L, "a half-dup (n_dup*2 <= n_chunks) is kept")
   }
+
+  test("chunkProbeFor roll-up equals the dedup_paragraph_delta gate, " +
+      "with no aggregate in the probe plan (r16 production wiring)") {
+    val deltaDocs = Tables.load(spark, sfDir, "documents")
+      .filter(col("source") =!= "src0").select("doc_id", "text")
+    val probe = StreamOps.chunkProbeFor(deltaDocs, spark, sfDir)
+    // the persisted base set is distinct by construction — the probe
+    // plan must carry no Aggregate at all (streaming-safe by shape)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggs = probe.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.isEmpty, s"chunkProbeFor plan must be aggregate-free:\n$aggs")
+    val rolled = StreamOps.chunkKeepDecisions(probe)
+      .withColumnRenamed("delta_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gate = graft.SparkEntry.queries("dedup_paragraph_delta")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rolled == gate,
+      s"probe roll-up diverged from the batch gate: " +
+        s"extra=${(rolled -- gate).take(3)} missing=${(gate -- rolled).take(3)}")
+  }
 }
