@@ -103,7 +103,13 @@ object Bench {
     * gains a nested object (a future structured trace field) still
     * round-trips instead of silently vanishing from the carry, and
     * (b) `index_trace` sub-objects can never collide with gate names.
-    * Any structural surprise → Map.empty (never a partial parse). */
+    * A structural surprise (e.g. a hand-edit this repair-oriented file
+    * format explicitly invites — the merge tool's docs say to
+    * hand-delete retired gates' rows) falls back to the r15 flat
+    * regex over the scoped region, so one mangled entry degrades to
+    * "flat-parse the well-formed entries" instead of silently
+    * discarding the ENTIRE committed baseline — which the same run
+    * would then overwrite, losing every ratchet min in one step. */
   private[graft] def committedBodies(path: java.nio.file.Path,
       sf: String): Map[String, String] =
     try {
@@ -136,21 +142,48 @@ object Bench {
               }
             } else ok = false
           }
-          if (ok) out.toMap else Map.empty
+          if (ok) out.toMap
+          else {
+            // graceful degradation: flat-regex the scoped region (the
+            // pre-r16 parser) — captures every well-formed FLAT entry
+            // and drops only bodies with nesting, instead of all 180
+            val objRe = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{([^{}]*)\\}".r
+            objRe.findAllMatchIn(txt.substring(open, close + 1))
+              .map(m => m.group(1) -> m.group(2)).toMap
+          }
         }
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** A body with nested objects elided — so field searches can never
+    * attribute a NESTED object's min/med/spill_mb to the enclosing
+    * query (e.g. a future structured trace sub-object that happens to
+    * carry a "min" of its own). */
+  private def topLevelOf(body: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '{') {
+        val close = matchBrace(body, i)
+        i = if (close < 0) body.length else close + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def committedField(path: java.nio.file.Path, sf: String,
       field: String): Option[Map[String, Double]] =
     try {
       // Bodies from the scoped brace-matching parser above; the field
-      // is then found anywhere WITHIN the body (ADVICE r9: requiring it
-      // first would silently disable the noise defense for a serializer
-      // emitting {"med":...,"min":...}).
+      // is then found anywhere at the body's TOP LEVEL (ADVICE r9:
+      // requiring it first would silently disable the noise defense
+      // for a serializer emitting {"med":...,"min":...}; nested
+      // sub-objects are elided so their fields can't be mis-attributed
+      // to the enclosing query).
       val fieldRe = ("\"" + field + "\"\\s*:\\s*([0-9.]+)").r
       val m = committedBodies(path, sf).flatMap { case (k, b) =>
-        fieldRe.findFirstMatchIn(b).map(mm => k -> mm.group(1).toDouble) }
+        fieldRe.findFirstMatchIn(topLevelOf(b)).map(mm => k -> mm.group(1).toDouble) }
       if (m.isEmpty) None else Some(m)
     } catch { case _: Throwable => None }
 
@@ -240,8 +273,17 @@ object Bench {
     // Noise self-defense: queries deviating >2.5× from the committed
     // bench_detail (same SF) get up to 2 extra trials — a noise plateau
     // usually clears; a real regression stays and is NAMED in "suspect".
+    // Rebase escape (ADVICE r15): after an INTENTIONAL slowdown the
+    // stale committed mins would both flag the changed queries as
+    // suspects AND burn their retry trials — under
+    // SPARK_GRAFT_BENCH_REBASE=1 the committed baseline is treated as
+    // absent for the whole defense (time ratchet, suspects, retries,
+    // byte channels), making THIS window the new baseline cleanly.
+    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").contains("1")
     val sfName = Paths.get(sfDir).getFileName.toString
-    val committed = committedMins(Paths.get("bench_detail.json"), sfName)
+    val committed =
+      if (rebase) None
+      else committedMins(Paths.get("bench_detail.json"), sfName)
     val firstSus = committed.map(c =>
       suspects(c, results0.collect { case (n, v, _, None) => n -> v }.toMap))
       .getOrElse(Seq.empty).toSet
@@ -321,7 +363,9 @@ object Bench {
     // change whose next full census re-baselines it).
     val measuredMb = ok.flatMap { case (n, _, _, _) =>
       trace.byGroup.get(n).map(a => n -> a.shuffleReadB / 1048576.0) }.toMap
-    val byteSus = committedShuffleMb(Paths.get("bench_detail.json"), sfName)
+    val byteSus =
+      (if (rebase) None
+       else committedShuffleMb(Paths.get("bench_detail.json"), sfName))
       .map(c => byteSuspects(c, measuredMb)).getOrElse(Seq.empty)
     // Write-side and spill checks (round-12 verdict item 7): same pure
     // predicate over the other two byte channels. Spill uses a lower
@@ -329,11 +373,15 @@ object Bench {
     // spill at all is a memory-pressure regression worth naming.
     val measuredWriteMb = ok.flatMap { case (n, _, _, _) =>
       trace.byGroup.get(n).map(a => n -> a.shuffleWriteB / 1048576.0) }.toMap
-    val writeSus = committedShuffleWriteMb(Paths.get("bench_detail.json"), sfName)
+    val writeSus =
+      (if (rebase) None
+       else committedShuffleWriteMb(Paths.get("bench_detail.json"), sfName))
       .map(c => byteSuspects(c, measuredWriteMb)).getOrElse(Seq.empty)
     val measuredSpillMb = ok.flatMap { case (n, _, _, _) =>
       trace.byGroup.get(n).map(a => n -> a.spillB / 1048576.0) }.toMap
-    val spillSus = committedSpillMb(Paths.get("bench_detail.json"), sfName)
+    val spillSus =
+      (if (rebase) None
+       else committedSpillMb(Paths.get("bench_detail.json"), sfName))
       .map(c => byteSuspects(c, measuredSpillMb, floorMb = 1.0)).getOrElse(Seq.empty)
     val indexTrace = indexBuilds.collect {
       case (k, _, None) if trace.byGroup.contains(s"index:$k") =>
@@ -350,15 +398,10 @@ object Bench {
     // tools/merge_bench_detail.py is the offline twin for repairing an
     // already-clobbered file. committedMins is SF-guarded, so a run at
     // a non-canonical SF merges against nothing.
-    // Rebase escape (ADVICE r15): the timing ratchet has no other way
-    // down — after an INTENTIONAL change that legitimately slows a
-    // query, the stale lower min would flag it as a suspect (and burn
-    // retry trials) in every future window. SPARK_GRAFT_BENCH_REBASE=1
-    // makes THIS full run's timings the new baseline (skips the
-    // best-of merge; byte/shape fields are always fresh anyway). Use
-    // only on a quiet host, and say so in the commit that lands the
-    // rebased detail file.
-    val rebase = sys.env.get("SPARK_GRAFT_BENCH_REBASE").contains("1")
+    // Under the rebase escape (declared above, with the rest of the
+    // defense) the best-of merge is skipped too: this run's timings
+    // become the committed pairs. Use only on a quiet host, and say so
+    // in the commit that lands the rebased detail file.
     val priorTiming: Map[String, (Double, Double)] =
       if (only.isEmpty && !rebase)
         (committedMins(Paths.get("bench_detail.json"), sfName),

@@ -96,8 +96,16 @@ object Tables {
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  def cachedCount(spark: SparkSession, sfDir: String, name: String): Long = {
-    val stamp = try {
+  /** Filesystem freshness stamp of one table's parquet dir — total
+    * length, dir + newest part mtimes, and a SHA-256 of the per-file
+    * (name, length) manifest. Shared by [[cachedCount]] and the
+    * corpus-fingerprint memos (r16): any metadata-visible rewrite
+    * changes the stamp, so stamp-keyed caches miss naturally on a
+    * corpus regen. Unstampable (exotic FS) → a unique value, i.e.
+    * never cached. */
+  private[graft] def fsStamp(spark: SparkSession, sfDir: String,
+      name: String): String =
+    try {
       val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cs = fs.getContentSummary(p)
@@ -124,9 +132,12 @@ object Tables {
         .map("%02x".format(_)).mkString
       s"${cs.getLength}|${fs.getFileStatus(p).getModificationTime}|$newest|$manifest"
     } catch {
-      // unstampable (exotic FS) → unique key = plain uncached count
+      // unstampable (exotic FS) → unique key = plain uncached compute
       case _: Exception => java.util.UUID.randomUUID().toString
     }
+
+  def cachedCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val stamp = fsStamp(spark, sfDir, name)
     val key = s"$sfDir|$name|$stamp"
     // A fresh stamp supersedes older stamps of the SAME table — those
     // entries can never hit again, so evict exactly them instead of

@@ -44,6 +44,14 @@ object Dedup {
     * guard) stays hash-identical to the uncapped form. */
   val JaccardDfCap = 1000L
 
+  /** Df stop-list cap for the winnowing-fingerprint family — the same
+    * O(Σ df²) self-join bound as [[JaccardDfCap]], tighter because
+    * fingerprints are denser than word 3-grams. ONE named constant
+    * (r16): it previously lived as a bare `50` in the gate, the
+    * oracle SQL, the streaming probe default, and pysmoke —
+    * ShardedOracleConstsSpec pins the Python copies to this value. */
+  val WinnowDfCap = 50L
+
   /** Deterministic 20-word "paragraph" chunks of every document, each
     * hashed to the portable 60-bit md5 prefix: (doc_id, idx, h). The
     * shared front half of dedup_paragraph / dedup_paragraph_delta and
@@ -250,8 +258,8 @@ object Dedup {
 
   private val substringOracleSql: String =
     winnowCtesSql +
-      """,
-         dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= 50),
+      s""",
+         dfk AS (SELECT fp FROM g GROUP BY fp HAVING count(*) <= $WinnowDfCap),
          kept AS (SELECT g.doc_id, g.fp FROM g JOIN dfk USING (fp))
          SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -493,7 +501,7 @@ object Dedup {
     // engines (conv / hex-literal cast), compared numerically — so the
     // whole pipeline is hash-oracle-able with 8-byte shuffle keys.
     QueryDef("dedup_substring", (s, d) =>
-      substringPairs(Tables.load(s, d, "documents"), dfCap = 50L),
+      substringPairs(Tables.load(s, d, "documents"), dfCap = WinnowDfCap),
     Some(substringOracleSql)),
 
     // ---- The SAME substring candidate pairs served from the PERSISTED
@@ -504,7 +512,7 @@ object Dedup {
     // fingerprint self-join are bucket-co-located on fp. Shares
     // dedup_substring's oracle, so a stale index fails the hash gate.
     QueryDef("dedup_substring_indexed", (s, d) =>
-      substringPairsFrom(winnowIndex(s, d), dfCap = 50L,
+      substringPairsFrom(winnowIndex(s, d), dfCap = WinnowDfCap,
         dfOpt = Some(winnowDf(s, d))),
     Some(substringOracleSql)),
 
@@ -536,20 +544,20 @@ object Dedup {
       val base = winnowIndexBase(s, d)
         .select(col("doc_id").as("base_id"), col("fp"))
       val rare = winnowDfBase(s, d)
-        .filter(col("df") <= 50L).select("fp")
+        .filter(col("df") <= WinnowDfCap).select("fp")
       deltaFps.join(base.join(rare, "fp"), "fp")
         .groupBy("delta_id", "base_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("delta_id", "base_id")
     }, Some(
       winnowCtesSql +
-      """,
+      s""",
          srcs AS (SELECT doc_id, source FROM documents),
          base AS (SELECT g.doc_id AS base_id, g.fp FROM g
                   JOIN srcs USING (doc_id) WHERE source = 'src0'),
          delta AS (SELECT g.doc_id AS delta_id, g.fp FROM g
                    JOIN srcs USING (doc_id) WHERE source <> 'src0'),
-         dfk AS (SELECT fp FROM base GROUP BY fp HAVING count(*) <= 50),
+         dfk AS (SELECT fp FROM base GROUP BY fp HAVING count(*) <= $WinnowDfCap),
          kept AS (SELECT base_id, fp FROM base JOIN dfk USING (fp))
          SELECT delta_id, base_id, CAST(count(*) AS BIGINT) AS n_shared
          FROM delta JOIN kept USING (fp)
@@ -1134,13 +1142,31 @@ object Dedup {
     * id sum, and total char length — a driver data regen changes it (and
     * forces a rebuild) without the fingerprint pass paying anything close
     * to the signature pipeline it guards. */
-  private[llm] def corpusFingerprint(s: SparkSession, d: String): String = {
-    val r = Tables.load(s, d, "documents").agg(
-      count(lit(1)).cast("long"),
-      coalesce(sum("doc_id"), lit(0L)),
-      coalesce(sum(length(col("text"))).cast("long"), lit(0L))).head()
-    s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+  // Memoized per (tag, dir, documents fs-stamp) — the Tables.cachedCount
+  // pattern (r16 review): ~8 whole-corpus and ~8 base-split tables each
+  // evaluate their fingerprint on first serve in a session, which cost
+  // a cold session one corpus aggregate PER TABLE for a value that is a
+  // pure function of the corpus state. Stamp-keyed, so a corpus regen
+  // misses naturally (no reset hook needed); superseded stamps of the
+  // same (tag, dir) are evicted in place.
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def memoFp(s: SparkSession, d: String, tag: String)(
+      compute: => String): String = {
+    val key = s"$tag|$d|${Tables.fsStamp(s, d, "documents")}"
+    val prefix = s"$tag|$d|"
+    fpCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    fpCache.computeIfAbsent(key, _ => compute)
   }
+
+  private[llm] def corpusFingerprint(s: SparkSession, d: String): String =
+    memoFp(s, d, "corpus") {
+      val r = Tables.load(s, d, "documents").agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum("doc_id"), lit(0L)),
+        coalesce(sum(length(col("text"))).cast("long"), lit(0L))).head()
+      s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+    }
 
   /** Uncached build-or-serve (every call re-checks the fingerprint and
     * re-registers a cold catalog) — the semantics IndexedDedupSpec's
@@ -1255,14 +1281,15 @@ object Dedup {
   /** [[corpusFingerprint]] over the BASE split only, tagged so it can
     * never collide with a whole-corpus fingerprint — the freshness key
     * of the base-split index family below. */
-  private[llm] def baseFingerprint(s: SparkSession, d: String): String = {
-    val r = Tables.load(s, d, "documents")
-      .filter(col("source") === BaseSource).agg(
-        count(lit(1)).cast("long"),
-        coalesce(sum("doc_id"), lit(0L)),
-        coalesce(sum(length(col("text"))).cast("long"), lit(0L))).head()
-    s"base:$BaseSource|${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
-  }
+  private[llm] def baseFingerprint(s: SparkSession, d: String): String =
+    memoFp(s, d, "base") {
+      val r = Tables.load(s, d, "documents")
+        .filter(col("source") === BaseSource).agg(
+          count(lit(1)).cast("long"),
+          coalesce(sum("doc_id"), lit(0L)),
+          coalesce(sum(length(col("text"))).cast("long"), lit(0L))).head()
+      s"base:$BaseSource|${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}"
+    }
 
   /** BASE-SPLIT persisted index family (r16): [[shingleIndex]] /
     * [[winnowIndex]] and their stat tables built over the EXISTING

@@ -372,7 +372,7 @@ object StreamOps {
   /** [[fpProbe]] pre-wired to a corpus directory's persisted base-split
     * winnow artifacts — the streaming twin of dedup_substring_delta. */
   def fpProbeFor(deltaDocs: DataFrame, s: org.apache.spark.sql.SparkSession,
-      d: String, dfCap: Long = 50L): DataFrame =
+      d: String, dfCap: Long = graft.llm.Dedup.WinnowDfCap): DataFrame =
     fpProbe(deltaDocs, graft.llm.Dedup.winnowIndexBase(s, d),
       graft.llm.Dedup.winnowDfBase(s, d), dfCap)
 

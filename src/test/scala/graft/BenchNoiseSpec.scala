@@ -147,6 +147,38 @@ class BenchNoiseSpec extends AnyFunSuite {
       Map("pagerank" -> 6.1, "q1_pricing" -> 0.8)))
   }
 
+  test("one hand-mangled entry degrades to flat parsing of the others, " +
+      "never to discarding the whole committed baseline") {
+    val p = java.nio.file.Files.createTempFile("detail_mangled", ".json")
+    // 'broken' has a malformed value (no object) — the r16 strict
+    // scanner rejects the region; the fallback must still flat-parse
+    // the well-formed entries instead of returning Map.empty (which
+    // the next run would silently solidify by overwriting the file)
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"pagerank":{"min":6.1,"med":6.5},
+        |"broken":,
+        |"q1_pricing":{"min":0.8,"med":0.9}},"runs":3,"sf":"sf0.1"}""".stripMargin)
+    val bodies = Bench.committedBodies(p, "sf0.1")
+    assert(bodies.contains("pagerank") && bodies.contains("q1_pricing"),
+      s"well-formed entries must survive a mangled sibling: ${bodies.keySet}")
+    assert(Bench.committedMins(p, "sf0.1").exists(_.get("pagerank").contains(6.1)))
+  }
+
+  test("a NESTED sub-object's fields are never attributed to the " +
+      "enclosing query (committedField top-level scan)") {
+    val p = java.nio.file.Files.createTempFile("detail_nested2", ".json")
+    // pagerank's body has NO top-level min — only a nested trace
+    // object carrying one; committedMins must not claim 0.01 for it
+    java.nio.file.Files.writeString(p,
+      """{"queries":{"pagerank":{"med":6.5,"trace":{"min":0.01,"spill_mb":99.0}},
+        |"q1_pricing":{"min":0.8,"med":0.9}},"runs":3,"sf":"sf0.1"}""".stripMargin)
+    val mins = Bench.committedMins(p, "sf0.1")
+    assert(mins.contains(Map("q1_pricing" -> 0.8)),
+      s"nested min mis-attributed: $mins")
+    assert(Bench.committedSpillMb(p, "sf0.1").forall(!_.contains("pagerank")),
+      "nested spill_mb mis-attributed to the enclosing query")
+  }
+
   test("index names never collide with gate names (ADVICE r15: the " +
       "carry-over key space must stay disjoint)") {
     val overlap =

@@ -26,7 +26,7 @@ class DeltaDedupSpec extends SparkSuite {
     val base = fps.filter { case (id, _) => src(id) == "src0" }
     val delta = fps.filter { case (id, _) => src(id) != "src0" }
     val df = base.groupBy(_._2).map { case (fp, v) => fp -> v.length }
-    val byFp = base.filter { case (_, fp) => df(fp) <= 50 }.groupBy(_._2)
+    val byFp = base.filter { case (_, fp) => df(fp) <= Dedup.WinnowDfCap }.groupBy(_._2)
     val exp = delta.flatMap { case (did, fp) =>
       byFp.getOrElse(fp, Array.empty[(Long, Long)]).map { case (bid, _) => (did, bid) }
     }.groupBy(identity).map { case ((did, bid), v) => (did, bid, v.length.toLong) }.toSet

@@ -51,4 +51,16 @@ class ShardedOracleConstsSpec extends AnyFunSuite {
     assert(py.contains("(n1 + n2 - inter), 6) >= 0.6"),
       "sharded jdelta replay's jaccard threshold != the gate's 0.6")
   }
+
+  test("winnow df cap literals match Dedup.WinnowDfCap (sharded replay + pysmoke)") {
+    // the winnow sharded family computes its GLOBAL df cap inside the
+    // posting pass; pysmoke's streaming_winnow_probe passes the cap to
+    // fpProbeFor explicitly — both are Python-side literals
+    assert(py.contains(s"HAVING count(*) <= ${Dedup.WinnowDfCap})"),
+      s"tools/oracle_sharded.py winnow df cap != ${Dedup.WinnowDfCap}")
+    val py2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/pysmoke.py")), "UTF-8")
+    assert(py2.contains(s"sf_dir, ${Dedup.WinnowDfCap})"),
+      s"tools/pysmoke.py fpProbeFor cap != ${Dedup.WinnowDfCap}")
+  }
 }

@@ -41,15 +41,20 @@ def merge_query(name, old, new):
     """Best-of-windows for one query entry: timing pair from the faster
     window, shape from the new run. Tie-break matches Bench.scala's
     in-engine merge exactly (old kept only when STRICTLY better, so an
-    exact tie takes the fresh pair). A side with no 'min' (a hand-edited
-    or partially-written file — the situation this repair tool exists
-    for) can't compete on timing: take the other side's entry unchanged
-    rather than raising KeyError mid-merge."""
-    if "min" not in old:
-        print(f"warning: {name}: old entry has no 'min', keeping new", file=sys.stderr)
+    exact tie takes the fresh pair). A side missing EITHER timing key
+    (a hand-edited or partially-written file — the situation this
+    repair tool exists for) can't compete on timing: take the other
+    side's entry unchanged rather than raising KeyError mid-merge or
+    stitching a mixed-window (old-min, new-med) pair, which would
+    break the pair-consistency rule above (and the in-engine merge
+    likewise drops a query from priorTiming when 'med' is absent)."""
+    if not all(k in old for k in TIMING):
+        print(f"warning: {name}: old entry lacks min/med, keeping new",
+              file=sys.stderr)
         return dict(new)
-    if "min" not in new:
-        print(f"warning: {name}: new entry has no 'min', keeping old", file=sys.stderr)
+    if not all(k in new for k in TIMING):
+        print(f"warning: {name}: new entry lacks min/med, keeping old",
+              file=sys.stderr)
         return dict(old)
     best_t = old if old["min"] < new["min"] else new
     out = dict(new)
@@ -88,11 +93,13 @@ def main():
     with open(args.new) as f:
         new = json.load(f)
     merged = merge(old, new)
-    inf = float("inf")
+    def competes(e):
+        return all(k in e for k in TIMING)
     better_old = sum(
         1 for q in merged["queries"]
         if q in old["queries"] and q in new["queries"]
-        and old["queries"][q].get("min", inf) < new["queries"][q].get("min", inf))
+        and competes(old["queries"][q]) and competes(new["queries"][q])
+        and old["queries"][q]["min"] < new["queries"][q]["min"])
     with open(args.out, "w") as f:
         json.dump(merged, f, separators=(",", ":"))
         f.write("\n")
