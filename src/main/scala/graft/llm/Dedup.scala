@@ -31,6 +31,37 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(Tables.load(s, d, "documents"))
 
+  /** Distinct shingles per doc WITH the per-doc count riding every row
+    * as a map-only column: (delta_id, n1, gram). The gram set equals
+    * [[shinglesOf]]'s rows (array_distinct within one row's own tokens
+    * — doc_id is unique per row, so per-row and global distinct
+    * coincide), and n1 = size(grams) is the Jaccard denominator
+    * WITHOUT a second scan+aggregate over the batch. Shared by the
+    * dedup_jaccard_delta gate and the streaming
+    * [[graft.streaming.StreamOps]].gramProbe (where a streaming-side
+    * aggregate would be stateful — here it is simply a saved pass).
+    *
+    * explode_OUTER is load-bearing: a plain explode makes Catalyst
+    * derive `isnotnull(grams) AND size(grams) > 0` constraints and
+    * push them into the SCAN with the whole
+    * array_distinct(transform(split(text)...)) expression substituted
+    * per reference — the shingle pipeline re-evaluated inside the
+    * filter with split() inlined into every lambda index access,
+    * measured 6× the whole gate's cost at sf0.1. outer generates no
+    * such constraints; the post-explode isnotnull(gram) filter (a
+    * column test, nothing recomputed) drops the at-most-one null row
+    * per sub-3-gram doc that outer admits. */
+  private[graft] def shingleRowsWithN1(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id").as("delta_id"), expr(
+        "array_distinct(transform(sequence(0, size(w)-3), " +
+        "i -> concat(w[i],' ',w[i+1],' ',w[i+2])))").as("grams"))
+      .select(col("delta_id"), size(col("grams")).cast("long").as("n1"),
+        explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+
   /** Stop-gram guard for the exact-Jaccard inverted index: shingles
     * shared by more than this many documents are dropped before the
     * self-join. The join's cost is O(Σ df²) over shingle document
@@ -407,19 +438,20 @@ object Dedup {
     // fails the hash gate.
     QueryDef("dedup_jaccard_delta", (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val deltaG = shinglesOf(docs.filter(col("source") =!= BaseSource))
-        .select(col("doc_id").as("delta_id"), col("gram"))
+      // n1 rides every delta row map-only ([[shingleRowsWithN1]]) —
+      // the r16 first-cut derived the delta shingles TWICE (once for
+      // the probe, once for an n1 groupBy); first(n1) under the pair
+      // aggregate recovers it with zero extra passes
+      val deltaG = shingleRowsWithN1(docs.filter(col("source") =!= BaseSource))
       val base = shingleIndexBase(s, d)
         .select(col("doc_id").as("base_id"), col("gram"))
       val rare = shingleDfBase(s, d)
         .filter(col("df") <= JaccardDfCap).select("gram")
-      val n1s = deltaG.groupBy("delta_id").agg(count(lit(1)).as("n1"))
       val n2s = shingleSizesBase(s, d)
         .select(col("doc_id").as("base_id"), col("n").as("n2"))
       deltaG.join(base.join(rare, "gram"), "gram")
         .groupBy("delta_id", "base_id")
-        .agg(count(lit(1)).as("inter"))
-        .join(n1s, "delta_id")
+        .agg(count(lit(1)).as("inter"), first("n1").as("n1"))
         .join(n2s, "base_id")
         .withColumn("jaccard",
           round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))

@@ -398,14 +398,7 @@ object StreamOps {
     * spec pins the roll-up against the batch gate). */
   def gramProbe(deltaDocs: DataFrame, baseIndex: DataFrame, baseDf: DataFrame,
       dfCap: Long): DataFrame =
-    deltaDocs
-      .select(col("doc_id"), graft.llm.TextNorm.toks.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id").as("delta_id"), expr(
-        "array_distinct(transform(sequence(0, size(w)-3), " +
-        "i -> concat(w[i],' ',w[i+1],' ',w[i+2])))").as("grams"))
-      .select(col("delta_id"), size(col("grams")).cast("long").as("n1"),
-        explode(col("grams")).as("gram"))
+    graft.llm.Dedup.shingleRowsWithN1(deltaDocs)
       .join(baseIndex.select(col("doc_id").as("base_id"), col("gram"))
         .join(baseDf.filter(col("df") <= dfCap).select("gram"), "gram"), "gram")
       .select(col("delta_id"), col("n1"), col("base_id"), col("gram"))

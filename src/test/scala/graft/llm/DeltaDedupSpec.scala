@@ -79,12 +79,13 @@ class DeltaDedupSpec extends SparkSuite {
       s"the df stop-list should serve from the persisted base stat table:\n$sub")
     val jac = graft.SparkEntry.queries("dedup_jaccard_delta")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()
-    // the delta subtree is referenced twice (its size aggregate and the
-    // probe), so up to two explodes — both over the O(delta) batch; what
-    // must NOT appear is a third, corpus-sized shingle derivation (the
-    // base side arrives via the persisted index relation)
-    assert("explode".r.findAllIn(jac).size <= 2,
-      s"expected at most two delta-side shingle explodes in:\n$jac")
+    // EXACTLY one delta-side shingle explode: n1 rides the probe rows
+    // map-only (shingleRowsWithN1), so the r16 first-cut's second
+    // delta derivation (the n1 groupBy) must never reappear — and a
+    // corpus-sized shingle derivation would also show here (the base
+    // side arrives via the persisted index relation)
+    assert("explode".r.findAllIn(jac).size == 1,
+      s"expected exactly one delta-side shingle explode in:\n$jac")
     assert(jac.contains("shingle_idx_base"),
       s"base side should scan the base-split shingle index:\n$jac")
     assert(jac.contains("shingle_df_base"),
