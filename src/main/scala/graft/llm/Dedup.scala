@@ -186,7 +186,11 @@ object Dedup {
     * fingerprint (alignment-independent, unlike stride sampling). */
   def substringPairs(documents: org.apache.spark.sql.DataFrame,
       dfCap: Long): org.apache.spark.sql.DataFrame =
-    substringPairsFrom(winnowFps(documents), dfCap)
+    // fingerprints materialized once (eager localCheckpoint): the df
+    // stop-list and both self-join sides otherwise each re-run the
+    // whole winnow expression over the corpus — 3 full winnow passes
+    // per query (same duplicated-subtree class as [[jaccardPairs]])
+    substringPairsFrom(winnowFps(documents).localCheckpoint(true), dfCap)
 
   /** The winnow pipeline up to distinct (doc_id, fp) — the front half
     * of [[substringPairs]], also materialized verbatim by the persisted
@@ -753,7 +757,12 @@ object Dedup {
       // memoized (ADVICE r13): the banding-mode choice needs n once
       // per corpus, not a full count scan per gate/bench invocation
       val nDocs = Tables.cachedCount(s, d, "documents")
-      simhashPairsFromSigs(simhashSigs(s, d), combos = nDocs > SimComboThreshold)
+      // signatures materialized once (eager localCheckpoint): the band
+      // self-join otherwise re-runs the explode + 60-vote aggregate
+      // over the corpus on each side (same duplicated-subtree class as
+      // [[minhashPairs]])
+      simhashPairsFromSigs(simhashSigs(s, d).localCheckpoint(true),
+        combos = nDocs > SimComboThreshold)
     }, Some(
       s"""WITH toks AS (SELECT doc_id, $normSql AS w FROM documents),
          th AS (SELECT doc_id, ${md5LongSql("t")} AS h
@@ -948,6 +957,12 @@ object Dedup {
     * pairs whose overlap includes dropped hot grams — never inflates
     * it. Exposed for the recall spec and the stop-gram spec. */
   def jaccardPairs(docs: DataFrame, minJ: Double, dfCap: Long): DataFrame =
+    // NOT materialized (r16 optimization round): the static plan shows
+    // the shingle subtree 12×, but AQE's runtime exchange reuse dedupes
+    // the identical self-join sides, and a same-window A/B of an eager
+    // localCheckpoint here measured FLAT at 32 cores and WORSE at 8
+    // (2.3→2.5 min-of-5 at sf0.1) — the materialization barrier costs
+    // more than the residual duplicate scans. See OPTIMIZATION_r16.md.
     jaccardPairsFrom(shinglesOf(docs), minJ, dfCap)
 
   /** [[jaccardPairs]] over an explicit (doc_id, gram) frame — shared by
@@ -1033,6 +1048,10 @@ object Dedup {
       .select(col("doc_id"), col("n"),
         expr("transform(sg, x -> x.h)").as("gs"),
         size(col("sg")).as("nk"))
+      // NOT materialized: an eager localCheckpoint here measured WORSE
+      // at both 32 and 8 cores (1.9→2.4 / 2.1→2.7 min, same-window A/B
+      // at sf0.1) — the barrier outweighs the duplicate-subtree cost
+      // AQE's runtime exchange reuse already mitigates
     // α = ⌈jNum·nk/jDen⌉ exactly; prefix = first nk − α + 1 shingles.
     // posexplode keeps each prefix occurrence's 0-based position for
     // the PPJoin positional filter below.
@@ -1081,6 +1100,7 @@ object Dedup {
     * index, same df cap; the score is one integer division, so the
     * gate hash needs no float at all. */
   def containmentPairs(docs: DataFrame, minMilli: Long, dfCap: Long): DataFrame =
+    // not materialized — same A/B evidence as [[jaccardPairs]]
     containmentPairsFrom(shinglesOf(docs), minMilli, dfCap)
 
   /** [[containmentPairs]] over an explicit (doc_id, gram) frame. */
@@ -1479,6 +1499,9 @@ object Dedup {
     * ceil(est·64) positions (estimated Jaccard ≥ `est`). Exposed for the
     * recall spec. */
   def minhashPairs(s: SparkSession, d: String, est: Double): DataFrame = {
+    // sig NOT materialized — AQE reuses the identical self-join-side
+    // exchanges at runtime; an eager localCheckpoint A/B'd flat at both
+    // 8 and 32 cores (OPTIMIZATION_r16.md)
     val sig = minhashSigs(s, d)
     // band key = the 4 signature values themselves (array equality join):
     // hashing them again would only re-bucket exact-equal keys, and the

@@ -330,10 +330,24 @@ object TextOps {
         .select(col("doc_id"),
           substring(TextNorm.normText, 1, 32).as("prefix"),
           TextNorm.toks.getItem(0).as("blk"))
+        // materialized once (eager localCheckpoint): the block-cap
+        // aggregate and BOTH pair-join sides consume this projection,
+        // and the normalization regex is the expensive part —
+        // unmaterialized, it ran 4× per query
+        .localCheckpoint(true)
       val keep = docs.groupBy("blk").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= FuzzyBlockCap).select("blk")
       val kept = docs.join(keep, "blk")
-      val a = kept.select(col("blk"), col("doc_id").as("id1"), col("prefix").as("p1"))
+      // The quadratic levenshtein work happens in the pair-join stage,
+      // whose parallelism is otherwise the (tiny) scan/checkpoint
+      // partitioning — measured 6 tasks on 32 cores at sf0.1, one task
+      // holding all block-pair distances. Repartition the probe side by
+      // the blocking key so the per-block quadratic compute spreads
+      // across the shuffle fan-out (blocks are independent; the cap
+      // bounds the largest one, so no single task goes quadratic at any
+      // scale). Pure re-distribution — rows unchanged.
+      val a = kept.repartition(col("blk"))
+        .select(col("blk"), col("doc_id").as("id1"), col("prefix").as("p1"))
       val b = kept.select(col("blk"), col("doc_id").as("id2"), col("prefix").as("p2"))
       a.join(b, Seq("blk"))
         .filter(col("id1") < col("id2"))
@@ -371,6 +385,11 @@ object TextOps {
         .filter(size(col("w")) >= 2)
       val bg = docs.select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("gram"))
+        // materialized once (eager localCheckpoint): the frequency
+        // aggregate AND the re-join both consume the bigram stream, and
+        // Catalyst inlines the subtree — unmaterialized, the corpus was
+        // tokenized + exploded twice per query
+        .localCheckpoint(true)
       val cnt = bg.groupBy("gram").agg(count(lit(1)).as("df"))
       bg.join(cnt, "gram")
         .groupBy("doc_id")
