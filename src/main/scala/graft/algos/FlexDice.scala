@@ -148,10 +148,23 @@ object FlexDice {
   private val diceCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
+  // Memoized per (dir, events fs-stamp) — the Dedup.memoFp pattern
+  // (r16 optimization round): each of the three flexdice gates (and
+  // the streaming cellProbe's trainedDice) re-ran a full events
+  // aggregate per invocation just to key the dice cache; the fs-stamp
+  // check is metadata-only and a data regen still misses naturally.
+  private val evFpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def evFingerprint(s: SparkSession, d: String): String = {
-    val r = Tables.load(s, d, "events").agg(
-      count(lit(1)).cast("long"), coalesce(sum("event_id"), lit(0L))).head()
-    s"${r.getLong(0)}|${r.getLong(1)}"
+    val key = s"$d|${graft.Tables.fsStamp(s, d, "events")}"
+    val prefix = s"$d|"
+    evFpCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    evFpCache.computeIfAbsent(key, _ => {
+      val r = Tables.load(s, d, "events").agg(
+        count(lit(1)).cast("long"), coalesce(sum("event_id"), lit(0L))).head()
+      s"${r.getLong(0)}|${r.getLong(1)}"
+    })
   }
 
   private def phase1Cached(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -162,72 +175,105 @@ object FlexDice {
 
   /** Phase 1. Returns (terminal cells, noise objects):
     * terminal = (level, cx, cy, density ∈ DENSE|SPARSE, n_objects);
-    * noise = (id, level) for every object in a SPARSE cell. */
+    * noise = (id, level) for every object in a SPARSE cell.
+    *
+    * Execution shape (r16 optimization round): ONE map-side-combining
+    * aggregate computes every layer's nonempty cells in a single pass
+    * over the path table (each object contributes its 7 ancestor
+    * coordinates via a map-only explode), the per-layer liveness /
+    * threshold cascade then runs as a driver fold over the collected
+    * cell list, and the noise extraction is ONE equality join of the
+    * ancestor explode against the (broadcast) sparse-terminal list.
+    * The previous form chained a per-layer groupBy over a re-derived
+    * `active` object set — layer l re-evaluated l liveness joins, ~25
+    * driver-synchronized jobs and 117 stages for flexdice_clusters at
+    * sf0.1 — where this is 3 jobs over the same persisted path table.
+    *
+    * Why the driver fold is safe at any SF: the dice is bounded by
+    * CONSTRUCTION, not by data — level l has ≤ 4^l cells (coordinates
+    * live in [0, 2^l)²), so all 7 layers hold ≤ Σ 4^l = 5,461 nonempty
+    * cells total. This is the same bounded-carry class as the k-means
+    * centroid collect (O(k·dim)) and the skyline suffix-min (O(50)).
+    *
+    * Why the values are identical to the chained form:
+    * - a live cell's members are exactly its prefix-matching objects
+    *   (liveness filters whole cells, never objects — the same linear
+    *   argument the DuckDB oracle's levelsSql already relies on), so
+    *   per-cell n_objects and nonempty-child counts computed from the
+    *   FULL path table equal the ones computed over `active`;
+    * - kc needs no countDistinct: every nonempty level-(l+1) cell is a
+    *   child of exactly one level-l cell, so kc = |children among the
+    *   collected l+1 cells|;
+    * - an object is noise at layer l iff its layer-l ancestor is a
+    *   SPARSE terminal; terminal cells are prefix-disjoint (everything
+    *   above a terminal is MIDDLE), so the single ancestor⋈sparse join
+    *   yields each old (id, level) row exactly once. */
   private def phase1(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     val p = paths(s, d).persist()
-    var active = p
-    var term: DataFrame = null
-    var noise: DataFrame = null
     try {
+      val ancStructs = (0 until NLayers).map(l =>
+        struct(lit(l.toLong).as("level"), col(s"cx$l").as("cx"),
+          col(s"cy$l").as("cy")))
+      val cellRows = p
+        .select(explode(array(ancStructs: _*)).as("c"))
+        .groupBy(col("c.level").as("level"), col("c.cx").as("cx"),
+          col("c.cy").as("cy"))
+        .agg(count(lit(1)).as("n_objects"))
+        .collect()
+      // (cx, cy) -> n_objects per level; kc from the level below
+      val byLevel = (0 until NLayers).map { l =>
+        cellRows.iterator.filter(_.getLong(0) == l)
+          .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+      }
+      val kcOf = (0 until NLayers).map { l =>
+        if (l == NLayers - 1) Map.empty[(Long, Long), Long]
+        else byLevel(l + 1).keysIterator.toSeq
+          .groupBy { case (cx, cy) => (cx >> 1, cy >> 1) }
+          .map { case (k, v) => (k, v.size.toLong) }
+      }
+      // liveness cascade: level 0 is live; below, live = parent MIDDLE
+      val term = Seq.newBuilder[(Long, Long, Long, String, Long)]
+      var midPrev = Set.empty[(Long, Long)]
       for (l <- 0 until NLayers) {
-        val cls: DataFrame =
+        val live = byLevel(l).view
+          .filterKeys(k => l == 0 || midPrev((k._1 >> 1, k._2 >> 1))).toMap
+        val nCells = live.size.toLong
+        var midNext = Set.empty[(Long, Long)]
+        if (nCells > 0) {
           if (l == NLayers - 1) {
-            // bottom layer: no further division possible
-            active.groupBy(col(s"cx$l").as("cx"), col(s"cy$l").as("cy"))
-              .agg(count(lit(1)).as("n_objects"))
-              .select(lit(l.toLong).as("level"), col("cx"), col("cy"),
-                when(col("n_objects") < DMin, "SPARSE").otherwise("DENSE")
-                  .as("density"),
-                col("n_objects"))
-              .localCheckpoint(true)
+            live.foreach { case ((cx, cy), n) =>
+              term += ((l.toLong, cx, cy, if (n < DMin) "SPARSE" else "DENSE", n))
+            }
           } else {
-            // one aggregate gives both the cell size and its nonempty-
-            // child count (the divide is virtual: children are the
-            // level-(l+1) coordinates already on every row)
-            val cells = active
-              .groupBy(col(s"cx$l").as("cx"), col(s"cy$l").as("cy"))
-              .agg(count(lit(1)).as("n_objects"),
-                countDistinct(struct(col(s"cx${l + 1}"), col(s"cy${l + 1}")))
-                  .as("kc"))
-              .localCheckpoint(true)
-            val st = cells.agg(count(lit(1)),
-              sum(when(col("n_objects") >= DMin, col("kc")).otherwise(0L))).head()
-            val nCells = st.getLong(0)
-            if (nCells == 0) {
-              cells.select(lit(l.toLong).as("level"), col("cx"), col("cy"),
-                lit("SPARSE").as("density"), col("n_objects")) // 0 rows
-            } else {
-              val cc = if (st.isNullAt(1)) 0L else st.getLong(1)
-              // the reference's (int)(dfac * (1.0*cc/n)) — same IEEE
-              // product, truncation == floor on non-negatives
-              val thr = (DFac * (cc.toDouble / nCells.toDouble)).toLong
-              cells.select(lit(l.toLong).as("level"), col("cx"), col("cy"),
-                when(col("n_objects") < DMin, "SPARSE")
-                  .when(col("kc") > thr, "DENSE")
-                  .otherwise("MIDDLE").as("density"),
-                col("n_objects"))
-                .localCheckpoint(true)
+            val cc = live.iterator
+              .collect { case (k, n) if n >= DMin => kcOf(l).getOrElse(k, 0L) }
+              .sum
+            // the reference's (int)(dfac * (1.0*cc/n)) — same IEEE
+            // product, truncation == floor on non-negatives
+            val thr = (DFac * (cc.toDouble / nCells.toDouble)).toLong
+            live.foreach { case ((cx, cy), n) =>
+              val kc = kcOf(l).getOrElse((cx, cy), 0L)
+              if (n < DMin) term += ((l.toLong, cx, cy, "SPARSE", n))
+              else if (kc > thr) term += ((l.toLong, cx, cy, "DENSE", n))
+              else midNext += ((cx, cy))
             }
           }
-        val terminal = cls.filter(col("density") =!= "MIDDLE")
-        val sparse = cls.filter(col("density") === "SPARSE")
-          .select(col("cx").as("scx"), col("cy").as("scy"))
-        val lvlNoise = active
-          .join(sparse, active(s"cx$l") === col("scx") &&
-            active(s"cy$l") === col("scy"))
-          .select(col("id"), lit(l.toLong).as("level"))
-        term = if (term == null) terminal else term.unionByName(terminal)
-        noise = if (noise == null) lvlNoise else noise.unionByName(lvlNoise)
-        if (l < NLayers - 1) {
-          val mid = cls.filter(col("density") === "MIDDLE")
-            .select(col("cx").as("mcx"), col("cy").as("mcy"))
-          active = active.join(mid, active(s"cx$l") === col("mcx") &&
-            active(s"cy$l") === col("mcy"))
-            .drop("mcx", "mcy")
         }
+        midPrev = midNext
       }
+      val termRows = term.result().sorted
+      val termDf = termRows.toDF("level", "cx", "cy", "density", "n_objects")
+      val sparseDf = termRows.collect { case (l, cx, cy, "SPARSE", _) =>
+        (l, cx, cy) }.toDF("level", "cx", "cy")
+      val noise = p
+        .select(col("id"), explode(array(ancStructs: _*)).as("c"))
+        .select(col("id"), col("c.level").as("level"), col("c.cx").as("cx"),
+          col("c.cy").as("cy"))
+        .join(broadcast(sparseDf), Seq("level", "cx", "cy"))
+        .select(col("id"), col("level"))
       // eager: lineage over the persisted paths must not outlive it
-      (term.localCheckpoint(true), noise.localCheckpoint(true))
+      (termDf.localCheckpoint(true), noise.localCheckpoint(true))
     } finally p.unpersist(false)
   }
 

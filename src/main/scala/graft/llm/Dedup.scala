@@ -908,7 +908,15 @@ object Dedup {
         .join(sym.groupBy("a").agg(min("b").as("mn")), "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), least(col("mn"), col("a")).as("v"))
-        .distinct()
+      // large is NOT distinct'd (r16 optimization round): duplicates —
+      // (b, m) minted via two different centers a — are bounded by
+      // deg(b) within the round and CANNOT compound across rounds
+      // because `next` below is distinct'd before it becomes the new
+      // edge set; min() under the small-star aggregate is duplicate-
+      // blind, so the fixpoint is unchanged (StarContractionSpec pins
+      // parity). Dropping it removes one full-edge-set Exchange per
+      // round — at corpus scale that is one fewer shuffle of the whole
+      // pair set per contraction round.
       // SMALL-STAR: attach each node u's smaller neighbors and u itself
       // to its minimum neighbor m (= min(N_small(u) ∪ {u}) since all
       // neighbors here are < u); self-loop (m, m) dropped. Output stays
