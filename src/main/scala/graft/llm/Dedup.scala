@@ -892,7 +892,11 @@ object Dedup {
       .select(greatest(col("id1"), col("id2")).as("u"),
         least(col("id1"), col("id2")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy checkpoint + count = ONE materializing job (r16
+      // optimization round): eager localCheckpoint ran a full job and
+      // the count a second pass; with eager=false the count below
+      // computes, caches and truncates in the same job
+      .localCheckpoint(false)
     var nEdges = edges.count()
     var converged = nEdges == 0L
     var it = 0
@@ -930,8 +934,10 @@ object Dedup {
         .select(col("e.x").as("u"), col("e.m").as("v"))
         .distinct()
         // two derived plans below (count + anti-join) plus the next
-        // round read this — checkpoint truncates the per-round lineage
-        .localCheckpoint(true)
+        // round read this — checkpoint truncates the per-round lineage.
+        // LAZY (r16): the count just below is the materializing action,
+        // so checkpoint+count cost one job per round instead of two
+        .localCheckpoint(false)
       // exact fixpoint test: both sides are distinct sets, so equal
       // cardinality plus next ⊆ edges (empty anti-join) ⇒ set equality;
       // the only fixpoint of large∘small is the min-centered star set
