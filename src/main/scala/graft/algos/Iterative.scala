@@ -20,9 +20,11 @@ object Iterative {
     * caller edge plan — a join + distinct in the gate — is evaluated
     * exactly once per session instead of once per variant. */
   final case class PreparedGraph(nodes: DataFrame, n: Long,
-      edgesDeg: DataFrame, noInIds: DataFrame) {
+      edgesDeg: DataFrame, noInIds: DataFrame,
+      shared: Seq[DataFrame] = Nil) {
     def unpersist(): Unit = {
       nodes.unpersist(false); edgesDeg.unpersist(false); noInIds.unpersist(false)
+      shared.foreach(_.unpersist(false))
     }
   }
 
@@ -148,16 +150,28 @@ object Iterative {
     * are still derived here (cheap distincts). */
   def prepareGraphDegreed(edgesDeg0: DataFrame): PreparedGraph = {
     val edgesDeg = edgesDeg0.select(col("src"), col("dst"), col("deg")).persist()
-    val nodes = edgesDeg.select(col("src").as("id"))
-      .union(edgesDeg.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.count()
     edgesDeg.count()
-    val noInIds = nodes
-      .join(edgesDeg.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
-      .select(col("id"))
+    // Node set AND the no-in-edge subset from ONE explode+aggregate pass
+    // over the cached edges (r16 optimization round): the previous form
+    // ran a union+distinct for nodes, a second dst-distinct, and an
+    // anti-join for noInIds — two extra full-edge passes and three
+    // driver-synchronized counts for the same two sets. `hasIn` is a
+    // max() over endpoint markers, so noInIds = marks where hasIn = 0
+    // is exactly "appears only as src" — the set the anti-join computed.
+    // Both views read the one persisted `marks` cache (materialized by
+    // the count below, BEFORE the superstep job fans out over its five
+    // union branches — the eager-priming discipline the rejected
+    // count-trim experiment in OPTIMIZATION_r16.md validated).
+    val marks = edgesDeg.select(explode(array(
+        struct(col("src").as("id"), lit(0).as("t")),
+        struct(col("dst").as("id"), lit(1).as("t")))).as("m"))
+      .groupBy(col("m.id").as("id"))
+      .agg(max(col("m.t")).as("hasIn"))
       .persist()
-    noInIds.count()
-    PreparedGraph(nodes, n, edgesDeg, noInIds)
+    val n = marks.count()
+    val nodes = marks.select(col("id"))
+    val noInIds = marks.filter(col("hasIn") === 0).select(col("id"))
+    PreparedGraph(nodes, n, edgesDeg, noInIds, shared = Seq(marks))
   }
 
   /** PageRank (ex/pagerank.c, damping 0.85): rank mass flows along edges
