@@ -345,8 +345,13 @@ object TextOps {
       // the blocking key so the per-block quadratic compute spreads
       // across the shuffle fan-out (blocks are independent; the cap
       // bounds the largest one, so no single task goes quadratic at any
-      // scale). Pure re-distribution — rows unchanged.
-      val a = kept.repartition(col("blk"))
+      // scale). The partition count is EXPLICIT (defaultParallelism —
+      // cores locally, cluster cores at scale): AQE coalesces a keyless-
+      // count repartition of a few MB back to ~2 partitions, silently
+      // re-serializing the compute-bound stage byte-sizing cannot see.
+      // Pure re-distribution — rows unchanged.
+      val a = kept.repartition(
+          s.sparkContext.defaultParallelism, col("blk"))
         .select(col("blk"), col("doc_id").as("id1"), col("prefix").as("p1"))
       val b = kept.select(col("blk"), col("doc_id").as("id2"), col("prefix").as("p2"))
       a.join(b, Seq("blk"))
