@@ -172,6 +172,66 @@ object Bench {
     sb.toString
   }
 
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+  // comma-decimal default locale would render 0,123 — unparseable JSON.
+  private[graft] def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
+
+  /** Relative precision sized to the ~20% host-noise floor (BASELINE.md):
+    * sub-second values keep 2 decimals (10 ms), multi-second 1 decimal,
+    * trailing zeros trimmed ("0.50" -> "0.5" — still valid JSON). */
+  private[graft] def fmt2(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, if (v < 1) "%.2f" else "%.1f", v)
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+
+  /** Render the stdout JSON line (r17, VERDICT item 1 — restore the
+    * driver's per-query contract). The driver's per-round comparison
+    * needs `"queries":{"name": sec}` with SCALAR seconds; rounds 13-16
+    * emitted `[min,med]` pairs for only the slowest 50 and the driver
+    * recorded `n_common: 0` / `bench_ok: false` two rounds running. The
+    * driver parses a bounded stdout tail of EXACTLY 2000 chars (every
+    * committed BENCH_r*.json "tail" string is 2000 chars, with the line
+    * front-truncated when longer — the round-2/round-5 failure mode), and
+    * the 180 gate names alone are 2.2 KB, so emitting every query is
+    * impossible by arithmetic. This fills the map with scalar MINS,
+    * slowest-first, to a byte budget with safety margin (~90 entries vs
+    * the old 50); the remainder is still counted in fast_omitted/
+    * fast_total(_med), and full [min,med] + byte traces for EVERY query
+    * stay in bench_detail.json. Pure function so a spec can pin the
+    * budget, the scalar format, and the slowest-first retention order.
+    *
+    * `byCost` must be sorted slowest-first: (name, min, med). */
+  private[graft] def renderLine(byCost: Seq[(String, Double, Double)],
+      nOk: Int, runs: Int, subset: Boolean, suspectField: String,
+      sfName: String, indexTotal: Double, errs: String,
+      total: Double, totalMed: Double, budget: Int = 1950): String = {
+    def build(n: Int): String = {
+      val (slow, fast) = byCost.splitAt(n)
+      val qs = slow.sortBy(_._1)
+        .map { case (k, v, _) => s"${jstr(k)}:${fmt2(v)}" }.mkString("{", ",", "}")
+      val fastFields =
+        if (fast.isEmpty) ""
+        else s""","fast_omitted":${fast.size},"fast_total":${fmt(fast.map(_._2).sum)},"fast_total_med":${fmt(fast.map(_._3).sum)}"""
+      val subsetField = if (subset) ""","subset":true""" else ""
+      // The grand total appears TWICE: "value" at the very front (the
+      // primary field) and "total_s" as the FINAL key — stdout tail
+      // capture truncates the FRONT of an over-long line, so whichever
+      // end survives carries the total.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":$nOk,"runs_per_query":$runs$fastFields$subsetField$suspectField,"sf":${jstr(sfName)},"index_build_total_s":${fmt2(indexTotal)},"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
+    }
+    var n = byCost.size
+    var line = build(n)
+    while (line.length > budget && n > 0) { n -= 1; line = build(n) }
+    line
+  }
+
   private def committedField(path: java.nio.file.Path, sf: String,
       field: String): Option[Map[String, Double]] =
     try {
@@ -296,58 +356,20 @@ object Bench {
     val stillSuspect = committed.map(c =>
       suspects(c, results.collect { case (n, v, _, None) => n -> v }.toMap))
       .getOrElse(Seq.empty)
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val ok = results.filter(_._4.isEmpty)
-    // Millisecond precision keeps the line compact: the harness captures only
-    // a bounded tail of stdout, and a 70+-query map at full double precision
-    // overflowed it in round 2 (truncated line -> unparseable).
-    // Locale.ROOT: the f-interpolator is locale-sensitive, and a
-    // comma-decimal default locale would render 0,123 — unparseable JSON.
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // Per-query precision is relative, sized to the ~20% host-noise
-    // floor (BASELINE.md): sub-second queries keep 2 decimals (10 ms),
-    // multi-second queries 1 decimal (100 ms <= 10% of the value), and
-    // trailing zeros are trimmed ("0.50" -> "0.5" — still valid JSON).
-    // At 145 queries the fixed-width form crossed the driver's ~3 KB
-    // stdout tail window (truncated line -> unparseable, the round-2
-    // failure mode); this keeps ~150 chars of headroom.
-    def fmt2(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, if (v < 1) "%.2f" else "%.1f", v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-    }
-    // The per-query map lists the slowest 50 queries only — the driver
-    // parses a bounded stdout tail (historically ~2.3 KB lines; the
-    // r5 100-entry map crossed it and the driver recorded the round as
-    // "parsed": null, losing the grand total), and per-query ratios
-    // below ~0.3 s are session overhead, not engine cost. The omitted
-    // fast queries are NOT silently dropped: they are counted in
-    // "fast_omitted", their time in "fast_total", and every query still
-    // contributes to value/n_ok/errors. Each entry is [min,median] of
-    // the N runs (r6 verdict item 8: median bounds host noise); the cap
-    // dropped 60 -> 50 to pay for the second number without re-crossing
-    // the tail window. Full precision for EVERY query lands in
-    // bench_detail.json, which survives via the end-of-round commit.
-    val byCost = ok.sortBy { case (_, v, _, _) => -v }
-    val (slow, fast) = byCost.splitAt(50)
-    val qs = slow.sortBy(_._1)
-      .map { case (k, v, m, _) => s"${jstr(k)}:[${fmt2(v)},${fmt2(m)}]" }.mkString("{", ",", "}")
-    val fastFields =
-      if (fast.isEmpty) ""
-      else s""","fast_omitted":${fast.size},"fast_total":${fmt(fast.map(_._2).sum)},"fast_total_med":${fmt(fast.map(_._3).sum)}"""
     val errs = (results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e.take(80))}" } ++
       indexBuilds.collect { case (k, _, Some(e)) => s"${jstr("index:" + k)}:${jstr(e)}" })
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalMed = ok.map(_._3).sum
     // one-off index-build (ingest-time) cost, reported separately from
-    // the per-query (serve-time) numbers in both the detail file and
-    // the stdout line
+    // the per-query (serve-time) numbers. The per-index map lives in
+    // bench_detail.json; the stdout line carries only the TOTAL build
+    // seconds (r17: the ~370 chars the per-index map cost buy ~19 more
+    // per-query entries inside the driver's 2000-char tail window).
     val buildJson = indexBuilds.collect { case (k, v, None) => s"${jstr(k)}:${fmt2(v)}" }
       .mkString("{", ",", "}")
+    val buildTotal = indexBuilds.collect { case (_, v, None) => v }.sum
     // Stage-trace rendering (detail file only — the stdout line is
     // size-bounded). The listener bus is asynchronous; by this point
     // every query finished seconds ago, but give stragglers a moment.
@@ -461,9 +483,6 @@ object Bench {
       Files.writeString(Paths.get(s"bench_detail_${sfName}_subset.json"),
         detail + "\n")
     }
-    // subset runs are marked so a partial total can never be mistaken
-    // for a full-run baseline
-    val subset = if (only.isDefined) ""","subset":true""" else ""
     // Names that stayed >2.5× their committed same-SF min after retries —
     // normally empty (zero bytes of the tail window); a non-empty list
     // says "compare bench_detail.json to the committed one before
@@ -477,13 +496,11 @@ object Bench {
        else s""","write_suspect":${writeSus.map(jstr).mkString("[", ",", "]")}""") +
       (if (spillSus.isEmpty) ""
        else s""","spill_suspect":${spillSus.map(jstr).mkString("[", ",", "]")}""")
-    // The grand total appears TWICE: "value" at the very front (the
-    // primary field) and "total_s" as the FINAL key — stdout tail
-    // capture truncates the front of an over-long line, so whichever
-    // end survives carries the total. sf as basename: every byte here
-    // trades against per-query map capacity.
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${ok.size},"runs_per_query":$runs$fastFields$subset$suspectField,"sf":${jstr(sfName)},"index_build_s":$buildJson,"queries":$qs,"errors":$errs,"total_med_s":${fmt(totalMed)},"total_s":${fmt(total)}}"""
+    val line = renderLine(
+      ok.sortBy { case (_, v, _, _) => -v }.map { case (k, v, m, _) => (k, v, m) },
+      nOk = ok.size, runs = runs, subset = only.isDefined,
+      suspectField = suspectField, sfName = sfName, indexTotal = buildTotal,
+      errs = errs, total = total, totalMed = totalMed)
     Files.writeString(Paths.get("bench_last.json"), line + "\n")
     spark.stop()
     // Printed after spark.stop() so it is the final line of stdout

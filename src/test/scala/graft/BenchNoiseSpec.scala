@@ -179,6 +179,43 @@ class BenchNoiseSpec extends AnyFunSuite {
       "nested spill_mb mis-attributed to the enclosing query")
   }
 
+  test("renderLine emits SCALAR per-query mins and fits the driver's " +
+      "2000-char tail window (r17 per-query contract)") {
+    // 180 realistically-long names — the worst case the driver sees
+    val entries = (1 to 180).map(i =>
+      (f"dedup_gate_name_$i%03d", 0.3 + i * 0.01, 0.4 + i * 0.01))
+      .sortBy(-_._2)
+    val line = Bench.renderLine(entries, nOk = 180, runs = 3,
+      subset = false, suspectField = "", sfName = "sf0.1",
+      indexTotal = 17.3, errs = "{}", total = 105.3, totalMed = 169.9)
+    assert(line.length <= 1950, s"line ${line.length} chars over budget")
+    // scalar values only — the [min,med] array form is what the driver
+    // refused for two rounds (PERF_r16: n_common 0, bench_ok false)
+    assert(!line.contains("["), "per-query values must be scalars")
+    // slowest-first retention: every included name must be slower than
+    // every omitted one, and the slowest gate is always present
+    assert(line.contains("\"dedup_gate_name_180\":2.1"))
+    val included = "dedup_gate_name_(\\d+)".r
+      .findAllMatchIn(line).map(_.group(1).toInt).toSet
+    val omitted = (1 to 180).toSet -- included
+    if (omitted.nonEmpty)
+      assert(omitted.max < included.min,
+        s"omitted a slower gate (${omitted.max}) while keeping a faster one (${included.min})")
+    // the omitted remainder is still accounted for
+    assert(line.contains("\"fast_omitted\":" + omitted.size))
+    assert(line.contains("\"total_med_s\":169.900"))
+  }
+
+  test("renderLine includes ALL queries when they fit (subset runs)") {
+    val entries = Seq(("pagerank", 2.5, 2.6), ("bfs_hops", 1.6, 1.7))
+    val line = Bench.renderLine(entries, nOk = 2, runs = 5, subset = true,
+      suspectField = "", sfName = "sf0.1", indexTotal = 0.1,
+      errs = "{}", total = 4.1, totalMed = 4.3)
+    assert(line.contains(""""queries":{"bfs_hops":1.6,"pagerank":2.5}"""))
+    assert(!line.contains("fast_omitted"))
+    assert(line.contains(""""subset":true"""))
+  }
+
   test("index names never collide with gate names (ADVICE r15: the " +
       "carry-over key space must stay disjoint)") {
     val overlap =
