@@ -16,6 +16,8 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: PlanDump <sfDir> <outDir> <suffix> <name1,name2,...>")
     val Array(sfDir, outDir, suffix, namesCsv) = args
     val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty)
     val unknown = names.filterNot(SparkEntry.queries.contains)

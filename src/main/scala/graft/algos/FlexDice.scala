@@ -160,6 +160,12 @@ object FlexDice {
     val key = s"$d|${graft.Tables.fsStamp(s, d, "events")}"
     val prefix = s"$d|"
     evFpCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    // size backstop (ADVICE r16): bound the map across many distinct
+    // data dirs, the Tables.cachedCount pattern
+    if (evFpCache.size > 64) {
+      val it = evFpCache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     evFpCache.computeIfAbsent(key, _ => {
       val r = Tables.load(s, d, "events").agg(
         count(lit(1)).cast("long"), coalesce(sum("event_id"), lit(0L))).head()

@@ -65,6 +65,13 @@ object Iterative {
     val key = s"$d|${Tables.fsStamp(s, d, "lineitem")}|${Tables.fsStamp(s, d, "orders")}"
     val prefix = s"$d|"
     fpCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    // size backstop (ADVICE r16): same-dir eviction alone lets a
+    // long-lived session touching many distinct data dirs grow the map
+    // without bound — cap like Tables.cachedCount does
+    if (fpCache.size > 64) {
+      val it = fpCache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     fpCache.computeIfAbsent(key, _ => {
       // sum(hash(k1,k2)) rather than sum(k1)+sum(k2): plain column sums
       // are permutation-blind (swapping o_custkey between two orders
@@ -361,6 +368,14 @@ object Iterative {
     * final assignment. */
   def kMeans(vecs: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
     require(iters >= 1, s"kMeans needs at least one iteration, got $iters")
+    // NOT repartitioned to cores (r17): the embeddings scan yields one
+    // partition at bench SF, so the per-iteration distance stages run
+    // nearly serial — but a same-window A/B of a conditional
+    // repartition(cores, id) before the persist (19→300 tasks) measured
+    // 2.95→2.92/3.21 across two windows: FLAT. The gate's floor is the
+    // five driver-synchronized aggregate collects (Lloyd with
+    // driver-resident centroids), not the narrow compute; at corpus
+    // scale the scan is already wide. See OPTIMIZATION_r17.md.
     val v = vecs.select(col("id"), col("e"), dotD(col("e"), col("e")).as("sq")).persist()
     v.count()
     val dim = v.select(size(col("e"))).first().getInt(0)

@@ -944,6 +944,11 @@ object Dedup {
       val nNext = next.count()
       converged = nNext == nEdges &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // the convergence test above was the last reader of this round's
+      // edge set — drop its cached blocks NOW instead of letting every
+      // round's frame pile up in the block manager until the
+      // ContextCleaner notices the dead plans (ADVICE r16)
+      edges.unpersist(false)
       edges = next
       nEdges = nNext
       it += 1
@@ -977,6 +982,18 @@ object Dedup {
     // localCheckpoint here measured FLAT at 32 cores and WORSE at 8
     // (2.3→2.5 min-of-5 at sf0.1) — the materialization barrier costs
     // more than the residual duplicate scans. See OPTIMIZATION_r16.md.
+    // NOT restructured to sizes-riding slim posting rows (r17): three
+    // same-window A/B treatments of "n1 rides each posting row map-only
+    // (shingleRowsWithN1, no global distinct) + PPJoin length prefilter
+    // in the self-join condition + sizes folded through the pair
+    // aggregate" cut sh_read 31.7→13-18 MB (−42..59%) but ran 1.93→2.28
+    // (bare), 2.30 (pinned-N gram repartition — AQE re-planned the
+    // subtree and dropped it), and 2.30 (repartition+localCheckpoint,
+    // 110 tasks): this shape tokenizes ONCE into one exchange that AQE
+    // reuse already fans to every consumer, so the byte cut only buys a
+    // barrier job + block writes that cost ~0.35 s locally. The
+    // restructure is the right 100 TB shape on bytes but fails the
+    // time gate; details in OPTIMIZATION_r17.md.
     jaccardPairsFrom(shinglesOf(docs), minJ, dfCap)
 
   /** [[jaccardPairs]] over an explicit (doc_id, gram) frame — shared by
@@ -1114,7 +1131,9 @@ object Dedup {
     * index, same df cap; the score is one integer division, so the
     * gate hash needs no float at all. */
   def containmentPairs(docs: DataFrame, minMilli: Long, dfCap: Long): DataFrame =
-    // not materialized — same A/B evidence as [[jaccardPairs]]
+    // not materialized — same A/B evidence as [[jaccardPairs]]; same r17
+    // slim-posting restructure rejection (sh_read 29.7→20-25 MB but time
+    // 2.24→2.57-2.68 across three same-window treatments)
     containmentPairsFrom(shinglesOf(docs), minMilli, dfCap)
 
   /** [[containmentPairs]] over an explicit (doc_id, gram) frame. */
@@ -1222,6 +1241,12 @@ object Dedup {
     val key = s"$tag|$d|${Tables.fsStamp(s, d, "documents")}"
     val prefix = s"$tag|$d|"
     fpCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    // size backstop (ADVICE r16): bound the map across many distinct
+    // data dirs, the Tables.cachedCount pattern
+    if (fpCache.size > 64) {
+      val it = fpCache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     fpCache.computeIfAbsent(key, _ => compute)
   }
 
@@ -1519,20 +1544,32 @@ object Dedup {
     val sig = minhashSigs(s, d)
     // band key = the 4 signature values themselves (array equality join):
     // hashing them again would only re-bucket exact-equal keys, and the
-    // raw key is what the oracle can reproduce portably
-    val bands = sig.select(col("doc_id"), col("sig"),
+    // raw key is what the oracle can reproduce portably.
+    // r17 (guide §2.3 / §8 "shuffle keys, not payloads"): the band rows
+    // crossing the self-join Exchange carry ONLY (doc_id, band, bk) —
+    // previously each of the 16 band rows per doc also dragged the full
+    // 64-long signature (~540 B/row) through the shuffle just so n_match
+    // could be computed inline. Candidates are decided on the slim rows,
+    // de-duplicated, and the two signatures are attached ONCE per
+    // surviving pair by doc-keyed joins. n_match is a function of the
+    // pair, so distinct-before == distinct-after: identical output.
+    val bands = sig.select(col("doc_id"),
         explode(expr("transform(sequence(0, 15), b -> " +
           "struct(b AS band, slice(sig, b*4+1, 4) AS bk))")).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bk"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bk"))
     val minMatch = math.ceil(est * 64).toLong
-    bands.as("a")
+    val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
-          .cast("long").as("n_match"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
+      .join(sig.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_match"))
       .filter(col("n_match") >= minMatch)
       .orderBy("id1", "id2")
   }
