@@ -14,12 +14,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized ANALYZED reader frames (r17, session-floor sweep): every
+    * `spark.read.parquet(path)` call re-resolves the DataSource and
+    * re-reads the parquet footer for schema inference — measured
+    * ~75-95 ms per call on the bench corpus, paid by EVERY gate
+    * invocation (and ~3×: min-of-N bench runs), the single largest
+    * engine-side slice of the ~0.15-0.3 s fast-gate floor. A DataFrame
+    * is immutable, so the analyzed reader can be served per (session,
+    * dir, table, fs-stamp) exactly like a catalog/metastore serves a
+    * resolved table — no DATA is cached (the scan still reads parquet
+    * per execution; nothing persists across JVM runs), and a corpus
+    * regen misses naturally through the same [[fsStamp]] the count and
+    * fingerprint memos already key on. The session rides the key as an
+    * identityHashCode + a WeakReference identity check, so a frame can
+    * never be served to a different (or dead) session. */
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
     // nanos are surfaced as long. Set here (runtime-settable SQLConf) so
     // every entry point — including a driver-built session — reads safely.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    val sid = System.identityHashCode(spark)
+    val key = s"$sid|$sfDir|$name|${fsStamp(spark, sfDir, name)}"
+    // superseded stamps of the same (session, table) can never hit again
+    val prefix = s"$sid|$sfDir|$name|"
+    dfCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    if (dfCache.size > 64) {
+      val it = dfCache.keySet.iterator
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+    val hit = dfCache.get(key)
+    if (hit != null && (hit._1.get eq spark)) hit._2
+    else {
+      val df = normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+      dfCache.put(key, (new java.lang.ref.WeakReference(spark), df))
+      df
+    }
   }
 
   /** The generator has shipped `ts` as both TIMESTAMP(NANOS) (long under
