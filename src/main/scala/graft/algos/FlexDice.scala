@@ -482,20 +482,48 @@ object FlexDice {
     }, Some(noiseOracle)),
 
     // ---- Phase-2 parity: clusters of axis-adjacent DENSE cells
-    // (across levels — the irregular-size cell graph), components via
-    // the O(log n) star contraction, keyed by the component's minimum
-    // packed cell key. The oracle replays the merge as a recursive-CTE
-    // closure over the identical edge set.
+    // (across levels — the irregular-size cell graph), keyed by the
+    // component's minimum packed cell key. The oracle replays the merge
+    // as a recursive-CTE closure over the identical edge set.
+    //
+    // r17: components via a DRIVER union-find instead of the distributed
+    // star contraction. The cell graph is bounded BY CONSTRUCTION —
+    // dense terminals are a subset of the Σ_{l<7} 4^l = 5,461 grid
+    // cells at ANY corpus size (the same bounded-carry argument as the
+    // r16 phase-1 cascade and the k-means centroid collect), and its
+    // ≤4-neighbor adjacency is ≤ ~22k edge rows of two longs — so the
+    // collect is O(1) in the corpus while the star contraction paid
+    // ~60 driver-synchronized stages (3 Exchanges + a checkpoint job
+    // per round) to label the same ≤5,461 nodes. Same labels by
+    // construction: min cell key per connected component. Same-window
+    // A/B + oracle parity in OPTIMIZATION_r17.md; the corpus-scale CC
+    // gates (dedup_clusters/keep_best, unbounded graphs) keep the
+    // distributed star contraction untouched.
     QueryDef("flexdice_clusters", (s, d) => {
       val (term, _) = phase1Cached(s, d)
       val dense = denseCells(term).persist()
       try {
-        val e0 = denseEdges(s, dense)
-        val selfPairs = dense.select(col("key").as("id1"), col("key").as("id2"))
-        val comps = graft.llm.Dedup.connectedComponents(
-          e0.select(col("src").as("id1"), col("dst").as("id2"))
-            .unionByName(selfPairs), iters = 30)
-        comps.join(dense, comps("id") === dense("key"))
+        val keys = dense.select("key").collect().map(_.getLong(0))
+        val adj = denseEdges(s, dense).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap(keys.map(k => k -> k): _*)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        adj.foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          // union toward the smaller root: every root stays the
+          // component's minimum key, which IS the oracle's label
+          if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+        }
+        val labels = keys.map(k => (k, find(k))).toSeq
+        import s.implicits._
+        val compDf = labels.toDF("key", "comp")
+        dense.join(broadcast(compDf), "key")
           .groupBy(col("comp").as("cluster_id"))
           .agg(count(lit(1)).as("n_cells"), sum("n_objects").as("n_objects"))
           .orderBy("cluster_id")
